@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (and the north-star extensions) is
+  * registered here as a named query over a scale-factor directory; each
+  * SQL-expressible one carries a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL output column names and ordering.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the star-join revenue rollup — scan, broadcast joins, shuffle agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q03(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational surface (north-star extensions; SURVEY §2.2)
+    "q01_agg_pushdown" -> (Relational.q01 _),
+    "q02_topk" -> (Relational.q02 _),
+    "q03_join_agg" -> (Relational.q03 _),
+    "q04_semijoin" -> (Relational.q04 _),
+    "q05_antijoin" -> (Relational.q05 _),
+    "q06_filter_sum" -> (Relational.q06 _),
+    "q07_window_topn" -> (Relational.q07 _),
+    "q08_rollup" -> (Relational.q08 _),
+    "q09_setops" -> (Relational.q09 _),
+    "q10_distinct_agg" -> (Relational.q10 _),
+    "q11_time_bucket" -> (Relational.q11 _),
+    "q12_asof_join" -> (Relational.q12 _),
+    "q13_scalar_subquery" -> (Relational.q13 _),
+    "q14_scalar_funcs" -> (Relational.q14 _),
+    "q15_string_agg" -> (Relational.q15 _),
+    "q16_cube" -> (Relational.q16 _),
+    // JSON / codec surface (SURVEY §2.1 #3-16)
+    "c01_json_get_plain" -> (JsonOps.plainGet _),
+    "c02_json_get_variant" -> (JsonOps.variantGet _),
+    "c03_jsonc_get" -> (JsonOps.jsoncGet _),
+    "c04_shred_agg" -> (JsonOps.shreddedAgg _),
+    "c05_shred_filter" -> (JsonOps.shreddedFilter _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ JsonOps.oracles
 }

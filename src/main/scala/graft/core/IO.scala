@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IO helpers for the codec surface.
+  *
+  * Reference behavior being re-expressed (see /root/reference):
+  *  - NDJSON source: one document per line, bytes preserved verbatim
+  *    (src/codec.rs:8-19). Spark equivalent is `spark.read.text` — NOT
+  *    `spark.read.json`, which would parse/normalize and break the
+  *    plain-json codec's byte-fidelity round trip.
+  *  - Parquet sink with ZSTD page compression + dictionary encoding
+  *    (src/format/plain_json.rs:37-39 et al.); Spark's parquet writer
+  *    dictionary-encodes by default, we only pin the codec.
+  *
+  * Scale note: both read paths are plain distributed file scans — no
+  * driver-side materialization anywhere. At 100 TB the NDJSON scan
+  * splits by line boundaries per HDFS block, and the parquet scan
+  * splits by row group; neither needs special handling here.
+  */
+object IO {
+  val Zstd = "zstd"
+
+  /** NDJSON → DataFrame["doc": string], one row per line, exact bytes. */
+  def readNdjson(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).toDF("doc")
+
+  /** Write any encoded frame as ZSTD parquet (reference `flush`). */
+  def writeParquetZstd(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", Zstd).parquet(path)
+
+  /** Read a parquet file back (reference `load`). Unlike the reference,
+    * this reads ALL row groups — the reference's first-batch-only load
+    * truncation (SURVEY §1.2) is a bug we deliberately do not replicate.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Total on-disk size in bytes of a written dataset (file or dir) —
+    * powers the compression-ratio metric (reference
+    * scripts/benchmark_results.csv `parquet_file_size`).
+    */
+  def pathSize(path: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+    size(new java.io.File(path))
+  }
+}

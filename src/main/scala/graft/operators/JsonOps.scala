@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's query surface (dot-path point lookups,
+  * /root/reference/benches/query.rs) hosted on the driver testdata's
+  * `events.props` JSON column, once per codec.
+  *
+  * Every query keeps the JSON machinery inside whole-stage codegen
+  * (get_json_object / from_json / variant_get are all native
+  * expressions; only jsonc crosses a UDF boundary) and scans read just
+  * the columns they touch, so column pruning reaches the parquet scan.
+  */
+object JsonOps {
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.events(spark, dir)
+
+  /** Plain-text path get — reference serde lookup (query.rs:30-37). */
+  def plainGet(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
+      .orderBy("event_id")
+
+  /** Variant (jsonb-role) path get (query.rs:7-21): parse once into the
+    * binary self-describing form, then extract without re-parsing. */
+  def variantGet(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"))
+      .orderBy("event_id")
+
+  /** jsonc tape get (query.rs:23-28): encode props to the tape, then
+    * path-get on the tape — number tokens come back bare, strings would
+    * come back quoted (§1.2 semantics). Both steps are per-row scalar
+    * UDFs, fused into one stage by Catalyst. */
+  def jsoncGet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.codecs.JsoncTape
+    val encodeThenGet = udf { (doc: String) =>
+      val t = JsoncTape.encode(doc)
+      JsoncTape.get(t.nodes, t.strings, t.numbers, Seq("k"))
+    }
+    events(spark, dir)
+      .select(col("event_id"), encodeThenGet(col("props")).as("k_str"))
+      .orderBy("event_id")
+  }
+
+  /** Shredded (variant-role) path: project to typed columns at encode
+    * time, filter/aggregate on real columns — Catalyst prunes + pushes. */
+  def shreddedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Typed filter on a shredded field — predicate on the extracted int. */
+  def shreddedFilter(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
+      .filter(col("k") >= 90)
+      .orderBy("event_id")
+
+  val oracles: Map[String, String] = Map(
+    "c01_json_get_plain" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
+    "c02_json_get_variant" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
+    "c03_jsonc_get" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
+    "c04_shred_agg" ->
+      ("SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "c05_shred_filter" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events " +
+        "WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90 ORDER BY event_id")
+  )
+}

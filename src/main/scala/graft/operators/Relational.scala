@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the driver's TPC-H-ish star schema
+  * (TESTDATA.md). The reference has no relational surface (SURVEY §2.2
+  * marks joins/aggs/windows/sorts/set-ops absent), so these are the
+  * BASELINE.json north-star extensions, each designed Spark-first:
+  *
+  *  - filters + projections sit directly on the parquet scan so Catalyst
+  *    pushes them down (`PushedFilters`/`ReadSchema` verified in tests);
+  *  - dimension joins broadcast (region/nation/supplier are tiny at any
+  *    scale factor — they'd still broadcast at 100 TB fact-table scale);
+  *  - fact-fact joins shuffle on their join keys and rely on AQE for
+  *    skew/coalescing;
+  *  - aggregations are partial+final hash aggregates (map-side combine)
+  *    by construction — no `collect`, no driver-side loops anywhere.
+  *
+  * Every query is fully deterministic (total ORDER BY, computed doubles
+  * rounded) so the DuckDB oracle hash-matches.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables(spark, dir, name)
+
+  /** q01: TPC-H Q1-shaped scan+filter+agg on the biggest table. The
+    * shipdate filter and 7-column projection reach the parquet scan;
+    * the aggregate is a two-phase hash agg on 2 low-NDV keys. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q02: global top-k — Spark plans a per-partition TakeOrdered then a
+    * single merge of k rows, never a full sort of the table. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** q03: star join — customer⋈orders⋈lineitem shuffles on keys, the two
+    * dimensions broadcast (explicit hint; they stay <10 MB at any SF). */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q04: semi join (EXISTS) — no fan-out, dedups on the build side. */
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q05: anti join (NOT EXISTS) — customers that never ordered. */
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** q06: TPC-H Q6-shaped selective filter + global agg — everything
+    * pushes to the scan; the aggregate is a single partial+final pair. */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q07: window top-N per group — one shuffle on the partition key,
+    * rank computed streaming within each partition. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q08: rollup — hierarchical totals in one pass (Spark expands
+    * grouping sets before the shuffle, still partial-aggregated). */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q09: set operation — customers ordering in both 1995 and 1996. */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val y1995 = orders.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val y1996 = orders.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    y1995.intersect(y1996).orderBy(col("o_custkey"))
+  }
+
+  /** q10: exact distinct aggregation (expand + two-phase agg). */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** q11: time-bucketed aggregation (the batch face of the streaming
+    * windowed agg in graft.streaming) — bucket rendered as a string so
+    * both engines hash identical values. */
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q12: as-of join, Spark-first — instead of a per-row lookup join
+    * (quadratic blowup), tag + single window pass over one shuffle:
+    * for every purchase event, the most recent signup event of the
+    * same user at or before it. Scales as one sort per user partition.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("signup_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** q13: scalar subquery — suppliers above the average balance. The
+    * single-row aggregate joins in as a broadcast, NOT a driver-side
+    * collect, so the plan stays fully distributed. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = t(spark, dir, "supplier")
+    val avgBal = supplier.agg(avg(col("s_acctbal")).as("avg_bal"))
+    supplier.crossJoin(broadcast(avgBal))
+      .filter(col("s_acctbal") > col("avg_bal"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q14: scalar-function projection (string/math surface). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).as("size_mod"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"))
+      .orderBy(col("p_partkey"))
+
+  /** q15: ordered string aggregation (collect + sort inside the group —
+    * deterministic, unlike raw collect_list). */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** q16: cube — all grouping-set combinations of two keys. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q02_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q03_join_agg" ->
+      ("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q04_semijoin" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q05_antijoin" ->
+      ("SELECT c_nationkey, count(*) AS n_customers FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q06_filter_sum" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q07_window_topn" ->
+      ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q08_rollup" ->
+      ("SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"),
+    "q09_setops" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "ORDER BY o_custkey"),
+    "q10_distinct_agg" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"),
+    "q11_time_bucket" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +
+        "GROUP BY 1, 2 ORDER BY hour, event_type"),
+    "q12_asof_join" ->
+      ("SELECT event_id AS purchase_id, signup_id FROM (" +
+        "SELECT event_id, event_type, last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY purchase_id"),
+    "q13_scalar_subquery" ->
+      ("SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
+        "WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier) ORDER BY s_suppkey"),
+    "q14_scalar_funcs" ->
+      ("SELECT p_partkey, upper(substring(p_name, 1, 8)) AS name_prefix, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len, " +
+        "concat_ws('#', p_brand, p_type) AS brand_type, p_size % 7 AS size_mod, " +
+        "round(abs(p_retailprice - 1000.0), 2) AS price_dist FROM part ORDER BY p_partkey"),
+    "q15_string_agg" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    "q16_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  )
+}

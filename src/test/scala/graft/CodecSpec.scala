@@ -1,0 +1,139 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.codecs._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip + path-lookup parity tests mirroring the reference's own
+  * test surface (SURVEY §5): per-codec 3-doc round trips
+  * (plain_json.rs:68-97, jsonb.rs:80-109, jsonc.rs:163-182) and the
+  * asserted EP3 lookups on the nativejson corpora (benches/query.rs:46-67).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  /** Semantic JSON equality — the reference compares decoded forms, not
+    * bytes (jsonc.rs:178). jsonc is f64-only so ints may gain/lose ".0";
+    * normalize all numbers to double before comparing. */
+  private def canon(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n.isNumber) n.asDouble()
+    else if (n.isObject) n.properties().asScala.map(e => e.getKey -> canon(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(canon).toVector
+    else n.toString
+  }
+  private def jsonEq(a: String, b: String): Boolean =
+    canon(mapper.readTree(a)) == canon(mapper.readTree(b))
+
+  // A1 fixture: flat scalars (reference plain_json.rs:74-78 / jsonb.rs:86-90)
+  val flatDocs = Seq("""{"a":1,"b":"foo"}""", """{"a":2,"b":"bar"}""", """{"a":3,"b":"baz"}""")
+  // A1 fixture: nested + arrays, all floats (reference jsonc.rs:168-172)
+  val nestedDocs = Seq(
+    """{"a":1.0,"b":[2.0,3.0],"c":{"d":4.0}}""",
+    """{"b":[5.5,6.5],"a":7.0,"c":{"d":null}}""",
+    """{"c":{"d":true},"a":-8.25,"b":[]}""")
+
+  test("plain_json round-trips byte-exact") {
+    val raw = flatDocs.toDF("doc")
+    val out = PlainJsonCodec.decode(PlainJsonCodec.encode(raw)).as[String].collect()
+    assert(out.toSeq == flatDocs)
+  }
+
+  test("variant round-trips semantically") {
+    val raw = flatDocs.toDF("doc")
+    val out = VariantCodec.decode(VariantCodec.encode(raw)).as[String].collect()
+    assert(out.length == 3)
+    out.zip(flatDocs).foreach { case (got, want) => assert(jsonEq(got, want), s"$got vs $want") }
+  }
+
+  test("jsonc round-trips semantically, preserving key order") {
+    val raw = nestedDocs.toDF("doc")
+    val out = JsoncCodec.decode(JsoncCodec.encode(raw)).as[String].collect()
+    out.zip(nestedDocs).foreach { case (got, want) => assert(jsonEq(got, want), s"$got vs $want") }
+    // key order fidelity (unlike map-based reprs): second doc starts with "b"
+    assert(out(1).startsWith("""{"b":"""))
+  }
+
+  test("all codecs flush→load→decode round-trip through zstd parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-codec").toString
+    for ((name, codec) <- Codecs.all if name != "shredded") {
+      val raw = flatDocs.toDF("doc")
+      val enc = codec.encode(raw)
+      codec.flush(enc, s"$dir/$name")
+      val loaded = codec.load(spark, s"$dir/$name")
+      val out = codec.decode(loaded).as[String].collect()
+      assert(out.length == 3, name)
+      out.foreach(o => assert(flatDocs.exists(d => jsonEq(o, d)), s"$name: $o"))
+    }
+  }
+
+  test("shredded codec projects the events schema; FAILFAST on mismatch") {
+    val doc =
+      """{"name":"nKG7e","timestamp":"2024-07-25T04:33:11.370048Z","attributes":{"event_attributes":415.32588395798473}}"""
+    val enc = Codecs.shredded.encode(Seq(doc).toDF("doc"))
+    assert(enc.columns.toSeq == Seq("name", "timestamp", "attributes"))
+    val row = enc.collect().head
+    assert(row.getString(0) == "nKG7e")
+    val got = Codecs.shredded.get(enc, Seq("attributes", "event_attributes"))
+      .as[String].collect().head
+    assert(got.toDouble == 415.32588395798473)
+    // reference panics on unparseable input (variant.rs:95-97) → FAILFAST throws
+    intercept[Exception] {
+      Codecs.shredded.encode(Seq("""not json at all {""").toDF("doc")).collect()
+    }
+  }
+
+  // EP3: the reference's asserted query suites (benches/query.rs:46-67)
+  private def corpus(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/json/$name")), "UTF-8")
+
+  val suites: Seq[(String, Seq[String], String)] = Seq(
+    ("canada.json", Seq("type"), "FeatureCollection"),
+    ("citm_catalog.json", Seq("areaNames", "205705994"), "1er balcon central"),
+    ("citm_catalog.json", Seq("topicNames", "324846100"), "Formations musicales"),
+    ("twitter.json", Seq("search_metadata", "max_id_str"), "505874924095815681"))
+
+  test("EP3 path lookups: plain + variant return the asserted literals") {
+    for ((file, path, expected) <- suites) {
+      val raw = Seq(corpus(file)).toDF("doc")
+      val p = PlainJsonCodec.get(PlainJsonCodec.encode(raw), path).as[String].collect().head
+      assert(p == expected, s"plain $file $path")
+      val v = VariantCodec.get(VariantCodec.encode(raw), path).as[String].collect().head
+      assert(v == expected, s"variant $file $path")
+    }
+  }
+
+  test("EP3 path lookups: jsonc returns quoted tokens (reference query.rs:99)") {
+    for ((file, path, expected) <- suites) {
+      val raw = Seq(corpus(file)).toDF("doc")
+      val got = JsoncCodec.get(JsoncCodec.encode(raw), path).as[String].collect().head
+      assert(got == "\"" + expected + "\"", s"jsonc $file $path")
+    }
+  }
+
+  test("jsonc get: numbers are f64 tokens, misses are null") {
+    val raw = Seq("""{"i":87,"f":0.5,"n":null,"t":true,"o":{"x":1},"arr":[1,2]}""").toDF("doc")
+    val enc = JsoncCodec.encode(raw)
+    def g(p: String*) = JsoncCodec.get(enc, p).as[String].collect().head
+    assert(g("i") == "87")     // int-ness lost, whole f64 prints bare
+    assert(g("f") == "0.5")
+    assert(g("n") == "null")
+    assert(g("t") == "true")
+    assert(g("o") == """{"x":1}""")
+    assert(g("arr") == "[1,2]")
+    assert(g("missing") == null)
+    assert(g("o", "missing") == null)
+  }
+
+  test("codec registry dispatches by reference names; unknown throws") {
+    assert(Codecs("plain_json").name == "plain_json")
+    assert(Codecs("jsonc").name == "jsonc")
+    assert(Codecs("variant").name == "variant")
+    intercept[IllegalArgumentException] { Codecs("nope") }
+  }
+}
