@@ -41,11 +41,28 @@ object SparkEntry {
     "c02_json_get_variant" -> (JsonOps.variantGet _),
     "c03_jsonc_get" -> (JsonOps.jsoncGet _),
     "c04_shred_agg" -> (JsonOps.shreddedAgg _),
-    "c05_shred_filter" -> (JsonOps.shreddedFilter _)
+    "c05_shred_filter" -> (JsonOps.shreddedFilter _),
+    // Text analysis (north-star; documents table)
+    "t01_tokens" -> (TextOps.t01Tokens _),
+    "t02_quality" -> (TextOps.t02Quality _),
+    "t03_langid" -> (TextOps.t03LangId _),
+    "t04_fingerprint" -> (TextOps.t04Fingerprint _),
+    "t05_tfidf" -> (TextOps.t05TfIdf _),
+    // Deduplication (north-star; documents + embeddings)
+    "d01_exact_dedup" -> (Dedup.d01Exact _),
+    "d02_norm_dedup" -> (Dedup.d02Normalized _),
+    "d03_ngram_jaccard" -> (Dedup.d03NgramJaccard _),
+    "d04_minhash_lsh" -> (Dedup.d04MinHashLsh _),
+    "d05_simhash" -> (Dedup.d05SimHash _),
+    "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
+    // Similarity search (north-star; embeddings)
+    "s01_knn_brute" -> (Similarity.s01KnnBrute _),
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ JsonOps.oracles
+    Relational.oracles ++ JsonOps.oracles ++ TextOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline column builders — all built-in (codegen'd)
+  * expressions so every derived operator both scales and stays
+  * DuckDB-oracle-expressible.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (same semantics as DuckDB
+    * `string_split_regex(text, '\s+')`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct word k-shingles: positions 1..n-k+1, k words joined by a
+    * single space. Guarded to an empty array for texts shorter than k
+    * (DuckDB `range` yields an empty list there; Spark `sequence` would
+    * count DOWN, so the guard keeps the two aligned).
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Occurrence count of tokens drawn from a fixed vocabulary. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(vocab.map(x => x: Any): _*))).cast("long")
+
+  // Tiny per-language stopword vocabularies for the n-gram/stopword
+  // language-ID heuristic. Order matters: ties resolve en > es > de > fr.
+  val enStops = Seq("the", "and", "of", "to", "a", "in", "is", "on", "for", "with")
+  val esStops = Seq("el", "la", "de", "los", "las", "y", "en", "que", "por", "un")
+  val deStops = Seq("der", "die", "und", "das", "ist", "von", "mit", "auf", "ein", "zu")
+  val frStops = Seq("le", "la", "et", "les", "des", "un", "une", "dans", "pour", "sur")
+}

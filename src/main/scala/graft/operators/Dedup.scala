@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.{functions => gf}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * north-star LLM-pipeline surface. Design notes for 100 TB:
+  *
+  *  - Exact + normalized dedup are single hash-shuffles on the dedup
+  *    key (never on the full row).
+  *  - Candidate generation (LSH bands / shared shingles) always comes
+  *    BEFORE the pairwise verify, so the quadratic step only ever runs
+  *    on candidates, not the corpus. Shingle/band buckets shuffle-join;
+  *    hot buckets are the skew risk and AQE skew-join handles them
+  *    (a frequency cap on pathological shingles is the 100 TB escape
+  *    hatch — deliberately not applied here so the oracle semantics
+  *    stay exact).
+  *  - MinHash signatures are pure built-in expressions (xxhash64 +
+  *    higher-order array functions) — no UDF in the hot path.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** d01: exact-duplicate census — one aggregation over the text hash. */
+  def d01Exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+
+  /** d02: normalized (prefix) dedup groups — keep-first per group. */
+  def d02Normalized(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(substring(col("text"), 1, 40).as("prefix"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n") > 1)
+      .orderBy("prefix")
+
+  private val JaccardThreshold = 0.6
+
+  /** Distinct word-3-gram set per doc. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+
+  /** Exact Jaccard over distinct shingle sets for pairs of docs given as
+    * (ida, idb) — used as the verify step by both d03 and d04. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ida", "idb")
+
+  /** d03: exact n-gram Jaccard dedup — candidates = pairs sharing at
+    * least one shingle (inverted-index self-join), then exact verify.
+    */
+  def d03NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cands, sh)
+  }
+
+  private val MinHashPerms = 32
+  private val BandRows = 2 // 16 bands × 2 rows: P(catch | j=0.9) ≈ 1-1e-11
+
+  /** MinHash signature: perm p's hash of shingle s is xxhash64(s, p);
+    * signature slot p is the min over the doc's shingles — all
+    * built-in, codegen'd array expressions. */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(MinHashPerms - 1)),
+      p => array_min(transform(sh, s => xxhash64(s, p))))
+
+  /** d04: MinHash + LSH banding near-dup detection. Bands hash r
+    * consecutive signature slots; docs colliding in any band become
+    * candidates; exact Jaccard verifies. Output equals d03 whenever
+    * LSH recall holds (16×2 banding: miss probability ≤ 1e-11 at the
+    * 0.9+ similarity of the planted dupes) — so it shares d03's oracle.
+    */
+  def d04MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
+    val nBands = MinHashPerms / BandRows
+    val withSig = sh.withColumn("sig", minhashSig(col("sh")))
+    // Bands unrolled statically: band b hashes signature slots [b*r+1, b*r+r].
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2)).as("bh"))
+    }
+    val bands = withSig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cands, shingled(spark, dir))
+  }
+
+  private val SimHashBands = 4
+  private val HammingMax = 6
+
+  /** d05: SimHash near-dup — native simhash64 expression, banded into
+    * 4×16-bit keys (any equal band → candidate; catches all pairs with
+    * Hamming distance ≤ 3 exactly, more probabilistically), verified by
+    * exact Hamming distance via bit_count(xor). Engine-specific hash ⇒
+    * rows-only oracle; semantics pinned in ScalaTest.
+    */
+  def d05SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(spark, dir)
+      .select(col("doc_id"), gf.simhash64(col("text")).as("sig"))
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("ida", "idb")
+  }
+
+  private val CosineThreshold = 0.45
+
+  /** Cosine similarity between two double arrays — built-in
+    * higher-order functions only (zip_with dot product + aggregate),
+    * matching DuckDB's list_cosine_similarity on DOUBLE[] bit-for-bit
+    * at the rounded precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** d06: embedding near-dup pairs — exact pairwise cosine above a
+    * threshold. Exact O(n²) is right for the verify tier; the scale
+    * path (bucket first, verify inside buckets) is Similarity.s02.
+    */
+  def d06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        cosine(col("a.e"), col("b.e")).as("c"))
+      .filter(col("c") >= CosineThreshold)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("ida", "idb")
+  }
+
+  private val jaccardSql: String =
+    "WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT ida, idb, round(i / (ca.n + cb.n - i), 4) AS jaccard " +
+      "FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb " +
+      "WHERE i / (ca.n + cb.n - i) >= 0.6 ORDER BY ida, idb"
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct, " +
+        "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),
+    "d02_norm_dedup" ->
+      ("SELECT substring(text, 1, 40) AS prefix, count(*) AS n, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY prefix HAVING count(*) > 1 ORDER BY prefix"),
+    "d03_ngram_jaccard" -> jaccardSql,
+    "d04_minhash_lsh" -> jaccardSql, // LSH + exact verify ⇒ same result set
+    "d06_embedding_neardup" ->
+      ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 " +
+        "ORDER BY ida, idb")
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.{functions => gf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * stats, fingerprinting, TF-IDF). All but the fingerprint are pure
+  * built-in column expressions: one narrow scan, no shuffle except
+  * where an aggregation genuinely needs one.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** t01: token statistics — narrow map-only pass over the scan. */
+  def t01Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_uniq"),
+        round(
+          aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
+            .cast("double") / size(w), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** t02: quality score — bounded blend of uniqueness, stopword density
+    * and length (the classic cheap pre-filter for LLM training text). */
+  def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val n = size(w).cast("double")
+    val uniqRatio = size(array_distinct(w)) / n
+    val stopRatio = vocabHits(col("text"), enStops) / n
+    val score = round(
+      lit(0.5) * uniqRatio +
+        lit(0.3) * least(stopRatio * 4.0, lit(1.0)) +
+        lit(0.2) * least(n / 50.0, lit(1.0)), 4)
+    docs(spark, dir).select(
+        col("doc_id"),
+        round(uniqRatio, 4).as("uniq_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t03: language ID via stopword-vocabulary hits — argmax over four
+    * tiny vocabularies, fixed tie order en>es>de>fr, 'und' when no hits. */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val en = vocabHits(col("text"), enStops)
+    val es = vocabHits(col("text"), esStops)
+    val de = vocabHits(col("text"), deStops)
+    val fr = vocabHits(col("text"), frStops)
+    docs(spark, dir).select(
+        col("doc_id"), en.as("en_hits"), es.as("es_hits"),
+        de.as("de_hits"), fr.as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits") &&
+            col("es_hits") > 0, "es")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** t04: content fingerprint — the native codegen'd expression
+    * (graft.functions.TokenFingerprint64). No SQL oracle (engine-
+    * specific hash); ScalaTest pins the semantics. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), gf.token_fingerprint64(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** t05: top TF-IDF term per document — explode + two shuffles (term
+    * frequency, document frequency), corpus size joined in as a
+    * broadcast single row, never collected to the driver. */
+  def t05TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(round(col("tfidf"), 6).desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  private val enIn = enStops.map(s => s"'$s'").mkString(", ")
+  private val esIn = esStops.map(s => s"'$s'").mkString(", ")
+  private val deIn = deStops.map(s => s"'$s'").mkString(", ")
+  private val frIn = frStops.map(s => s"'$s'").mkString(", ")
+  private def hitsSql(vocab: String) =
+    s"CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "t01_tokens" ->
+      ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, " +
+        "round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w), 4) AS avg_token_len " +
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents) ORDER BY doc_id"),
+    "t02_quality" ->
+      ("SELECT doc_id, round(uniq_ratio, 4) AS uniq_ratio, round(stop_ratio, 4) AS stop_ratio, " +
+        "round(0.5 * uniq_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.2 * least(n / 50.0, 1.0), 4) AS quality " +
+        "FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n, len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS uniq_ratio, " +
+        s"len(list_filter(w, x -> x IN ($enIn))) / CAST(len(w) AS DOUBLE) AS stop_ratio " +
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)) ORDER BY doc_id"),
+    "t03_langid" ->
+      (s"SELECT doc_id, ${hitsSql(enIn)} AS en_hits, ${hitsSql(esIn)} AS es_hits, " +
+        s"${hitsSql(deIn)} AS de_hits, ${hitsSql(frIn)} AS fr_hits, " +
+        "CASE WHEN " + hitsSql(enIn) + " >= " + hitsSql(esIn) + " AND " + hitsSql(enIn) + " >= " + hitsSql(deIn) +
+        " AND " + hitsSql(enIn) + " >= " + hitsSql(frIn) + " AND " + hitsSql(enIn) + " > 0 THEN 'en' WHEN " +
+        hitsSql(esIn) + " >= " + hitsSql(deIn) + " AND " + hitsSql(esIn) + " >= " + hitsSql(frIn) + " AND " +
+        hitsSql(esIn) + " > 0 THEN 'es' WHEN " + hitsSql(deIn) + " >= " + hitsSql(frIn) + " AND " +
+        hitsSql(deIn) + " > 0 THEN 'de' WHEN " + hitsSql(frIn) + " > 0 THEN 'fr' ELSE 'und' END AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+    "t05_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), " +
+        "df AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.w, tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf " +
+        "FROM tf JOIN df USING (w) CROSS JOIN n) " +
+        "SELECT doc_id, w AS top_term, round(tfidf, 4) AS tfidf FROM (" +
+        "SELECT doc_id, w, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, w) AS rn " +
+        "FROM scored) WHERE rn = 1 ORDER BY doc_id")
+  )
+}
