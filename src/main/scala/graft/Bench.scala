@@ -1,24 +1,96 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.codecs.Codecs
+import graft.core.IO
+import graft.gen.EventsGenerator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  *  - "queries": wall seconds per SparkEntry query on
+  *    $SPARK_GRAFT_SF_DIR, forced through the noop sink (full plan
+  *    execution, no result materialization on the driver).
+  *  - "storage": the reference's headline metric surface
+  *    (BASELINE.md / scripts/benchmark_results.csv) — parquet bytes +
+  *    compression ratio per codec on the NDV-parameterized events
+  *    corpus (8192 lines, ndv ∈ {0.1, 1.0}).
+  *  - "codec_secs": encode/decode/flush/load/query wall seconds per
+  *    codec (the reference's six-metric loop, EP1-EP3).
+  */
 object Bench {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Force full evaluation of every column without driver collect. */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- per-query timings on the scale-factor dir ----
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- storage + codec lifecycle on the generated events corpus ----
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val storage = for (ndv <- Seq(0.1, 1.0)) yield {
+      val lines = 8192L
+      // coalesce(1): the reference flushes ONE row group per corpus
+      // (SURVEY §1.2), and dictionary encoding only bites with all rows
+      // in one file — required for ratio comparability with BASELINE.md.
+      // (At real scale you would NOT coalesce; this mirrors the
+      // reference's single-file measurement protocol.)
+      val raw = EventsGenerator.generate(spark, lines, ndv).coalesce(1).cache()
+      // original bytes = NDJSON size (payload + newline per doc)
+      val original = raw.agg(sum(length(col("doc")) + 1)).head.getLong(0)
+      val perCodec = Codecs.all.toSeq.sortBy(_._1).map { case (name, codec) =>
+        val path = s"$tmp/events_${ndv}_$lines/$name"
+        val enc = codec.encode(raw)
+        val encSec = time(force(enc))
+        val flushSec = time(codec.flush(enc, path))
+        val bytes = IO.pathSize(path)
+        val loadSec = time(force(codec.load(spark, path)))
+        val decSec = time(force(codec.decode(codec.load(spark, path))))
+        val querySec = time(force(codec.get(codec.load(spark, path), Seq("name"))))
+        name -> Map(
+          "bytes" -> bytes.toDouble,
+          "ratio" -> bytes.toDouble / original,
+          "encode_sec" -> encSec, "flush_sec" -> flushSec,
+          "load_sec" -> loadSec, "decode_sec" -> decSec, "query_sec" -> querySec)
+      }
+      raw.unpersist()
+      (s"events_ndv${ndv}_$lines", original, perCodec)
+    }
+
+    // ---- emit ----
+    def jd(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6f"
+    val qs = queryTimes.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
+    val st = storage.map { case (key, original, perCodec) =>
+      val inner = perCodec.map { case (c, m) =>
+        s""""$c":{${m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jd(v)}""" }.mkString(",")}}"""
+      }.mkString(",")
+      s""""$key":{"original_bytes":$original,$inner}"""
+    }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,12 +57,19 @@ object SparkEntry {
     "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
-    "s02_ann_lsh" -> (Similarity.s02AnnLsh _)
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    // Multimodal binary-column plumbing (north-star)
+    "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
+    "m02_media_features" -> (Multimodal.m02Features _),
+    "m03_frame_sample" -> (Multimodal.m03FrameSample _),
+    // NDV-controlled generator invariants (SURVEY §2.1 #21)
+    "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ JsonOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      graft.gen.EventsGenerator.oracles
 }

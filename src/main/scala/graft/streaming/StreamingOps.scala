@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the events table. The reference is
+  * pure batch (SURVEY §2.2: streaming absent) — this is north-star
+  * coverage, built the idiomatic way: readStream → event-time window
+  * aggregation with a watermark, plus arbitrary stateful processing
+  * (session windows via mapGroupsWithState).
+  *
+  * Scale notes: the windowed aggregation is a streaming two-phase hash
+  * agg keyed on (window, event_type) — state size is bounded by the
+  * watermark horizon, not the stream length; sessionization state is
+  * per-user and evicted on timeout, so a 1000-executor cluster shards
+  * it by user_id.
+  */
+object StreamingOps {
+
+  /** Events schema as the streaming source sees it (ts read as raw
+    * nanos long — see graft.core.Tables for why). */
+  val eventsSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Streaming source over the events parquet with a proper timestamp.
+    * The file-stream source requires a DIRECTORY; the testdata ships one
+    * file per table, so glob-filter the sf dir down to events.parquet
+    * (a production events feed would be a directory of files anyway). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** 5-minute tumbling window counts per event type with a 10-minute
+    * watermark (late data beyond it is dropped, state is evicted). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, total_value: Double)
+  private case class SessionState(n: Int, startMs: Long, endMs: Long, total: Double)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Session windows per user (30-minute inactivity gap) via
+    * flatMapGroupsWithState — emits a session when a new event arrives
+    * past the gap, carries the open one in state. On a bounded source
+    * the final open session is emitted too (and state cleared), so the
+    * output is the complete sessionization of the batch. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // per-group arrival order is not guaranteed: sort by ts
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
+          def close(): Unit = if (st.n > 0)
+            out += Session(uid, st.n, new java.sql.Timestamp(st.startMs),
+              new java.sql.Timestamp(st.endMs), st.total)
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            st = if (st.n == 0 || t - st.endMs > GapMs) {
+              close()
+              SessionState(1, t, t, e.value)
+            } else SessionState(st.n + 1, st.startMs, t, st.total + e.value)
+          }
+          close() // bounded-source semantics: flush the open session
+          state.remove()
+          out.iterator
+      }
+  }
+
+  /** Run the windowed aggregation to completion against a bounded
+    * source (memory sink) — the batch-equivalence harness the tests
+    * use; `Relational.q11`'s hour buckets are the batch face. */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

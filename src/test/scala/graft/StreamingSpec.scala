@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage: the streaming windowed aggregation
+  * must agree with its batch equivalent on a bounded source, and the
+  * stateful sessionizer must partition each user's events into
+  * gap-consistent sessions.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch computation") {
+    val stream = StreamingOps.readEvents(spark, sf)
+    val agg = StreamingOps.windowedCounts(stream)
+    val streamed = StreamingOps.runToMemory(spark, agg, "win_counts")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq)
+
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq)
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionization: gap-consistent per-user sessions covering all events") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[StreamingOps.Ev]
+    val sessions = StreamingOps.sessionize(ev).collect()
+    val nEvents = ev.count()
+
+    assert(sessions.map(_.n_events.toLong).sum == nEvents,
+      "every event lands in exactly one session")
+    sessions.foreach { s =>
+      assert(!s.start.after(s.end), s"session start after end: $s")
+    }
+    // per user: sessions don't overlap and are separated by > 30 min
+    sessions.groupBy(_.user_id).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.start.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.start.getTime - a.end.getTime > 30L * 60 * 1000,
+            s"sessions closer than the gap: $a | $b")
+        case _ => ()
+      }
+    }
+  }
+}
