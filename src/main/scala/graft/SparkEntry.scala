@@ -36,6 +36,10 @@ object SparkEntry {
     "q14_scalar_funcs" -> (Relational.q14 _),
     "q15_string_agg" -> (Relational.q15 _),
     "q16_cube" -> (Relational.q16 _),
+    "q17_outer_join" -> (Relational.q17 _),
+    "q18_percentiles" -> (Relational.q18 _),
+    "q19_regexp_date" -> (Relational.q19 _),
+    "q20_window_correlated" -> (Relational.q20 _),
     // JSON / codec surface (SURVEY §2.1 #3-16)
     "c01_json_get_plain" -> (JsonOps.plainGet _),
     "c02_json_get_variant" -> (JsonOps.variantGet _),

@@ -60,17 +60,30 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("ida", "idb")
 
-  /** d03: exact n-gram Jaccard dedup — candidates = pairs sharing at
-    * least one shingle (inverted-index self-join), then exact verify.
+  /** d03: exact n-gram Jaccard dedup, fully count-based: the inverted
+    * index (shingle → doc) self-joins into co-occurrence pair events;
+    * |A∩B| is the pair's event count, |A∪B| = |A|+|B|−|A∩B| from the
+    * per-doc shingle counts. No per-pair array materialization — at
+    * sf0.1 that's 1.1M candidate pairs and the array form measured
+    * ~3× slower. At 100 TB the one extra guard would be a frequency
+    * cap on pathological stop-shingles (deliberately not applied so
+    * the oracle semantics stay exact).
     */
   def d03NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = inv.as("a").join(inv.as("b"),
+    val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
-    verifyJaccard(cands, sh)
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(cnt.select(col("doc_id").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(cnt.select(col("doc_id").as("idb"), col("n").as("nb"))), "idb")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ida", "idb")
   }
 
   private val MinHashPerms = 32
@@ -156,26 +169,31 @@ object Dedup {
 
   private val CosineThreshold = 0.45
 
-  /** Cosine similarity between two double arrays — built-in
-    * higher-order functions only (zip_with dot product + aggregate),
-    * matching DuckDB's list_cosine_similarity on DOUBLE[] bit-for-bit
-    * at the rounded precision. */
+  /** Cosine similarity between two double arrays via the native
+    * array_dot expression (graft.functions.ArrayDotProduct) — same
+    * formula as DuckDB's list_cosine_similarity on DOUBLE[], equal at
+    * the rounded precision, ~30× faster than the interpreted
+    * higher-order-function form. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.VectorFunctions.array_dot
+    array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
   }
 
   /** d06: embedding near-dup pairs — exact pairwise cosine above a
-    * threshold. Exact O(n²) is right for the verify tier; the scale
-    * path (bucket first, verify inside buckets) is Similarity.s02.
+    * threshold. Norms are computed ONCE per vector before the pair
+    * join (2n dot products instead of 2·n²); each pair then costs a
+    * single native dot product. Exact O(n²) is right for the verify
+    * tier; the scale path (bucket first, verify inside buckets) is
+    * Similarity.s02.
     */
   def d06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        cosine(col("a.e"), col("b.e")).as("c"))
+        (array_dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("c"))
       .filter(col("c") >= CosineThreshold)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
       .orderBy("ida", "idb")

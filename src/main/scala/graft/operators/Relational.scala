@@ -209,7 +209,67 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q17: outer join — customers keep their row with zero orders. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+      .orderBy(col("c_custkey"))
+
+  /** q18: exact percentiles (interpolated) — sort-based agg per group. */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** q19: regexp + date arithmetic projection. */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio_num"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .orderBy(col("o_orderkey"))
+
+  /** q20: correlated aggregate via window — orders far above their
+    * customer's average (one shuffle on the correlation key, no
+    * self-join). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(spark, dir, "orders")
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      // floor-to-cents, not round: a 2-decimal money avg over k orders
+      // often lands EXACTLY on .xx5, where cross-engine rounding of
+      // last-ulp-different doubles diverges (measured 20/4900 rows)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        floor(col("cust_avg") * 100).cast("long").as("cust_avg_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q17_outer_join" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
+        "round(coalesce(sum(o_totalprice), 0), 2) AS total FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "q18_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price, " +
+        "round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q19_regexp_date" ->
+      ("SELECT o_orderkey, regexp_extract(o_orderpriority, '(\\d+)', 1) AS prio_num, " +
+        "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since, " +
+        "quarter(o_orderdate) AS qtr FROM orders ORDER BY o_orderkey"),
+    "q20_window_correlated" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, CAST(floor(cust_avg * 100) AS BIGINT) AS cust_avg_cents FROM (" +
+        "SELECT o_orderkey, o_custkey, o_totalprice, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg " +
+        "FROM orders) WHERE o_totalprice > cust_avg * 1.5 ORDER BY o_orderkey"),
     "q01_agg_pushdown" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale guarantees claimed in the operator
+  * scaladocs must be visible in the executed plan — filters pushed to
+  * the parquet scan, columns pruned, dimensions broadcast, top-k not
+  * full-sorting. These are the properties that decide whether a plan
+  * survives a 100 TB scale-up, so they're pinned as tests.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  /** Formatted mode — the one-line plan truncates PushedFilters. */
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter pushes to the scan; unused columns pruned") {
+    val p = plan(Relational.q01(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      "projection should prune unused lineitem columns")
+  }
+
+  test("q06: all range predicates reach PushedFilters") {
+    val p = formatted(Relational.q06(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q03: dimension joins broadcast; no dimension shuffles") {
+    val p = plan(Relational.q03(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation+region should both broadcast:\n$p")
+  }
+
+  test("q02: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q02(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("c05: JSON shred filter still prunes the scan to 2 columns") {
+    val p = plan(JsonOps.shreddedFilter(spark, sf))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
+      s"scan should read only event_id+props:\n$p")
+  }
+
+  test("q01/q10 aggregates are two-phase (partial before the shuffle)") {
+    val p1 = plan(Relational.q01(spark, sf))
+    assert("HashAggregate".r.findAllIn(p1).size >= 2, "partial+final hash agg expected")
+    val p10 = plan(Relational.q10(spark, sf))
+    assert("HashAggregate".r.findAllIn(p10).size >= 2)
+  }
+
+  test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
+    val p = plan(TextOps.t01Tokens(spark, sf))
+    // orderBy adds an exchange for the final sort; before it there must
+    // be no aggregation/join exchanges — i.e. exactly one Exchange node.
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles:\n$p")
+  }
+}
