@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.{ArrayDotProduct, SimHash64, TokenFingerprint64}
+
+/** Session-extension entry point: makes graft's native expressions
+  * available to pure-SQL users via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (the standard deployment path for a Spark-native library; no custom
+  * planner rules are needed — SURVEY §4 concludes parity requires
+  * expressions only, and Catalyst handles the rest).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def one(name: String, f: Expression => Expression)(exprs: Seq[Expression]): Expression = {
+      require(exprs.length == 1, s"$name expects exactly 1 argument")
+      f(exprs.head)
+    }
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_fingerprint64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TokenFingerprint64].getName, "token_fingerprint64"),
+        one("token_fingerprint64", TokenFingerprint64) _))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "simhash64"),
+        one("simhash64", SimHash64) _))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayDotProduct].getName, "array_dot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "array_dot expects exactly 2 arguments")
+          ArrayDotProduct(exprs.head, exprs(1))
+        }))
+  }
+}

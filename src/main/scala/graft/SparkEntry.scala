@@ -66,6 +66,12 @@ object SparkEntry {
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
+    // Codec lifecycle census (SURVEY §2.1 #3-13 as driver-gate queries)
+    "c06_roundtrip" -> (CodecLifecycle.c06RoundTrip _),
+    "c07_flush_load" -> (CodecLifecycle.c07FlushLoad _),
+    // Partitioned sink + skew-safe join (100 TB storage/shuffle posture)
+    "p01_partitioned_sink" -> (Sinks.p01PartitionedSink _),
+    "p02_salted_join" -> (Sinks.p02SaltedJoin _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )
@@ -75,5 +81,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ JsonOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      CodecLifecycle.oracles ++ Sinks.oracles ++
       graft.gen.EventsGenerator.oracles
 }

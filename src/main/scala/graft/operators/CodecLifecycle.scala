@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.codecs.Codecs
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Codec lifecycle as oracle-checked queries: the reference's
+  * encode→decode and flush→load round trips (src/codec.rs:21-33)
+  * expressed as a census the DuckDB gate can hash — for every codec,
+  * every document must survive the trip with its content intact
+  * (semantic equality on the extracted field, mirroring the
+  * reference's decode-comparison tests, jsonc.rs:178).
+  */
+object CodecLifecycle {
+
+  private def props(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("props").as("doc"))
+
+  /** c06: encode→decode round-trip census per codec — count, sum and
+    * NDV of the extracted field over the DECODED documents must equal
+    * the same census over the raw inputs (decode may legally normalize
+    * whitespace; the content must survive). Join-free: any corruption
+    * shifts the sum or the distinct count. */
+  def c06RoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = props(spark, dir)
+    val censuses = Seq("plain_json", "variant", "jsonc").map { name =>
+      val codec = Codecs(name)
+      val decoded = codec.decode(codec.encode(src))
+      decoded.agg(
+        lit(name).as("codec"),
+        count(lit(1)).as("n_docs"),
+        sum(get_json_object(col("doc"), "$.k").cast("long")).as("sum_k"),
+        countDistinct(get_json_object(col("doc"), "$.k")).as("n_distinct_k"))
+    }
+    censuses.reduce(_ union _).orderBy("codec")
+  }
+
+  /** c07: flush→load round-trip census per codec — writes each encoded
+    * frame to ZSTD parquet, reads it back, decodes, and counts rows +
+    * distinct payload values surviving the storage trip. */
+  def c07FlushLoad(spark: SparkSession, dir: String): DataFrame = {
+    val src = props(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-flush").toString
+    val censuses = Seq("plain_json", "variant", "jsonc").map { name =>
+      val codec = Codecs(name)
+      codec.flush(codec.encode(src), s"$tmp/$name")
+      val decoded = codec.decode(codec.load(spark, s"$tmp/$name"))
+      decoded.agg(
+        lit(name).as("codec"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(get_json_object(col("doc"), "$.k")).as("n_distinct_k"))
+    }
+    censuses.reduce(_ union _).orderBy("codec")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c06_roundtrip" ->
+      ("SELECT codec, count(*) AS n_docs, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k FROM events, " +
+        "(SELECT unnest(['jsonc', 'plain_json', 'variant']) AS codec) " +
+        "GROUP BY codec ORDER BY codec"),
+    "c07_flush_load" ->
+      ("SELECT codec, count(*) AS n_docs, " +
+        "count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k FROM events, " +
+        "(SELECT unnest(['jsonc', 'plain_json', 'variant']) AS codec) " +
+        "GROUP BY codec ORDER BY codec")
+  )
+}

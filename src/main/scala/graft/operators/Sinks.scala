@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-aware sinks and skew tooling — the storage-layout half of
+  * the 100 TB posture. The reference only ever writes one flat file
+  * per corpus; a real deployment lays data out by partition key so
+  * downstream scans prune whole directories.
+  */
+object Sinks {
+
+  /** p01: hive-style partitioned parquet round trip — write events
+    * partitioned by event_type, read back ONE partition; the read
+    * plans a partition-pruned scan (PartitionFilters, pinned in
+    * PlanSpec), so at scale it touches 1/NDV of the files. Returns a
+    * per-hour census of the purchase partition. */
+  def p01PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type")
+      .option("compression", "zstd").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("event_type") === "purchase") // → partition pruning
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour")
+  }
+
+  private val SaltBuckets = 8
+
+  /** Skew-safe equi-join: salt the skewed (big) side into N buckets and
+    * explode the small side across all buckets, so one hot key spreads
+    * over N tasks instead of one straggler. Semantically identical to
+    * bigDf.join(smallDf, keys) — pinned by SinksSpec. AQE's skew-join
+    * handles moderate skew automatically; explicit salting is the tool
+    * for the pathological keys AQE can't split (single-key hotspots
+    * inside one shuffle block).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = SaltBuckets): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))
+    val expanded = small.withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
+    salted.join(expanded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** p02: the salted join in action — events (big, user_id-skewable)
+    * joined to per-user aggregates (small) through 8 salt buckets;
+    * result identical to the direct join. */
+  def p02SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // unrounded avg in the predicate: rounding money-ish avgs lands on
+    // .xx5 boundaries where engines disagree (see Relational.q20)
+    val perUser = ev.groupBy(col("user_id")).agg(avg(col("value")).as("user_avg"))
+    saltedJoin(ev, perUser, "user_id")
+      .filter(col("value") > col("user_avg") * 2)
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "p01_partitioned_sink" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY hour"),
+    "p02_salted_join" ->
+      ("SELECT event_id, user_id FROM events JOIN (" +
+        "SELECT user_id AS u2, avg(value) AS user_avg FROM events GROUP BY 1) " +
+        "ON user_id = u2 WHERE value > user_avg * 2 ORDER BY event_id")
+  )
+}
