@@ -50,8 +50,10 @@ object Bench {
 
     // ---- storage + codec lifecycle on the generated events corpus ----
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val storage = for (ndv <- Seq(0.1, 1.0)) yield {
-      val lines = 8192L
+    // (ndv, lines) grid: the two 8192 corners show the jsonc/plain
+    // crossover; 100000@0.1 is BASELINE.md's most dramatic row (the
+    // shredded format's order-of-magnitude win at scale).
+    val storage = for ((ndv, lines) <- Seq((0.1, 8192L), (1.0, 8192L), (0.1, 100000L))) yield {
       // coalesce(1): the reference flushes ONE row group per corpus
       // (SURVEY §1.2), and dictionary encoding only bites with all rows
       // in one file — required for ratio comparability with BASELINE.md.

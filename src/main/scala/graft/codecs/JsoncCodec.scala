@@ -28,10 +28,6 @@ object JsoncCodec extends JsonCodec {
       JsoncTape.decode(nodes, strings, numbers)
   }
 
-  private val getUdf = udf {
-    (nodes: Array[Byte], strings: Seq[String], numbers: Seq[Double], path: Seq[String]) =>
-      JsoncTape.get(nodes, strings, numbers, path)
-  }
 
   def encode(raw: DataFrame): DataFrame =
     raw.select(encodeUdf(col("doc")).as("tape"))
@@ -44,9 +40,11 @@ object JsoncCodec extends JsonCodec {
       decodeUdf(col("nodes"), col("strings"), col("numbers")).as("doc"))
 
   /** Quoted-token semantics: a string value comes back WITH its JSON
-    * quotes (reference benches/query.rs:99). */
+    * quotes (reference benches/query.rs:99). Native codegen'd
+    * expression — the promoted form of the original UDF (SURVEY §7's
+    * flagged upgrade path). */
   def get(encoded: DataFrame, path: Seq[String]): DataFrame =
     encoded.select(
-      getUdf(col("nodes"), col("strings"), col("numbers"),
-        typedLit(path)).as("result"))
+      JsoncFunctions.jsonc_get(col("nodes"), col("strings"), col("numbers"), path)
+        .as("result"))
 }

@@ -102,7 +102,14 @@ object JsoncTape {
     * JSON token — strings KEEP their quotes. Null if the path misses.
     */
   def get(nodes: Array[Byte], strings: Seq[String], numbers: Seq[Double],
-          path: Seq[String]): String = {
+          path: Seq[String]): String =
+    getCore(nodes, strings(_), numbers(_), path)
+
+  /** Accessor-based core so both the UDF form (Seq buffers) and the
+    * native expression (ArrayData buffers, see JsoncExprs) share one
+    * implementation without copying the buffers per row. */
+  private[codecs] def getCore(nodes: Array[Byte], strAt: Int => String,
+      numAt: Int => Double, path: Seq[String]): String = {
     // Cursor over (node index, string index, number index).
     var pos = 0; var si = 0; var ni = 0
 
@@ -132,7 +139,7 @@ object JsoncTape {
       if (pos >= nodes.length || nodes(pos) != OBJ_START) return false
       pos += 1
       while (nodes(pos) != OBJ_END) {
-        val k = strings(si); si += 1; pos += 1 // consume KEY
+        val k = strAt(si); si += 1; pos += 1 // consume KEY
         if (k == key) return true
         skipValue()
       }
@@ -146,15 +153,17 @@ object JsoncTape {
     }
     // Serialize the value at the cursor as its JSON token.
     nodes(pos) match {
-      case STR  => val sb = new java.lang.StringBuilder(); appendQuoted(sb, strings(si)); sb.toString
-      case NUM  => formatNumber(numbers(ni))
+      case STR  => val sb = new java.lang.StringBuilder(); appendQuoted(sb, strAt(si)); sb.toString
+      case NUM  => formatNumber(numAt(ni))
       case NULL => "null"
       case TRUE => "true"
       case FALSE => "false"
       case OBJ_START | ARR_START =>
         val start = pos; val s0 = si; val n0 = ni
         skipValue()
-        decode(nodes.slice(start, pos), strings.slice(s0, si), numbers.slice(n0, ni))
+        decode(nodes.slice(start, pos),
+          Array.tabulate(si - s0)(j => strAt(s0 + j)).toSeq,
+          Array.tabulate(ni - n0)(j => numAt(n0 + j)).toSeq)
       case other => throw new IllegalStateException(s"bad opcode $other")
     }
   }
