@@ -42,6 +42,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JVM/codegen warmup so the first timed query doesn't absorb
+    // executor startup + first-compile costs
+    force(spark.range(1000000).selectExpr("xxhash64(id) AS h"))
+
     // ---- per-query timings on the scale-factor dir ----
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }

@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.{functions => gf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -71,11 +72,22 @@ object Dedup {
     */
   def d03NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    // join on 64-bit shingle hashes, not strings: same counts (64-bit
-    // collisions are measure-zero at this cardinality), ~half the
-    // shuffle bytes and cheaper key compares
+    // Inverted index on 64-bit shingle hashes, not strings: same counts
+    // (64-bit collisions are measure-zero at this cardinality), ~half
+    // the shuffle bytes and cheaper key compares.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+
+    // Count-based intersection over the full inverted index. A lossless
+    // PPJoin-style prefix filter (rank shingles by ascending global
+    // frequency, keep |d|−ceil(t·|d|)+1 per doc, join prefixes only)
+    // was tried and REVERTED: with this corpus's dense shingle
+    // distribution even "rare" shingles co-occur broadly, so candidate
+    // counts barely shrank while the extra frequency join, two windows
+    // and per-pair array verify nearly doubled the runtime (45.7s vs
+    // 26.7s at sf0.1). Prefix filtering pays off when the shingle
+    // frequency distribution is heavy-tailed — worth revisiting per
+    // corpus, not as a default.
     val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
