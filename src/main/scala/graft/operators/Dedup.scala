@@ -112,14 +112,6 @@ object Dedup {
     transform(sequence(lit(0), lit(MinHashPerms - 1)),
       p => array_min(transform(sh, s => xxhash64(s, p))))
 
-  /** Slot p of the signature, computed directly. Band construction uses
-    * this instead of element_at over a `sig` column: projection collapse
-    * would inline the FULL 32-perm signature into every element_at and
-    * re-evaluate it 32× per row (higher-order functions don't get
-    * common-subexpression elimination) — measured 5× slowdown. Per-band
-    * direct slots keep total work at exactly one signature per row. */
-  private def minhashSlot(sh: Column, p: Int): Column =
-    array_min(transform(sh, s => xxhash64(s, lit(p))))
 
   /** d04: MinHash + LSH banding near-dup detection. Bands hash r
     * consecutive signature slots; docs colliding in any band become
@@ -129,23 +121,14 @@ object Dedup {
     */
   def d04MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
-    val nBands = MinHashPerms / BandRows
-    // Lambda-binding trick: wrap the shingle array in a 1-element array
-    // and compute all bands inside one transform, so the (expensive)
-    // shingle expression evaluates exactly ONCE per row. Projection
-    // collapse would otherwise inline it into all 32 slot computations
-    // (higher-order functions get no common-subexpression elimination —
-    // the naive form measured 24s vs ~2s at sf0.01).
-    val bandArray = element_at(
-      transform(array(col("sh")), sh0 =>
-        transform(sequence(lit(0), lit(nBands - 1)), b =>
-          struct(b.cast("int").as("band"),
-            xxhash64(
-              array_min(transform(sh0, s => xxhash64(s, b * BandRows))),
-              array_min(transform(sh0, s => xxhash64(s, b * BandRows + 1)))).as("bh")))),
-      1)
-    val bands = sh.select(col("doc_id"), explode(bandArray).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Native one-pass band keys (graft.functions.MinHashBandKeys):
+    // each shingle hashed once, permutations are splitmix remixes.
+    // The composable HOF form re-walked the array per permutation
+    // interpreted — this is the same 16×2 banding at codegen speed.
+    val bands = sh.select(col("doc_id"),
+        posexplode(graft.functions.MinHashFunctions.minhash_band_keys(
+          col("sh"), MinHashPerms, BandRows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -62,6 +62,37 @@ object Multimodal {
       .orderBy("media_id", "dim")
   }
 
+  /** The decoder seam: a real media decoder (JNI/native lib) implements
+    * this signature — one call per PARTITION, receiving an iterator of
+    * (id, payload) so the implementation can batch into whatever shape
+    * the underlying library wants (contiguous buffers, GPU batches).
+    * The default is the deterministic byte-derived fake used everywhere
+    * in this container (no media libraries available).
+    */
+  type BatchDecoder = Iterator[(Long, Array[Byte])] => Iterator[(Long, Array[Float])]
+
+  /** >>> DECODE STUB — deterministic fake: 8 floats from the first 8
+    * bytes. Replace with a real decoder at deployment. */
+  val fakeDecoder: BatchDecoder = batch =>
+    batch.map { case (id, bytes) =>
+      id -> Array.tabulate(8)(i =>
+        if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f)
+    }
+
+  /** Partition-parallel decode through the seam: mapPartitions keeps
+    * the batch shape (one decoder call per partition, streaming
+    * iterator in/out — no per-row library setup, no driver transfer).
+    */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      decoder: BatchDecoder = fakeDecoder): DataFrame = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decoder)
+      .toDF("media_id", "features")
+  }
+
   private val FrameBytes = 16
   private val SampleEvery = 4
 

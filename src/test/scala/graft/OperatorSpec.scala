@@ -76,6 +76,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall too low: $recall")
   }
 
+  test("multimodal decoder seam: partition-batched, deterministic, full coverage") {
+    val out = Multimodal.decodeFeatures(spark, sf)
+    val rows = out.collect()
+    val nDocs = graft.core.Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "one feature vector per media row")
+    assert(rows.forall(_.getSeq[Float](1).length == 8), "fixed batch shape (8 dims)")
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard output (recall holds)") {
     val lsh = Dedup.d04MinHashLsh(spark, sf).collect().map(_.toSeq).toSet
     val exact = Dedup.d03NgramJaccard(spark, sf).collect().map(_.toSeq).toSet
