@@ -12,37 +12,27 @@ import org.apache.spark.sql.functions._
   * List<UInt8>, and unlike the reference we give the fields real names
   * (Spark requires them; SURVEY §1.2 cosmetics note).
   *
-  * The three ops are Scala UDFs over [[JsoncTape]] — per-row scalar
-  * work with no state, so they parallelize embarrassingly; the plan
-  * around them (scan → project → write) stays whole-stage codegen'd.
-  * If the bench ever flags the UDF boundary, the upgrade path is a
-  * native Catalyst Expression with doGenCode (SURVEY §7 risks).
+  * All three lifecycle ops are native Catalyst expressions with codegen
+  * (JsoncEncodeExpr / JsoncDecodeExpr / JsoncGetExpr) — the SURVEY §7
+  * "UDFs first, Expression later" upgrade is complete: no ScalaUDF
+  * anywhere in the codec surface, so encode → flush and load → get
+  * pipelines stay inside whole-stage codegen end to end.
   */
 object JsoncCodec extends JsonCodec {
   val name = "jsonc"
 
-  private val encodeUdf = udf { (doc: String) => JsoncTape.encode(doc) }
-
-  private val decodeUdf = udf {
-    (nodes: Array[Byte], strings: Seq[String], numbers: Seq[Double]) =>
-      JsoncTape.decode(nodes, strings, numbers)
-  }
-
-
   def encode(raw: DataFrame): DataFrame =
-    raw.select(encodeUdf(col("doc")).as("tape"))
+    raw.select(JsoncFunctions.jsonc_encode(col("doc")).as("tape"))
       .select(col("tape.nodes").as("nodes"),
         col("tape.strings").as("strings"),
         col("tape.numbers").as("numbers"))
 
   def decode(encoded: DataFrame): DataFrame =
     encoded.select(
-      decodeUdf(col("nodes"), col("strings"), col("numbers")).as("doc"))
+      JsoncFunctions.jsonc_decode(col("nodes"), col("strings"), col("numbers")).as("doc"))
 
   /** Quoted-token semantics: a string value comes back WITH its JSON
-    * quotes (reference benches/query.rs:99). Native codegen'd
-    * expression — the promoted form of the original UDF (SURVEY §7's
-    * flagged upgrade path). */
+    * quotes (reference benches/query.rs:99). */
   def get(encoded: DataFrame, path: Seq[String]): DataFrame =
     encoded.select(
       JsoncFunctions.jsonc_get(col("nodes"), col("strings"), col("numbers"), path)

@@ -34,16 +34,16 @@ object JsonOps {
 
   /** jsonc tape get (query.rs:23-28): encode props to the tape, then
     * path-get on the tape — number tokens come back bare, strings would
-    * come back quoted (§1.2 semantics). Both steps are per-row scalar
-    * UDFs, fused into one stage by Catalyst. */
+    * come back quoted (§1.2 semantics). Both steps are native codegen'd
+    * expressions fused into one stage (whole-stage CSE evaluates the
+    * encode once). */
   def jsoncGet(spark: SparkSession, dir: String): DataFrame = {
-    import graft.codecs.JsoncTape
-    val encodeThenGet = udf { (doc: String) =>
-      val t = JsoncTape.encode(doc)
-      JsoncTape.get(t.nodes, t.strings, t.numbers, Seq("k"))
-    }
+    import graft.codecs.JsoncFunctions._
     events(spark, dir)
-      .select(col("event_id"), encodeThenGet(col("props")).as("k_str"))
+      .select(col("event_id"), jsonc_encode(col("props")).as("tape"))
+      .select(col("event_id"),
+        jsonc_get(col("tape.nodes"), col("tape.strings"), col("tape.numbers"), Seq("k"))
+          .as("k_str"))
       .orderBy("event_id")
   }
 

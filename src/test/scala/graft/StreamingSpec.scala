@@ -34,6 +34,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup matches batch distinct") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = StreamingOps.dedupped(StreamingOps.readEvents(spark, sf))
+      .groupBy().count()
+    val q = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dedup_count").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_count").collect().head.getLong(0)
+    val batch = graft.core.Tables.events(spark, sf)
+      .dropDuplicates("event_id", "ts").count()
+    assert(streamed == batch)
+  }
+
   test("sessionization: gap-consistent per-user sessions covering all events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
