@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *    (BASELINE.md / scripts/benchmark_results.csv) — parquet bytes +
   *    compression ratio per codec on the NDV-parameterized events
   *    corpus (8192 lines, ndv ∈ {0.1, 1.0}).
-  *  - "codec_secs": encode/decode/flush/load/query wall seconds per
-  *    codec (the reference's six-metric loop, EP1-EP3).
+  *    Each codec entry also carries encode/decode/flush/load/query wall
+  *    seconds — the reference's six-metric loop (EP1-EP3).
   */
 object Bench {
 

@@ -38,15 +38,19 @@ object TextOps {
     val n = size(w).cast("double")
     val uniqRatio = size(array_distinct(w)) / n
     val stopRatio = vocabHits(col("text"), enStops) / n
-    val score = round(
-      lit(0.5) * uniqRatio +
-        lit(0.3) * least(stopRatio * 4.0, lit(1.0)) +
-        lit(0.2) * least(n / 50.0, lit(1.0)), 4)
+    // basis points via floor, NOT round(…,4): both engines compute the
+    // identical IEEE double left-to-right, and floor of the same double
+    // is engine-independent — whereas Spark's round (BigDecimal
+    // HALF_UP) and DuckDB's round disagree within 1 ulp of a .00005
+    // boundary (2/5000 rows diverged at sf0.1)
+    val score = lit(0.5) * uniqRatio +
+      lit(0.3) * least(stopRatio * 4.0, lit(1.0)) +
+      lit(0.2) * least(n / 50.0, lit(1.0))
     docs(spark, dir).select(
         col("doc_id"),
         round(uniqRatio, 4).as("uniq_ratio"),
         round(stopRatio, 4).as("stop_ratio"),
-        score.as("quality"))
+        floor(score * 10000).cast("long").as("quality_bp"))
       .orderBy("doc_id")
   }
 
@@ -113,7 +117,7 @@ object TextOps {
         "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents) ORDER BY doc_id"),
     "t02_quality" ->
       ("SELECT doc_id, round(uniq_ratio, 4) AS uniq_ratio, round(stop_ratio, 4) AS stop_ratio, " +
-        "round(0.5 * uniq_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.2 * least(n / 50.0, 1.0), 4) AS quality " +
+        "CAST(floor((0.5 * uniq_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.2 * least(n / 50.0, 1.0)) * 10000) AS BIGINT) AS quality_bp " +
         "FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n, len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS uniq_ratio, " +
         s"len(list_filter(w, x -> x IN ($enIn))) / CAST(len(w) AS DOUBLE) AS stop_ratio " +
         "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)) ORDER BY doc_id"),
