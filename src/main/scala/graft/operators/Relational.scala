@@ -36,7 +36,12 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        // exact-decimal accumulation: these 4-decimal products sum onto
+        // .005 rounding boundaries ~1%/row, where double-order-dependent
+        // engine results diverge; DECIMAL(18,4) recovers each term
+        // exactly, so the rounded total is engine-independent
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -65,7 +70,9 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // DECIMAL(18,4) accumulation — see q01 sum_disc_price comment
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -94,7 +101,8 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** q07: window top-N per group — one shuffle on the partition key,
@@ -273,7 +281,7 @@ object Relational {
     "q01_agg_pushdown" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price, " +
         "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, " +
         "count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -281,7 +289,7 @@ object Relational {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
     "q03_join_agg" ->
-      ("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      ("SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, " +
         "count(*) AS n_items FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
@@ -295,7 +303,7 @@ object Relational {
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q06_filter_sum" ->
-      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows " +
+      ("SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, count(*) AS n_rows " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
