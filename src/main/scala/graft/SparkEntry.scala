@@ -40,6 +40,8 @@ object SparkEntry {
     "q18_percentiles" -> (Relational.q18 _),
     "q19_regexp_date" -> (Relational.q19 _),
     "q20_window_correlated" -> (Relational.q20 _),
+    "q21_except" -> (Relational.q21 _),
+    "q22_not_in" -> (Relational.q22 _),
     // JSON / codec surface (SURVEY §2.1 #3-16)
     "c01_json_get_plain" -> (JsonOps.plainGet _),
     "c02_json_get_variant" -> (JsonOps.variantGet _),
@@ -62,6 +64,7 @@ object SparkEntry {
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

@@ -260,7 +260,36 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q21: EXCEPT — customers active in 1995 but not 1996. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val y1995 = orders.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val y1996 = orders.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    y1995.except(y1996).orderBy(col("o_custkey"))
+  }
+
+  /** q22: NOT IN subquery — Spark plans a null-aware anti join (the
+    * NOT-IN three-valued-logic form, distinct from q05's NOT EXISTS). */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    customer.createOrReplaceTempView("q22_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q22_orders")
+    customer.sparkSession.sql(
+      """SELECT c_mktsegment, count(*) AS n FROM q22_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM q22_orders WHERE o_orderkey % 100 = 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q21_except" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "ORDER BY o_custkey"),
+    "q22_not_in" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 0) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q17_outer_join" ->
       ("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
         "round(coalesce(sum(o_totalprice), 0), 2) AS total FROM customer " +

@@ -95,6 +95,59 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  private val IvfCentroids = 16
+  private val IvfProbes = 4
+
+  /** s03: IVF-style ANN. Coarse quantizer = 16 deterministic seed
+    * vectors (every ⌊n/16⌋-th vec_id — data-independent and replicable
+    * in SQL, standing in for trained k-means centroids); every vector
+    * is assigned to its max-cosine centroid (the inverted file), and a
+    * query scans only its nProbe=4 nearest cells. This is the layout
+    * that scales: at 100 TB the corpus is hash-partitioned by cell id,
+    * so a probe touches nProbe/K of the data — and unlike LSH the cell
+    * count/probe width tune recall independently of the hash family.
+    * Fully deterministic ⇒ DuckDB oracle replays the whole pipeline.
+    */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val n = Tables(spark, dir, "embeddings").count() // metadata count, cheap
+    val stride = math.max(1L, n / IvfCentroids)
+    val cents = all.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < IvfCentroids)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        col("e").as("ce"), col("nrm").as("cnrm"))
+    // inverted file: argmax-cosine cell per vector (broadcast 16 centroids)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("cos_c", array_dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+    // query side: nProbe nearest cells per query
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
+    val probes = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
+    // scan only the probed cells, exact-rank within candidates
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").as("rnk"),
+        col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10), " +
@@ -103,6 +156,25 @@ object Similarity {
         "FROM q JOIN embeddings e ON e.vec_id <> q.qid) " +
         "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim " +
         "FROM (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn FROM sc) " +
+        "WHERE rn <= 5 ORDER BY query_id, rnk"),
+    "s03_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+        "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // 16) AS stride), " +
+        "cents AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM e, params " +
+        "WHERE vec_id % stride = 0 AND vec_id // stride < 16), " +
+        "assign AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cents c) WHERE rk = 1), " +
+        "probes AS (SELECT qid, qe, cid FROM (" +
+        "SELECT e.vec_id AS qid, e.emb AS qe, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rk <= 4) " +
+        "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim FROM (" +
+        "SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qe, a.emb) AS c, " +
+        "row_number() OVER (PARTITION BY p.qid " +
+        "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+        "FROM probes p JOIN assign a USING (cid) WHERE a.vec_id <> p.qid) " +
         "WHERE rn <= 5 ORDER BY query_id, rnk")
   )
 }
