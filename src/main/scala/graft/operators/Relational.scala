@@ -281,6 +281,17 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** q23: HLL++ sketch — approx distinct next to the exact count. At
+    * 100 TB the sketch is the only affordable form (mergeable, fixed
+    * size, one pass); rows-only for the driver gate (sketch estimates
+    * are engine-specific), relative error pinned in OperatorSpec. */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
     "q21_except" ->
       ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +

@@ -88,6 +88,17 @@ class OperatorSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
   }
 
+  test("q23 HLL sketch stays within its error bound") {
+    val rows = Relational.q23(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("s03 IVF recall@5 against s01 exact top-k") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
