@@ -14,18 +14,12 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Distinct word k-shingles: positions 1..n-k+1, k words joined by a
-    * single space. Guarded to an empty array for texts shorter than k
-    * (DuckDB `range` yields an empty list there; Spark `sequence` would
-    * count DOWN, so the guard keeps the two aligned).
-    */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    array_distinct(
-      when(size(w) >= k,
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => concat_ws(" ", slice(w, i, lit(k)))))
-        .otherwise(array().cast("array<string>")))
-  }
+    * single space; empty array for texts shorter than k. Native
+    * codegen'd expression (graft.functions.WordShingles) — the
+    * composable HOF form re-tokenized per use site after projection
+    * collapse and ran interpreted. */
+  def wordShingles(text: Column, k: Int): Column =
+    ShingleFunctions.word_shingles(text, k)
 
   /** Occurrence count of tokens drawn from a fixed vocabulary. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =

@@ -89,7 +89,10 @@ object Dedup {
     // frequency distribution is heavy-tailed — worth revisiting per
     // corpus, not as a default.
     val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = inv.as("a").join(inv.as("b"),
+    // shuffle_hash: the pair-event self-join keys are high-NDV hashes
+    // with bounded per-key build sides — hashing beats sort-merge here
+    // (measured 9.5s vs 20.3s at sf0.1); AQE still handles skewed keys
+    val inter = inv.hint("shuffle_hash").as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("i"))
@@ -129,7 +132,7 @@ object Dedup {
         posexplode(graft.functions.MinHashFunctions.minhash_band_keys(
           col("sh"), MinHashPerms, BandRows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-    val cands = bands.as("a").join(bands.as("b"),
+    val cands = bands.hint("shuffle_hash").as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
