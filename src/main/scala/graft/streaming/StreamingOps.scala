@@ -57,6 +57,29 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-stream inner join: each purchase joined to signup events of
+    * the same user within the preceding hour. Both sides carry
+    * watermarks and the join has an event-time range constraint, so
+    * state on both sides is evicted as the watermark advances — the
+    * property that bounds memory on unbounded feeds (without the range
+    * constraint Spark would rightly keep all history).
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
       end: java.sql.Timestamp, total_value: Double)

@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p10).size >= 2)
   }
 
+  test("d03 pair-event self-join honors the shuffle_hash hint") {
+    val p = plan(Dedup.d03NgramJaccard(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"expected hash join:\n$p")
+  }
+
+  test("p01 read-back scan is partition-pruned to the filtered event_type") {
+    val p = formatted(operators.Sinks.p01PartitionedSink(spark, sf))
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning on event_type:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must

@@ -47,6 +47,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream join equals the batch join") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val joined = StreamingOps.purchaseSignupJoin(StreamingOps.readEvents(spark, sf))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ss_join")
+      .orderBy("purchase_id", "signup_id").collect().map(_.toSeq)
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") && col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      .orderBy("purchase_id", "signup_id").collect().map(_.toSeq)
+
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionization: gap-consistent per-user sessions covering all events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
