@@ -85,6 +85,27 @@ object Bench {
       (s"events_ndv${ndv}_$lines", original, perCodec)
     }
 
+    // ---- BASELINE.md directional invariants, self-certified ----
+    def ratio(key: String, codec: String): Double =
+      storage.find(_._1 == key).get._3.find(_._1 == codec).get._2("ratio")
+    val invariants = Map(
+      // shredded/variant (typed columns) best at every measured point
+      "shredded_best_everywhere" -> storage.forall { case (_, _, per) =>
+        val m = per.toMap
+        m("shredded")("ratio") < m("plain_json")("ratio") &&
+          m("shredded")("ratio") < m("jsonc")("ratio")
+      },
+      // compression degrades as NDV rises
+      "ratio_degrades_with_ndv" ->
+        Seq("plain_json", "variant", "jsonc", "shredded").forall(c =>
+          ratio("events_ndv0.1_8192", c) < ratio("events_ndv1.0_8192", c)),
+      // jsonc beats plain at low NDV...
+      "jsonc_wins_low_ndv" ->
+        (ratio("events_ndv0.1_8192", "jsonc") < ratio("events_ndv0.1_8192", "plain_json")),
+      // ...and loses at full NDV (the reference's crossover)
+      "jsonc_loses_full_ndv" ->
+        (ratio("events_ndv1.0_8192", "jsonc") > ratio("events_ndv1.0_8192", "plain_json")))
+
     // ---- emit ----
     def jd(d: Double): String =
       if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6f"
@@ -95,8 +116,10 @@ object Bench {
       }.mkString(",")
       s""""$key":{"original_bytes":$original,$inner}"""
     }.mkString("{", ",", "}")
+    val inv = invariants.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"baseline_invariants":$inv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,6 +118,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sink into hive-partitioned ZSTD parquet via foreachBatch
+    * — the streaming face of Sinks.p01: each micro-batch lands as
+    * partition-pruned files, and downstream batch readers see a normal
+    * partitioned table. Returns the running query (caller stops it). */
+  def sinkPartitioned(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("event_type")
+          .option("compression", "zstd").parquet(outDir)
+      }
+      .start()
+
   /** Run the windowed aggregation to completion against a bounded
     * source (memory sink) — the batch-equivalence harness the tests
     * use; `Relational.q11`'s hour buckets are the batch face. */

@@ -70,6 +70,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch sink lands a partitioned table equal to the source") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val q = StreamingOps.sinkPartitioned(StreamingOps.readEvents(spark, sf), out)
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(out)
+    val src = graft.core.Tables.events(spark, sf)
+    assert(written.count() == src.count())
+    // partition layout exists per event_type
+    val parts = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.exists(_.startsWith("event_type=")), parts.mkString(","))
+    // partition-pruned read returns the right slice
+    assert(written.filter(col("event_type") === "purchase").count() ==
+      src.filter(col("event_type") === "purchase").count())
+  }
+
   test("sessionization: gap-consistent per-user sessions covering all events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
