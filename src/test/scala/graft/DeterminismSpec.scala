@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance: every oracle-checked query must produce
+  * byte-identical results under different shuffle-partition counts and
+  * with AQE off — the property that makes local results transfer to a
+  * 1000-executor cluster (a result that depends on partitioning would
+  * silently diverge at scale).
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  lazy val base: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  // representative set: shuffle-heavy join/agg, window, LSH dedup,
+  // top-k ranking, set-op, generator
+  val picks = Seq("q03_join_agg", "q07_window_topn", "d04_minhash_lsh",
+    "s01_knn_brute", "q09_setops", "g01_generator_ndv", "t05_tfidf")
+
+  private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
+    val s = base.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", partitions)
+    s.conf.set("spark.sql.adaptive.enabled", aqe)
+    picks.map { name =>
+      name -> SparkEntry.queries(name)(s, sf).collect().map(_.toSeq).toSeq
+    }.toMap
+  }
+
+  test("query results are identical across partition counts and AQE settings") {
+    val a = runWith("4", "true")
+    val b = runWith("13", "true")
+    val c = runWith("7", "false")
+    for (name <- picks) {
+      assert(a(name) == b(name), s"$name diverged between 4 and 13 shuffle partitions")
+      assert(a(name) == c(name), s"$name diverged with AQE off")
+    }
+  }
+}
