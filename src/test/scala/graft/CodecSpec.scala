@@ -130,6 +130,24 @@ class CodecSpec extends AnyFunSuite {
     assert(g("o", "missing") == null)
   }
 
+  test("aux corpora (nulls, arrays, mixed types) round-trip through every codec") {
+    // FIXTURES §A4: logs.json has nulls + string arrays; tags.json has a
+    // heterogeneous value column; trace.json is flat strings
+    for (file <- Seq("logs.json", "tags.json", "tags_with_time.json", "trace.json")) {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"/root/reference/json/$file")).asScala.take(5).toSeq
+      val raw = lines.toDF("doc")
+      for ((name, codec) <- Codecs.all if name != "shredded") {
+        val out = codec.decode(codec.encode(raw)).as[String].collect()
+        assert(out.length == lines.length, s"$name/$file")
+        out.zip(lines).foreach { case (got, want) =>
+          assert(jsonEq(got, want), s"$name/$file: $got vs $want")
+        }
+      }
+    }
+  }
+
   test("codec registry dispatches by reference names; unknown throws") {
     assert(Codecs("plain_json").name == "plain_json")
     assert(Codecs("jsonc").name == "jsonc")
