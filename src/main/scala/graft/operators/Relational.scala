@@ -292,7 +292,27 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** q24: window-function spread — lag/lead/ntile over each customer's
+    * order history (one shuffle on the partition key, single sort). */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q24_window_funcs" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lag(o_totalprice, 1) OVER w AS prev_price, " +
+        "lead(o_totalprice, 1) OVER w AS next_price, " +
+        "ntile(4) OVER w AS quartile FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q21_except" ->
       ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
         "EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
