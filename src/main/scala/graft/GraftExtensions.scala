@@ -36,5 +36,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 2, "array_dot expects exactly 2 arguments")
           ArrayDotProduct(exprs.head, exprs(1))
         }))
+    // full tape codec in SQL: jsonc_encode(doc), jsonc_decode(n,s,d),
+    // jsonc_get(n,s,d, 'seg1', 'seg2', ...) — path segments are literals
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jsonc_encode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.codecs.JsoncEncodeExpr].getName, "jsonc_encode"),
+        one("jsonc_encode", graft.codecs.JsoncEncodeExpr) _))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jsonc_decode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.codecs.JsoncDecodeExpr].getName, "jsonc_decode"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3, "jsonc_decode expects (nodes, strings, numbers)")
+          graft.codecs.JsoncDecodeExpr(exprs(0), exprs(1), exprs(2))
+        }))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jsonc_get"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.codecs.JsoncGetExpr].getName, "jsonc_get"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 4,
+            "jsonc_get expects (nodes, strings, numbers, 'seg', ...)")
+          val path = exprs.drop(3).map {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+              s.toString
+            case other => throw new IllegalArgumentException(
+              s"jsonc_get path segments must be string literals, got $other")
+          }
+          graft.codecs.JsoncGetExpr(exprs(0), exprs(1), exprs(2), path)
+        }))
   }
 }

@@ -55,7 +55,7 @@ object Multimodal {
     // >>> would decode pixels/samples here instead of reading raw bytes.
     def fakeFeature(i: Int) =
       round((ascii(substring(col("payload").cast("string"), i, 1)) % 256) / 255.0, 4)
-    val dims = (1 to 8).map(i => struct(lit(i).as("dim"), fakeFeature(i).as("val")))
+    val dims = (1 to 8).map(i => struct(lit(i.toLong).as("dim"), fakeFeature(i).as("val")))
     media(spark, dir)
       .select(col("media_id"), explode(array(dims: _*)).as("f"))
       .select(col("media_id"), col("f.dim").as("dim"), col("f.val").as("val"))

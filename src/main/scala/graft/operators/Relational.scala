@@ -113,7 +113,8 @@ object Relational {
     t(spark, dir, "orders")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -305,7 +306,32 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q25: monthly revenue trend with a 3-month moving window — an
+    * aggregation feeding a framed window, all in exact integer cents
+    * (doubles only pass through `round(x*100)` on near-integer values,
+    * which is engine-exact). */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month")).rowsBetween(-2, 0)
+    monthly
+      .withColumn("mov3_rev_cents", sum(col("rev_cents")).over(w))
+      .withColumn("mov3_months", count(lit(1)).over(w))
+      .orderBy(col("month"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q25_moving_window" ->
+      ("SELECT month, rev_cents, n_orders, " +
+        "CAST(sum(rev_cents) OVER w AS BIGINT) AS mov3_rev_cents, " +
+        "count(*) OVER w AS mov3_months FROM (" +
+        "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1) " +
+        "WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY month"),
     "q24_window_funcs" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, " +
         "lag(o_totalprice, 1) OVER w AS prev_price, " +

@@ -39,7 +39,7 @@ object Similarity {
       .orderBy(round(col("c"), 6).desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
-      .select(col("qid").as("query_id"), col("rn").as("rnk"),
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
         col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }
@@ -90,7 +90,7 @@ object Similarity {
       .orderBy(round(col("c"), 6).desc, col("nid").asc)
     cands.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
-      .select(col("qid").as("query_id"), col("rn").as("rnk"),
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
         col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }
@@ -143,7 +143,7 @@ object Similarity {
         (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= K)
-      .select(col("qid").as("query_id"), col("rn").as("rnk"),
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
         col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions injection: a session built with
+  * `withExtensions(new GraftExtensions)` (≡ --conf spark.sql.extensions)
+  * can reach the whole native surface from pure SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("native functions resolve from pure SQL via extensions") {
+    // getOrCreate ignores withExtensions when a session already exists,
+    // so clear the active/default session (keeping the SparkContext)
+    // and build a genuinely new one with the extensions applied.
+    val prior = TestSpark.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = try {
+      SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions).getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+    val row = ext.sql(
+      """SELECT
+        |  simhash64('a b c') AS sh,
+        |  token_fingerprint64('a  b c') AS fp,
+        |  array_dot(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS d,
+        |  jsonc_get(t.nodes, t.strings, t.numbers, 'k') AS g,
+        |  jsonc_decode(t.nodes, t.strings, t.numbers) AS doc
+        |FROM (SELECT jsonc_encode('{"k": "v", "n": 1}') AS t)""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) == graft.functions.HashImpls.simHash64("a b c".getBytes("UTF-8")))
+    assert(row.getLong(1) == graft.functions.HashImpls.tokenFingerprint64("a b c".getBytes("UTF-8")))
+    assert(row.getDouble(2) == 8.0)
+    assert(row.getString(3) == "\"v\"") // quoted-token semantics survive SQL
+    assert(row.getString(4) == """{"k":"v","n":1}""")
+  }
+}
