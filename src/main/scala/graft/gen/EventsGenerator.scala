@@ -51,6 +51,13 @@ object EventsGenerator {
         struct(attr.as("event_attributes")).as("attributes"))).as("doc"))
   }
 
+  /** Materialize a corpus as NDJSON text files (the reference's on-disk
+    * input format, json/ dir) — one part-file per partition, ready for
+    * IO.readNdjson. */
+  def writeNdjson(spark: SparkSession, path: String, n: Long, ndv: Double,
+      seed: Long = 42L): Unit =
+    generate(spark, n, ndv, seed).write.mode("overwrite").text(path)
+
   /** NDV-invariant census of a generated corpus — used both as a
     * SparkEntry query (g01) with a literal oracle and by the bench. */
   def census(spark: SparkSession, n: Long, ndv: Double): DataFrame = {

@@ -148,6 +148,22 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EP2 file flow: generator NDJSON → readNdjson → encode → flush → load → get") {
+    // the reference's end-to-end lifecycle on real files (codec.rs:8-19
+    // source + flush/load), driven by the generator corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-ep2").toString
+    graft.gen.EventsGenerator.writeNdjson(spark, s"$dir/ndjson", 512, 0.3)
+    val raw = graft.core.IO.readNdjson(spark, s"$dir/ndjson")
+    assert(raw.count() == 512)
+    for ((name, codec) <- Codecs.all) {
+      codec.flush(codec.encode(raw), s"$dir/$name")
+      val loaded = codec.load(spark, s"$dir/$name")
+      assert(loaded.count() == 512, s"$name lost rows through parquet")
+      val got = codec.get(loaded, Seq("name")).as[String].collect()
+      assert(got.length == 512 && got.forall(v => v != null && v.contains("n")), name)
+    }
+  }
+
   test("codec registry dispatches by reference names; unknown throws") {
     assert(Codecs("plain_json").name == "plain_json")
     assert(Codecs("jsonc").name == "jsonc")
