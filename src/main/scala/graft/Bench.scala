@@ -43,8 +43,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup so the first timed query doesn't absorb
-    // executor startup + first-compile costs
+    // executor startup + first-compile costs — include one real parquet
+    // read so the datasource init path is also warm
     force(spark.range(1000000).selectExpr("xxhash64(id) AS h"))
+    force(spark.read.parquet(s"$sfDir/region.parquet"))
 
     // ---- per-query timings on the scale-factor dir ----
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
