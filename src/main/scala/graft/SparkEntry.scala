@@ -64,6 +64,7 @@ object SparkEntry {
     "d04_minhash_lsh" -> (Dedup.d04MinHashLsh _),
     "d05_simhash" -> (Dedup.d05SimHash _),
     "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
+    "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

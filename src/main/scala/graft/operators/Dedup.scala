@@ -201,6 +201,41 @@ object Dedup {
       .orderBy("ida", "idb")
   }
 
+  /** d07: near-dup clusters — connected components over the d03 pair
+    * graph, each doc labeled with the minimum doc_id of its component
+    * (the canonical "keep one representative per duplicate cluster"
+    * dedup output). Distributed min-label propagation: every iteration
+    * is one join + one aggregation, and the iteration count is bounded
+    * by the component diameter (log-ish with doubling; duplicate
+    * clusters are tiny in practice). No driver-side graph — the loop
+    * only checks a convergence count per round.
+    */
+  def d07DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d03NgramJaccard(spark, dir).select(col("ida"), col("idb"))
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // each node takes min(own label, neighbors' labels)
+      val viaNeighbors = edges.join(labels, col("src") === col("doc"))
+        .groupBy(col("dst").as("doc2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(viaNeighbors, col("doc") === col("doc2"), "left_outer")
+        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("keep_id"))
+      .orderBy("doc_id")
+  }
+
   private val jaccardSql: String =
     "WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
@@ -220,6 +255,19 @@ object Dedup {
         "FROM documents GROUP BY prefix HAVING count(*) > 1 ORDER BY prefix"),
     "d03_ngram_jaccard" -> jaccardSql,
     "d04_minhash_lsh" -> jaccardSql, // LSH + exact verify ⇒ same result set
+    "d07_dedup_clusters" ->
+      ("WITH pairs AS (" + jaccardSql.replace(" ORDER BY ida, idb", "") + "), " +
+        "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
+        "UNION ALL SELECT idb, ida FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        // transitive closure by recursion (components are tiny), then
+        // min reachable id = the component's keep_id
+        "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+        "SELECT doc, doc FROM nodes " +
+        "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+        "SELECT * FROM r) " +
+        "SELECT doc AS doc_id, min(other) AS keep_id FROM reach " +
+        "GROUP BY doc ORDER BY doc_id"),
     "d06_embedding_neardup" ->
       ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim " +

@@ -53,12 +53,13 @@ object Similarity {
     Array.fill(NumPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit bucket id of a vector under the fixed hyperplanes. */
+  /** Sign-bit bucket id of a vector under the fixed hyperplanes
+    * (native array_dot — the HOF form runs interpreted). */
   private def bucketOf(e: Column, dim: Int): Column = {
+    import graft.functions.VectorFunctions.array_dot
     val ps = planes(dim)
     (0 until NumPlanes).map { p =>
-      val plane = typedLit(ps(p).toSeq)
-      val d = aggregate(zip_with(e, plane, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+      val d = array_dot(e, typedLit(ps(p).toSeq))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
