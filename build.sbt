@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON; in
+// round 1 sbt's "[success] Total time: ..." epilogue after graft.Bench's
+// JSON line broke that parse (BENCH_r01.json "parsed": null). Two fixes:
+// suppress the epilogue, and pipe forked-run output straight to stdout
+// (the default logger prefixes every line with "[info] ").
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

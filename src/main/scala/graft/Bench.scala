@@ -56,30 +56,51 @@ object Bench {
 
     // ---- storage + codec lifecycle on the generated events corpus ----
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    // (ndv, lines) grid: the two 8192 corners show the jsonc/plain
-    // crossover; 100000@0.1 is BASELINE.md's most dramatic row (the
-    // shredded format's order-of-magnitude win at scale).
-    val storage = for ((ndv, lines) <- Seq((0.1, 8192L), (1.0, 8192L), (0.1, 100000L))) yield {
+    // (ndv, lines) grid: the full 4-point NDV curve at 8192 lines
+    // matches the baseline's curve (benchmark_results.csv rows 18-33),
+    // so ratio_degrades_with_ndv is certified on the same points;
+    // 100000@0.1 is BASELINE.md's most dramatic row (the shredded
+    // format's order-of-magnitude win at scale).
+    val ndvCurve = Seq(0.1, 0.3, 0.6, 1.0)
+    val grid = ndvCurve.map((_, 8192L)) :+ (0.1, 100000L)
+    val storage = for ((ndv, lines) <- grid) yield {
       // coalesce(1): the reference flushes ONE row group per corpus
       // (SURVEY §1.2), and dictionary encoding only bites with all rows
       // in one file — required for ratio comparability with BASELINE.md.
-      // (At real scale you would NOT coalesce; this mirrors the
-      // reference's single-file measurement protocol.)
+      // (At real scale you would NOT coalesce; the 8-file flush below
+      // measures the realistic multi-task layout next to it.)
       val raw = EventsGenerator.generate(spark, lines, ndv).coalesce(1).cache()
       // original bytes = NDJSON size (payload + newline per doc)
       val original = raw.agg(sum(length(col("doc")) + 1)).head.getLong(0)
       val perCodec = Codecs.all.toSeq.sortBy(_._1).map { case (name, codec) =>
         val path = s"$tmp/events_${ndv}_$lines/$name"
-        val enc = codec.encode(raw)
+        // Stage isolation (round-1 advice): plans are lazy, so each
+        // stage is timed against a MATERIALIZED upstream — encode is
+        // timed into a cache, flush reads that cache, load is timed
+        // into a cache, decode/query read that one. The six timings are
+        // per-stage like the reference's EP1-EP3, not cumulative.
+        val enc = codec.encode(raw).cache()
         val encSec = time(force(enc))
         val flushSec = time(codec.flush(enc, path))
         val bytes = IO.pathSize(path)
-        val loadSec = time(force(codec.load(spark, path)))
-        val decSec = time(force(codec.decode(codec.load(spark, path))))
-        val querySec = time(force(codec.get(codec.load(spark, path), Seq("name"))))
+        // same data as 8 files: per-file dictionaries shrink — the
+        // multi-task layout a cluster writes (NOTES.md round-1 gap)
+        val bytes8 = {
+          val p8 = s"$path-8file"
+          codec.flush(enc.repartition(8), p8)
+          IO.pathSize(p8)
+        }
+        val loaded = codec.load(spark, path).cache()
+        val loadSec = time(force(loaded))
+        val decSec = time(force(codec.decode(loaded)))
+        val querySec = time(force(codec.get(loaded, Seq("name"))))
+        enc.unpersist()
+        loaded.unpersist()
         name -> Map(
           "bytes" -> bytes.toDouble,
           "ratio" -> bytes.toDouble / original,
+          "bytes_8file" -> bytes8.toDouble,
+          "ratio_8file" -> bytes8.toDouble / original,
           "encode_sec" -> encSec, "flush_sec" -> flushSec,
           "load_sec" -> loadSec, "decode_sec" -> decSec, "query_sec" -> querySec)
       }
@@ -97,10 +118,13 @@ object Bench {
         m("shredded")("ratio") < m("plain_json")("ratio") &&
           m("shredded")("ratio") < m("jsonc")("ratio")
       },
-      // compression degrades as NDV rises
+      // compression degrades monotonically along the full 4-point NDV
+      // curve (same points as benchmark_results.csv:18-33)
       "ratio_degrades_with_ndv" ->
         Seq("plain_json", "variant", "jsonc", "shredded").forall(c =>
-          ratio("events_ndv0.1_8192", c) < ratio("events_ndv1.0_8192", c)),
+          ndvCurve.sliding(2).forall { case Seq(a, b) =>
+            ratio(s"events_ndv${a}_8192", c) < ratio(s"events_ndv${b}_8192", c)
+          }),
       // jsonc beats plain at low NDV...
       "jsonc_wins_low_ndv" ->
         (ratio("events_ndv0.1_8192", "jsonc") < ratio("events_ndv0.1_8192", "plain_json")),
@@ -121,7 +145,20 @@ object Bench {
     val inv = invariants.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"baseline_invariants":$inv,"sf":"$sfDir"}""")
-    spark.stop()
+    val json = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    // Driver contract (round-1 fix): the JSON must be machine-readable.
+    // Belt: write it to a file ($SPARK_GRAFT_OUT if set, else
+    // target/bench.json). Suspenders: print it as the last stdout line
+    // (build.sbt sets showSuccess := false so sbt appends no epilogue).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    spark.stop() // stop BEFORE the JSON line so no shutdown logs trail it
+    println(json)
   }
 }

@@ -51,6 +51,7 @@ object SparkEntry {
     "c03_jsonc_get" -> (JsonOps.jsoncGet _),
     "c04_shred_agg" -> (JsonOps.shreddedAgg _),
     "c05_shred_filter" -> (JsonOps.shreddedFilter _),
+    "c08_jsonc_array_get" -> (JsonOps.jsoncArrayGet _),
     // Text analysis (north-star; documents table)
     "t01_tokens" -> (TextOps.t01Tokens _),
     "t02_quality" -> (TextOps.t02Quality _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "d05_simhash" -> (Dedup.d05SimHash _),
     "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
+    "d08_ngram_jaccard_capped" -> (Dedup.d08NgramJaccardCapped _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

@@ -38,12 +38,13 @@ object IO {
 
   /** Total on-disk size in bytes of a written dataset (file or dir) —
     * powers the compression-ratio metric (reference
-    * scripts/benchmark_results.csv `parquet_file_size`).
+    * scripts/benchmark_results.csv `parquet_file_size`). Goes through
+    * the Hadoop FileSystem API so it works against any cluster FS
+    * (HDFS/S3A/local), not just java.io paths.
     */
   def pathSize(path: String): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
-    size(new java.io.File(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.getContentSummary(p).getLength
   }
 }

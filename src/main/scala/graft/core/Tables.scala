@@ -23,7 +23,11 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: Spark's `/` is double division and
+    // epoch nanos (~1.7e18) exceed double's 53-bit exact range, so the
+    // truncated quotient can land 1us below floor(ts/1000) — `div` stays
+    // in integer space.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (same semantics as DuckDB
-    * `string_split_regex(text, '\s+')`). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization. Both engines tokenize rtrim(text): Java's
+    * split drops trailing empty tokens but DuckDB's string_split_regex
+    * keeps them, so a document ending in whitespace would diverge —
+    * rtrim on BOTH sides pins one semantic (oracles rtrim too). */
+  def tokens(text: Column): Column = split(rtrim(text), "\\s+")
 
   /** Distinct word k-shingles: positions 1..n-k+1, k words joined by a
     * single space; empty array for texts shorter than k. Native
@@ -19,7 +21,7 @@ object TextFunctions {
     * composable HOF form re-tokenized per use site after projection
     * collapse and ran interpreted. */
   def wordShingles(text: Column, k: Int): Column =
-    ShingleFunctions.word_shingles(text, k)
+    ShingleFunctions.word_shingles(rtrim(text), k)
 
   /** Occurrence count of tokens drawn from a fixed vocabulary. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =

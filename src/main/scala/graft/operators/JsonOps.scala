@@ -8,9 +8,10 @@ import org.apache.spark.sql.types.StructType
   * /root/reference/benches/query.rs) hosted on the driver testdata's
   * `events.props` JSON column, once per codec.
   *
-  * Every query keeps the JSON machinery inside whole-stage codegen
-  * (get_json_object / from_json / variant_get are all native
-  * expressions; only jsonc crosses a UDF boundary) and scans read just
+  * Every query keeps the JSON machinery inside whole-stage codegen:
+  * get_json_object / from_json / variant_get are Spark-native, and the
+  * jsonc path uses our own codegen'd Catalyst expressions
+  * (JsoncEncodeExpr/JsoncGetExpr — no UDF anywhere). Scans read just
   * the columns they touch, so column pruning reaches the parquet scan.
   */
 object JsonOps {
@@ -47,6 +48,26 @@ object JsonOps {
       .orderBy("event_id")
   }
 
+  /** c08: jsonc tape get through ARRAY path segments — documents with a
+    * nested array are built deterministically from event columns, tape-
+    * encoded, and read back via the numeric-index path ["items","1","q"]
+    * (SURVEY §1.3: the reference's corpora include deep arrays —
+    * canada.json — and its tape get walks arbitrary nodes). DuckDB
+    * replays the same construction + $.items[1].q. */
+  def jsoncArrayGet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.codecs.JsoncFunctions._
+    events(spark, dir)
+      .select(col("event_id"),
+        concat(lit("{\"items\":[{\"q\":"), (col("event_id") % 7).cast("string"),
+          lit("},{\"q\":"), ((col("event_id") + 1) % 7).cast("string"),
+          lit("}],\"tag\":\"x\"}")).as("doc"))
+      .select(col("event_id"), jsonc_encode(col("doc")).as("tape"))
+      .select(col("event_id"),
+        jsonc_get(col("tape.nodes"), col("tape.strings"), col("tape.numbers"),
+          Seq("items", "1", "q")).as("q1"))
+      .orderBy("event_id")
+  }
+
   /** Shredded (variant-role) path: project to typed columns at encode
     * time, filter/aggregate on real columns — Catalyst prunes + pushes. */
   def shreddedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -74,6 +95,11 @@ object JsonOps {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
     "c03_jsonc_get" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id",
+    "c08_jsonc_array_get" ->
+      ("SELECT event_id, json_extract_string(" +
+        "'{\"items\":[{\"q\":' || CAST(event_id % 7 AS VARCHAR) || '},{\"q\":' || " +
+        "CAST((event_id + 1) % 7 AS VARCHAR) || '}],\"tag\":\"x\"}', " +
+        "'$.items[1].q') AS q1 FROM events ORDER BY event_id"),
     "c04_shred_agg" ->
       ("SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k " +

@@ -269,28 +269,40 @@ object Relational {
     y1995.except(y1996).orderBy(col("o_custkey"))
   }
 
-  /** q22: NOT IN subquery — Spark plans a null-aware anti join (the
-    * NOT-IN three-valued-logic form, distinct from q05's NOT EXISTS). */
+  /** q22: NOT IN subquery as a null-aware anti join, pure DataFrame API
+    * (no temp views — a query function must not mutate shared session
+    * catalog state). The `key === key || isnull(key === key)` LeftAnti
+    * condition is exactly the shape Catalyst's
+    * ExtractSingleColumnNullAwareAntiJoin recognizes, so the plan is the
+    * same NOT-IN three-valued-logic join SQL would produce (distinct
+    * from q05's NOT EXISTS). */
   def q22(spark: SparkSession, dir: String): DataFrame = {
-    val customer = t(spark, dir, "customer")
-    customer.createOrReplaceTempView("q22_customer")
-    t(spark, dir, "orders").createOrReplaceTempView("q22_orders")
-    customer.sparkSession.sql(
-      """SELECT c_mktsegment, count(*) AS n FROM q22_customer
-        |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM q22_orders WHERE o_orderkey % 100 = 0)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    val sub = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_custkey"))
+    val eq = col("c_custkey") === col("o_custkey")
+    t(spark, dir, "customer")
+      .join(sub, eq || isnull(eq), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** q23: HLL++ sketch — approx distinct next to the exact count. At
     * 100 TB the sketch is the only affordable form (mergeable, fixed
-    * size, one pass); rows-only for the driver gate (sketch estimates
-    * are engine-specific), relative error pinned in OperatorSpec. */
+    * size, one pass). The raw estimate is engine-specific, so the
+    * gate-facing output is the engine-independent INVARIANT instead:
+    * the estimate lands within the configured 2% relative error
+    * (oracle asserts `true`; HLL++ is deterministic per dataset, and
+    * OperatorSpec additionally pins the error bound). */
   def q23(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.02).as("within_2pct"))
       .orderBy(col("event_type"))
 
   /** q24: window-function spread — lag/lead/ntile over each customer's
@@ -323,6 +335,9 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q23_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "true AS within_2pct FROM events GROUP BY event_type ORDER BY event_type"),
     "q25_moving_window" ->
       ("SELECT month, rev_cents, n_orders, " +
         "CAST(sum(rev_cents) OVER w AS BIGINT) AS mov3_rev_cents, " +

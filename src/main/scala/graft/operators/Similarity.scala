@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *  - s02: random-hyperplane LSH — buckets co-partition the corpus, so
   *    at 100 TB the search shuffles once by bucket key and each probe
   *    touches only its bucket's partitions instead of the full corpus.
-  *    Multi-probe (flipping each of the 12 sign bits) bounds recall
-  *    loss; the ScalaTest pins recall@5 against s01.
+  *    Multi-probe (flipping each of the NumPlanes=8 sign bits, alone
+  *    and in pairs) bounds recall loss; the ScalaTest pins recall@5
+  *    against s01.
   */
 object Similarity {
 

@@ -34,7 +34,8 @@ object StreamingOps {
     spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, same rationale as core.Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** 5-minute tumbling window counts per event type with a 10-minute

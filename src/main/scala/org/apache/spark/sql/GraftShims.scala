@@ -13,4 +13,21 @@ object GraftShims {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Release the storage behind a localCheckpoint'ed Dataset.
+    *
+    * `Dataset.unpersist()` only talks to the CacheManager, so the
+    * MEMORY_AND_DISK blocks a localCheckpoint pins (its LogicalRDD)
+    * would otherwise live until the ContextCleaner happens to GC them —
+    * a leak across a long multi-query session. Iterative operators
+    * (Dedup.d07) call this on each superseded round.
+    */
+  def unpersistLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }

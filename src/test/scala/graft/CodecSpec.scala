@@ -130,6 +130,36 @@ class CodecSpec extends AnyFunSuite {
     assert(g("o", "missing") == null)
   }
 
+  test("jsonc get: numeric path segments index into arrays") {
+    val raw = Seq(
+      """{"items":[{"q":5},{"q":7}],"deep":[[1,2],[3,4]],"tags":["a","b"],"n":3}"""
+    ).toDF("doc")
+    val enc = JsoncCodec.encode(raw)
+    def g(p: String*) = JsoncCodec.get(enc, p).as[String].collect().head
+    assert(g("items", "0", "q") == "5")
+    assert(g("items", "1", "q") == "7")
+    assert(g("deep", "1", "0") == "3")   // nested array-of-arrays
+    assert(g("deep", "0") == "[1,2]")    // container serialization
+    assert(g("tags", "1") == "\"b\"")    // strings keep their quotes
+    assert(g("items", "2") == null)      // out of bounds
+    assert(g("items", "x") == null)      // non-numeric segment on array
+    assert(g("n", "0") == null)          // index into a scalar
+  }
+
+  test("jsonc get: canada.json-style deep coordinate arrays") {
+    // same shape as the reference corpus /root/reference/json/canada.json
+    // (FeatureCollection → features[0].geometry.coordinates[i][j][k])
+    val doc =
+      """{"type":"FeatureCollection","features":[{"type":"Feature","geometry":
+        |{"type":"Polygon","coordinates":[[[-65.61,43.42],[-65.62,43.41]]]}}]}"""
+        .stripMargin.replace("\n", "")
+    val enc = JsoncCodec.encode(Seq(doc).toDF("doc"))
+    def g(p: String*) = JsoncCodec.get(enc, p).as[String].collect().head
+    assert(g("features", "0", "geometry", "type") == "\"Polygon\"")
+    assert(g("features", "0", "geometry", "coordinates", "0", "1", "0") == "-65.62")
+    assert(g("features", "0", "geometry", "coordinates", "0", "0", "1") == "43.42")
+  }
+
   test("aux corpora (nulls, arrays, mixed types) round-trip through every codec") {
     // FIXTURES §A4: logs.json has nulls + string arrays; tags.json has a
     // heterogeneous value column; trace.json is flat strings

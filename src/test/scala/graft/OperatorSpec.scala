@@ -88,14 +88,14 @@ class OperatorSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
   }
 
-  test("q23 HLL sketch stays within its error bound") {
+  test("q23 HLL sketch stays within its error bound (the oracled invariant)") {
+    // output shape: (event_type, exact_users, within_2pct) — the DuckDB
+    // oracle asserts within_2pct = true, so pin the same here
     val rows = Relational.q23(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2), s"${r.getString(0)}: estimate outside 2%")
     }
   }
 
@@ -114,5 +114,95 @@ class OperatorSpec extends AnyFunSuite {
     val lsh = Dedup.d04MinHashLsh(spark, sf).collect().map(_.toSeq).toSet
     val exact = Dedup.d03NgramJaccard(spark, sf).collect().map(_.toSeq).toSet
     assert(lsh == exact)
+  }
+
+  test("d06 blocked equi-join pair set equals the naive cross-join form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.array_dot
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val naive = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        (array_dot(col("a.e"), col("b.e")) /
+          (sqrt(array_dot(col("a.e"), col("a.e"))) *
+            sqrt(array_dot(col("b.e"), col("b.e"))))).as("c"))
+      .filter(col("c") >= 0.45)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.d06EmbeddingNearDup(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty && blocked == naive,
+      s"blocked=${blocked.size} naive=${naive.size}")
+  }
+
+  test("LSH candidate tier catches planted near-dups and prunes background") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted fixture: 50 random unit-ish vectors; 10 of them duplicated
+    // with tiny noise (cosine ≥ 0.99); background pairs land near 0
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 50L).map(i => (i, vec()))
+    val dups = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(_ + rnd.nextGaussian() * 0.02))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "e0")
+      .select(col("vec_id"), col("e0").cast("array<double>").as("e"))
+    // b=6 bits: a background pair (cos≈0, p_sep≈0.5) collides in a band
+    // w.p. 0.5^6 ≈ 1.6% (→ ~12% over 8 bands); a planted pair
+    // (cos≈0.999, p_sep≈0.006) misses all 8 bands w.p. ~4e-12
+    val cands = Dedup.lshCosineCandidates(emb, dim = 64, bitsB = 6, bandsL = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, i + 100L)).toSet
+    assert(planted.subsetOf(cands), s"missed planted pairs: ${planted -- cands}")
+    val all = 60L * 59 / 2
+    assert(cands.size < all / 2,
+      s"candidate set should prune the quadratic space: ${cands.size} of $all")
+  }
+
+  test("hot-shingle df cap drops stop-shingle pairs, keeps real near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.wordShingles
+    // 30 docs that share ONLY a common boilerplate phrase (the hot
+    // shingle) + one genuine near-dup pair on rare text
+    val boiler = "copyright acme corp all rights reserved"
+    val docs =
+      (0L until 30L).map(i => (i, s"unique$i wording number$i here $boiler")) ++
+        Seq((100L, "the rare pangolin ate seventeen marbles quietly"),
+          (101L, "the rare pangolin ate seventeen marbles quietly today"))
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+    val capped = Dedup.ngramJaccardPairs(sh, maxShingleDf = Some(10L))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "planted near-dup must survive the cap")
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate-only pairs must be capped away, got $capped")
+    // uncapped form on the same fixture keeps exact semantics: the
+    // boilerplate docs share 4 shingles but their jaccard stays < 0.6,
+    // so here capped == uncapped output — the cap changes the COST shape
+    val exact = Dedup.ngramJaccardPairs(sh, maxShingleDf = None)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((100L, 101L)))
+  }
+
+  test("connectedComponents converges on a long path graph (pointer jumping)") {
+    import spark.implicits._
+    // path 0-1-2-...-200: diameter 200 >> 25 rounds of plain propagation;
+    // pointer jumping must converge in O(log n) rounds (else this throws)
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val labels = Dedup.connectedComponents(edges).collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_.getLong(1) == 0L), "every node labels to component min")
+  }
+
+  test("t04 fingerprint census equals distinct normalized text") {
+    import org.apache.spark.sql.functions._
+    val row = TextOps.t04Fingerprint(spark, sf).collect().head
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val expect = docs.agg(
+      count(lit(1)),
+      countDistinct(regexp_replace(trim(col("text")), "\\s+", " "))).collect().head
+    assert(row.getLong(0) == expect.getLong(0))
+    assert(row.getLong(1) == expect.getLong(1))
   }
 }

@@ -72,6 +72,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition pruning on event_type:\n$p")
   }
 
+  test("d06 blocked pair join: no cartesian product, no nested-loop join") {
+    val p = plan(Dedup.d06EmbeddingNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in d06 plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in d06 plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected blocked hash join:\n$p")
+  }
+
+  test("q22 NOT IN plans as a null-aware anti join (no temp views)") {
+    val p = plan(Relational.q22(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    // the DataFrame form must not have registered any catalog state
+    assert(!spark.catalog.tableExists("q22_customer"))
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must
