@@ -227,12 +227,17 @@ object Relational {
         round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
       .orderBy(col("c_custkey"))
 
-  /** q18: exact percentiles (interpolated) — sort-based agg per group. */
+  /** q18: exact percentiles (interpolated) — sort-based agg per group.
+    * Money percentiles emit floor-to-cents, not round(…,2): an
+    * interpolated median of 2-decimal prices often lands EXACTLY on
+    * .xx5, where cross-engine rounding of last-ulp-different doubles
+    * diverges (observed 1 row at sf0.001); floor of the identical
+    * interpolation double is engine-exact (same fix as q20). */
   def q18(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+      .agg(floor(expr("percentile(l_extendedprice, 0.5)") * 100).cast("long").as("med_price_cents"),
+        floor(expr("percentile(l_extendedprice, 0.9)") * 100).cast("long").as("p90_price_cents"),
         round(expr("percentile(l_quantity, 0.25)"), 2).as("q1_qty"))
       .orderBy(col("l_returnflag"))
 
@@ -367,8 +372,8 @@ object Relational {
         "round(coalesce(sum(o_totalprice), 0), 2) AS total FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
     "q18_percentiles" ->
-      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price, " +
-        "round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price, " +
+      ("SELECT l_returnflag, CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS med_price_cents, " +
+        "CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100) AS BIGINT) AS p90_price_cents, " +
         "round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q19_regexp_date" ->

@@ -95,6 +95,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(gf.token_fingerprint64(col("text"))).as("n_distinct_fp"))
 
+  /** t06: BPE-ish subword counting — the regex-tokenizer tier of token
+    * accounting next to t01's whitespace tier (LLM pipelines budget by
+    * subword counts, not words). The pattern's alternatives are
+    * disjoint character classes (letter runs | digit runs | single
+    * non-space symbol), so Java and RE2 (DuckDB) agree exactly; one
+    * narrow map-only pass, no shuffle before the final sort. */
+  def t06BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String) =
+      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+    docs(spark, dir).select(
+        col("doc_id"),
+        n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]").as("n_pieces"),
+        n("[A-Za-z]+").as("n_word"),
+        n("[0-9]+").as("n_num"),
+        n("[^A-Za-z0-9\\\\s]").as("n_punct"))
+      .orderBy("doc_id")
+  }
+
   /** t05: top TF-IDF term per document — explode + two shuffles (term
     * frequency, document frequency), corpus size joined in as a
     * broadcast single row, never collected to the driver. */
@@ -145,6 +163,13 @@ object TextOps {
         hitsSql(esIn) + " >= " + hitsSql(deIn) + " AND " + hitsSql(esIn) + " >= " + hitsSql(frIn) + " AND " +
         hitsSql(esIn) + " > 0 THEN 'es' WHEN " + hitsSql(deIn) + " >= " + hitsSql(frIn) + " AND " +
         hitsSql(deIn) + " > 0 THEN 'de' WHEN " + hitsSql(frIn) + " > 0 THEN 'fr' ELSE 'und' END AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+    "t06_bpe_tokens" ->
+      ("SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word, " +
+        "len(regexp_extract_all(text, '[0-9]+')) AS n_num, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct " +
         "FROM documents ORDER BY doc_id"),
     "t05_tfidf" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents), " +
