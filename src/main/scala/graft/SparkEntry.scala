@@ -64,13 +64,19 @@ object SparkEntry {
     "d02_norm_dedup" -> (Dedup.d02Normalized _),
     "d03_ngram_jaccard" -> (Dedup.d03NgramJaccard _),
     "d04_minhash_lsh" -> (Dedup.d04MinHashLsh _),
-    "d05_simhash" -> (Dedup.d05SimHash _),
+    // d05 gate = catch-rate invariant vs the d03 truth set (the raw
+    // simhash pairs are engine-specific; Dedup.d05SimHash is the
+    // operator, this row is its oracle-able face)
+    "d05_simhash" -> (Dedup.d05SimHashCatch _),
     "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_ngram_jaccard_capped" -> (Dedup.d08NgramJaccardCapped _),
+    "d09_lsh_cosine_neardup" -> (Dedup.d09LshCosineNearDup _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
-    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    // s02 gate = recall invariant vs the exact top-k (bucket layout is
+    // engine-specific; Similarity.s02AnnLsh is the operator)
+    "s02_ann_lsh" -> (Similarity.s02AnnLshRecall _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),

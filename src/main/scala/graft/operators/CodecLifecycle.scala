@@ -41,7 +41,7 @@ object CodecLifecycle {
     * distinct payload values surviving the storage trip. */
   def c07FlushLoad(spark: SparkSession, dir: String): DataFrame = {
     val src = props(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-flush").toString
+    val tmp = graft.core.IO.scratchDir("graft-flush")
     val censuses = Seq("plain_json", "variant", "jsonc").map { name =>
       val codec = Codecs(name)
       codec.flush(codec.encode(src), s"$tmp/$name")

@@ -297,9 +297,12 @@ object Relational {
     * 100 TB the sketch is the only affordable form (mergeable, fixed
     * size, one pass). The raw estimate is engine-specific, so the
     * gate-facing output is the engine-independent INVARIANT instead:
-    * the estimate lands within the configured 2% relative error
-    * (oracle asserts `true`; HLL++ is deterministic per dataset, and
-    * OperatorSpec additionally pins the error bound). */
+    * the estimate lands within 3σ of the configured 2% relative
+    * standard deviation (rsd is a 1-sigma figure, not a bound — a
+    * group erring 2-6% is within spec, and gating on 1σ would be
+    * deterministically red on such a dataset; round-2 ADVICE). HLL++
+    * is deterministic per dataset, and OperatorSpec pins the same 3σ
+    * envelope. */
   def q23(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(col("event_type"))
@@ -307,7 +310,7 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users") <= 0.02).as("within_2pct"))
+          col("exact_users") <= 0.06).as("within_3sigma"))
       .orderBy(col("event_type"))
 
   /** q24: window-function spread — lag/lead/ntile over each customer's
@@ -342,7 +345,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q23_approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
-        "true AS within_2pct FROM events GROUP BY event_type ORDER BY event_type"),
+        "true AS within_3sigma FROM events GROUP BY event_type ORDER BY event_type"),
     "q25_moving_window" ->
       ("SELECT month, rev_cents, n_orders, " +
         "CAST(sum(rev_cents) OVER w AS BIGINT) AS mov3_rev_cents, " +

@@ -17,7 +17,7 @@ object Sinks {
     * PlanSpec), so at scale it touches 1/NDV of the files. Returns a
     * per-hour census of the purchase partition. */
   def p01PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val tmp = graft.core.IO.scratchDir("graft-part")
     Tables.events(spark, dir)
       .write.mode("overwrite").partitionBy("event_type")
       .option("compression", "zstd").parquet(tmp)

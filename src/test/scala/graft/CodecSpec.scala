@@ -59,7 +59,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("all codecs flush→load→decode round-trip through zstd parquet") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-codec").toString
+    val dir = graft.core.IO.scratchDir("graft-codec")
     for ((name, codec) <- Codecs.all if name != "shredded") {
       val raw = flatDocs.toDF("doc")
       val enc = codec.encode(raw)
@@ -181,7 +181,7 @@ class CodecSpec extends AnyFunSuite {
   test("EP2 file flow: generator NDJSON → readNdjson → encode → flush → load → get") {
     // the reference's end-to-end lifecycle on real files (codec.rs:8-19
     // source + flush/load), driven by the generator corpus
-    val dir = java.nio.file.Files.createTempDirectory("graft-ep2").toString
+    val dir = graft.core.IO.scratchDir("graft-ep2")
     graft.gen.EventsGenerator.writeNdjson(spark, s"$dir/ndjson", 512, 0.3)
     val raw = graft.core.IO.readNdjson(spark, s"$dir/ndjson")
     assert(raw.count() == 512)

@@ -86,6 +86,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("q22_customer"))
   }
 
+  test("s03 centroid assignment aggregates (max_by) — no Window over the cross-join") {
+    val df = Similarity.s03AnnIvf(spark, sf)
+    val p = plan(df)
+    // the inverted-file argmax must be a partial-aggregating max_by, not
+    // a row_number window shuffling the full n×16 assignment join; the
+    // remaining windows (probe pick + final ranking) partition by qid
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"assignment should not rank via a per-vec_id Window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"expected partial-aggregating max_by before the shuffle:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must

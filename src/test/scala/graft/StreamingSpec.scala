@@ -71,7 +71,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("foreachBatch sink lands a partitioned table equal to the source") {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val out = graft.core.IO.scratchDir("graft-stream-sink")
     val q = StreamingOps.sinkPartitioned(StreamingOps.readEvents(spark, sf), out)
     q.processAllAvailable(); q.stop()
     val written = spark.read.parquet(out)

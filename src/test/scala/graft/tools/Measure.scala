@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only measurement harness (test scope — never ships): prints the
+  * recall / catch-rate numbers the no-oracle invariant queries gate on,
+  * so thresholds are set from MEASURED values at the driver's SFs, not
+  * guessed. Run: sbt "Test/runMain graft.tools.Measure"
+  */
+object Measure {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.s01KnnBrute(spark, sf), "query_id", "neighbor_id")
+      val ann = pairs(Similarity.s02AnnLsh(spark, sf), "query_id", "neighbor_id")
+      val recall = exact.intersect(ann).size.toDouble / exact.size
+      val d03 = pairs(Dedup.d03NgramJaccard(spark, sf), "ida", "idb")
+      val d05 = pairs(Dedup.d05SimHash(spark, sf), "ida", "idb")
+      val catchRate = d03.intersect(d05).size.toDouble / d03.size
+      println(s"MEASURE $sf s02_recall=$recall d05_catch=$catchRate d03_n=${d03.size}")
+    }
+    spark.stop()
+  }
+}
