@@ -36,4 +36,27 @@ object VariantCodec extends JsonCodec {
   def get(encoded: DataFrame, path: Seq[String]): DataFrame =
     encoded.select(
       variant_get(col("v"), path.mkString("$.", ".", ""), "string").as("result"))
+
+  /** Reference `flush` with Spark 4 VARIANT SHREDDING enabled: the
+    * writer infers a shredding schema and materializes typed columns
+    * next to the binary (the parquet-standard shredded layout) — the
+    * "modern equivalent" of the reference's shredded format (SURVEY
+    * §1.5): one write serves both the self-describing and the typed
+    * access paths. On read, `variant_get` over the result is rewritten
+    * by PushVariantIntoScan into a TYPED column scan with pushed
+    * filters — no binary decode on the hot path (pinned in PlanSpec).
+    * Session confs are restored after the write so other codecs'
+    * flushes are unaffected. */
+  def flushShredded(encoded: DataFrame, path: String): Unit = {
+    val conf = encoded.sparkSession.conf
+    val keys = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      keys.foreach(conf.set(_, "true"))
+      graft.core.IO.writeParquetZstd(encoded, path)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

@@ -84,7 +84,11 @@ object StreamingOps {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, n_events: Int, start: java.sql.Timestamp,
       end: java.sql.Timestamp, total_value: Double)
-  private case class SessionState(n: Int, startMs: Long, endMs: Long, total: Double)
+  // public: the streaming state serializer's GENERATED code (another
+  // package) must call the accessors/constructor — a private class
+  // compiles to restricted bytecode and Janino fails at runtime (the
+  // batch path never serializes state, so only streaming trips it)
+  case class SessionState(n: Int, startMs: Long, endMs: Long, total: Double)
 
   private val GapMs = 30L * 60 * 1000
 
@@ -92,7 +96,16 @@ object StreamingOps {
     * flatMapGroupsWithState — emits a session when a new event arrives
     * past the gap, carries the open one in state. On a bounded source
     * the final open session is emitted too (and state cleared), so the
-    * output is the complete sessionization of the batch. */
+    * output is the complete sessionization of the batch.
+    *
+    * BOUNDED-FEED ONLY: NoTimeout + the end-of-group flush means state
+    * for a user is only revisited when that user sends another event —
+    * on an unbounded feed a user who goes quiet would pin their open
+    * session in state forever, and each invocation buffers the user's
+    * full event group in memory for the sort. Deploy
+    * [[sessionizeStreaming]] on continuous sources: same gap
+    * semantics, but sessions close by EVENT-TIME TIMEOUT against the
+    * watermark, so state is bounded by concurrently-active users. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -116,6 +129,57 @@ object StreamingOps {
           close() // bounded-source semantics: flush the open session
           state.remove()
           out.iterator
+      }
+  }
+
+  /** The unbounded-feed sessionizer: same 30-minute-gap semantics as
+    * [[sessionize]], hardened for continuous sources. A user's open
+    * session lives in state with an event-time timeout at
+    * session_end + gap: when the WATERMARK passes that point no
+    * further event can extend the session (anything older is dropped
+    * by the watermark), so the state fires once, emits the session,
+    * and is evicted. State size is therefore bounded by the number of
+    * users active inside one watermark horizon — not by stream length
+    * — which is what makes per-user sessionization deployable on a
+    * 100 TB/day feed (keyed state shards by user_id across executors).
+    *
+    * Sessions close on TIMEOUT (watermark movement), not on batch end:
+    * a bounded test must advance the watermark past end + gap to see
+    * the final sessions (StreamingSpec does exactly that).
+    */
+  def sessionizeStreaming(
+      events: Dataset[Ev], watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def toSession(st: SessionState) =
+            Session(uid, st.n, new java.sql.Timestamp(st.startMs),
+              new java.sql.Timestamp(st.endMs), st.total)
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the session can no longer grow
+            val done = toSession(state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // batch arrival order within the group is not guaranteed
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              st = if (st.n == 0 || t - st.endMs > GapMs) {
+                if (st.n > 0) out += toSession(st) // gap crossed in-batch
+                SessionState(1, t, t, e.value)
+              } else SessionState(st.n + 1, st.startMs, t, st.total + e.value)
+            }
+            state.update(st)
+            // fire when no event can extend the session any more
+            state.setTimeoutTimestamp(st.endMs + GapMs)
+            out.iterator
+          }
       }
   }
 

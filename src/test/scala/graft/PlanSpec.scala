@@ -98,6 +98,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial-aggregating max_by before the shuffle:\n$p")
   }
 
+  test("shredded-variant write: variant_get reads a typed column scan with pushdown") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.core.Tables.events(spark, sf).select(col("props").as("doc"))
+    val enc = graft.codecs.VariantCodec.encode(raw)
+    val dir = graft.core.IO.scratchDir("graft-shred")
+    graft.codecs.VariantCodec.flushShredded(enc, s"$dir/v")
+    val loaded = spark.read.parquet(s"$dir/v")
+    val q = loaded.select(variant_get(col("v"), "$.k", "string").as("k"))
+      .filter(col("k").isNotNull)
+    val p = formatted(q)
+    // PushVariantIntoScan must rewrite the variant to its shredded
+    // TYPED field (struct<...:string>), not the binary variant blob...
+    assert(p.contains("v:struct<") && !p.contains("v:variant"),
+      s"scan should read the shredded typed column:\n$p")
+    // ...and push the field predicate into the parquet scan
+    assert(p.contains("IsNotNull(v.`"), s"typed-field filter not pushed:\n$p")
+    // values survive the shredded layout identically to the plain one
+    val viaShred = loaded.select(to_json(col("v")).as("doc"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val direct = graft.codecs.VariantCodec.decode(enc)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaShred == direct)
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must

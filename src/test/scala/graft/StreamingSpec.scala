@@ -85,6 +85,40 @@ class StreamingSpec extends AnyFunSuite {
       src.filter(col("event_type") === "purchase").count())
   }
 
+  test("streaming sessionizer closes sessions by event-time timeout, keeps open ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    // offset from epoch: the initial watermark is 0, and an event AT
+    // the watermark is dropped as late — epoch-0 timestamps vanish
+    def ts(min: Long) = new Timestamp((100 + min) * 60 * 1000)
+    val input = MemoryStream[StreamingOps.Ev](spark)
+    val sessions = StreamingOps.sessionizeStreaming(input.toDS())
+    val q = sessions.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("timeout_sessions").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one open session)
+      input.addData(StreamingOps.Ev(1L, ts(0), 1.0), StreamingOps.Ev(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").isEmpty,
+        "session still open — nothing may be emitted yet")
+      // batch 2: user 2 far in the future moves the watermark (10 min
+      // delay) past user 1's end+gap = 10+30 = 40 min; the timeout for
+      // user 1 fires on the following trigger
+      input.addData(StreamingOps.Ev(2L, ts(120), 5.0))
+      q.processAllAvailable()
+      // batch 3: empty-ish trigger so the new watermark is applied to
+      // timeout processing (watermark updates take effect next batch)
+      input.addData(StreamingOps.Ev(2L, ts(121), 6.0))
+      q.processAllAvailable()
+      val emitted = spark.table("timeout_sessions").as[StreamingOps.Session].collect()
+      assert(emitted.toSeq == Seq(StreamingOps.Session(1L, 2, ts(0), ts(10), 3.0)),
+        s"expected user 1's closed session, got ${emitted.toSeq}")
+      assert(!emitted.exists(_.user_id == 2L), "user 2's session must stay open in state")
+    } finally q.stop()
+  }
+
   test("sessionization: gap-consistent per-user sessions covering all events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
