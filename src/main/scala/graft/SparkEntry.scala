@@ -88,6 +88,8 @@ object SparkEntry {
     // Partitioned sink + skew-safe join (100 TB storage/shuffle posture)
     "p01_partitioned_sink" -> (Sinks.p01PartitionedSink _),
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),
+    // SQL-surface sessionization (batch face of the streaming op)
+    "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )
@@ -98,5 +100,6 @@ object SparkEntry {
     Relational.oracles ++ JsonOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       CodecLifecycle.oracles ++ Sinks.oracles ++
+      graft.streaming.StreamingOps.oracles ++
       graft.gen.EventsGenerator.oracles
 }

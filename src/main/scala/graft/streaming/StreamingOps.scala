@@ -87,10 +87,24 @@ object StreamingOps {
   // public: the streaming state serializer's GENERATED code (another
   // package) must call the accessors/constructor — a private class
   // compiles to restricted bytecode and Janino fails at runtime (the
-  // batch path never serializes state, so only streaming trips it)
-  case class SessionState(n: Int, startMs: Long, endMs: Long, total: Double)
+  // batch path never serializes state, so only streaming trips it).
+  // Times are MICROSECONDS since epoch: Timestamp.getTime truncates to
+  // millis and the events feed carries real microsecond components —
+  // milli state would silently report truncated session bounds (and
+  // disagree with the SQL-surface session_window form, which keeps
+  // full precision).
+  case class SessionState(n: Int, startUs: Long, endUs: Long, total: Double)
 
+  private val GapUs = 30L * 60 * 1000 * 1000
   private val GapMs = 30L * 60 * 1000
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def tsOfMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Session windows per user (30-minute inactivity gap) via
     * flatMapGroupsWithState — emits a session when a new event arrives
@@ -113,18 +127,21 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           // per-group arrival order is not guaranteed: sort by ts
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
           def close(): Unit = if (st.n > 0)
-            out += Session(uid, st.n, new java.sql.Timestamp(st.startMs),
-              new java.sql.Timestamp(st.endMs), st.total)
+            out += Session(uid, st.n, tsOfMicros(st.startUs),
+              tsOfMicros(st.endUs), st.total)
           for (e <- sorted) {
-            val t = e.ts.getTime
-            st = if (st.n == 0 || t - st.endMs > GapMs) {
+            val t = micros(e.ts)
+            // >= gap starts a new session — the same boundary rule as
+            // session_window's merge condition, so the declarative and
+            // stateful forms agree exactly
+            st = if (st.n == 0 || t - st.endUs >= GapUs) {
               close()
               SessionState(1, t, t, e.value)
-            } else SessionState(st.n + 1, st.startMs, t, st.total + e.value)
+            } else SessionState(st.n + 1, st.startUs, t, st.total + e.value)
           }
           close() // bounded-source semantics: flush the open session
           state.remove()
@@ -156,8 +173,8 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           def toSession(st: SessionState) =
-            Session(uid, st.n, new java.sql.Timestamp(st.startMs),
-              new java.sql.Timestamp(st.endMs), st.total)
+            Session(uid, st.n, tsOfMicros(st.startUs),
+              tsOfMicros(st.endUs), st.total)
           if (state.hasTimedOut) {
             // watermark passed end+gap: the session can no longer grow
             val done = toSession(state.get)
@@ -165,19 +182,20 @@ object StreamingOps {
             Iterator.single(done)
           } else {
             // batch arrival order within the group is not guaranteed
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, 0.0))
             for (e <- sorted) {
-              val t = e.ts.getTime
-              st = if (st.n == 0 || t - st.endMs > GapMs) {
+              val t = micros(e.ts)
+              st = if (st.n == 0 || t - st.endUs >= GapUs) {
                 if (st.n > 0) out += toSession(st) // gap crossed in-batch
                 SessionState(1, t, t, e.value)
-              } else SessionState(st.n + 1, st.startMs, t, st.total + e.value)
+              } else SessionState(st.n + 1, st.startUs, t, st.total + e.value)
             }
             state.update(st)
             // fire when no event can extend the session any more
-            state.setTimeoutTimestamp(st.endMs + GapMs)
+            // (timeout API is millis; round UP so we never fire early)
+            state.setTimeoutTimestamp(Math.ceil((st.endUs + GapUs) / 1000.0).toLong)
             out.iterator
           }
       }
@@ -194,6 +212,46 @@ object StreamingOps {
           .option("compression", "zstd").parquet(outDir)
       }
       .start()
+
+  /** st01: sessionization at the SQL surface — `session_window` (gap
+    * semantics: a new session starts when the inter-event gap is ≥ 30
+    * minutes; Spark merges overlapping [t, t+gap) windows). The same
+    * expression works verbatim over `readStream` with a watermark —
+    * this is the declarative face of [[sessionizeStreaming]], and the
+    * one to prefer when the per-session output is plain aggregates
+    * (Catalyst plans it as a streaming-capable session agg; custom
+    * state logic is the only reason to drop to
+    * flatMapGroupsWithState). Output reports [min(ts), max(ts)] per
+    * session so the DuckDB oracle (lag + running-sum sessionization)
+    * compares exactly. */
+  def st01SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "st01_session_window" ->
+      // classic SQL sessionization: flag gaps >= 30 min via lag, then a
+      // running sum of flags numbers the sessions (same >= boundary
+      // semantics as Spark's session_window merge rule)
+      ("WITH m AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"))
 
   /** Run the windowed aggregation to completion against a bounded
     * source (memory sink) — the batch-equivalence harness the tests

@@ -119,6 +119,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window SQL surface agrees with the stateful sessionizer") {
+    import spark.implicits._
+    val sql = StreamingOps.st01SessionWindow(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[StreamingOps.Ev]
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+    def f(t: java.sql.Timestamp) = fmt.format(t.toInstant)
+    // the stateful form reports the same [min ts, max ts] per session
+    // (full microsecond precision via Instant)
+    val stateful = StreamingOps.sessionize(ev).collect()
+      .map(s => (s.user_id, f(s.start), f(s.end),
+        s.n_events.toLong,
+        BigDecimal(s.total_value).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(sql == stateful,
+      s"only-in-sql=${(sql -- stateful).take(3)} only-in-stateful=${(stateful -- sql).take(3)}")
+  }
+
   test("sessionization: gap-consistent per-user sessions covering all events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
@@ -132,12 +154,13 @@ class StreamingSpec extends AnyFunSuite {
     sessions.foreach { s =>
       assert(!s.start.after(s.end), s"session start after end: $s")
     }
-    // per user: sessions don't overlap and are separated by > 30 min
+    // per user: sessions don't overlap and are separated by >= 30 min
+    // (the session_window boundary rule: diff >= gap starts a session)
     sessions.groupBy(_.user_id).foreach { case (_, ss) =>
       val sorted = ss.sortBy(_.start.getTime)
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          assert(b.start.getTime - a.end.getTime > 30L * 60 * 1000,
+          assert(b.start.getTime - a.end.getTime >= 30L * 60 * 1000,
             s"sessions closer than the gap: $a | $b")
         case _ => ()
       }
