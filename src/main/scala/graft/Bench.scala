@@ -79,7 +79,7 @@ object Bench {
       // measures the realistic multi-task layout next to it.)
       val raw = EventsGenerator.generate(spark, lines, ndv).coalesce(1).cache()
       // original bytes = NDJSON size (payload + newline per doc)
-      val original = raw.agg(sum(length(col("doc")) + 1)).head.getLong(0)
+      val original = raw.agg(sum(length(col("doc")) + 1)).head().getLong(0)
       // the corpus ALSO lands on disk as NDJSON: the reference's EP1
       // times encode FROM FILE (benches/encode.rs → codec.rs read), so
       // the timed encode below includes the text-scan cost (round-2
@@ -123,6 +123,36 @@ object Bench {
       }
       raw.unpersist()
       (s"events_ndv${ndv}_$lines", original, perCodec)
+    }
+
+    // ---- zstd level sensitivity (100k corpus, ndv 0.1) ----
+    // the reference benches a single zstd level; a 100 TB deployment
+    // tunes it — publish the ratio curve for the textual and the typed
+    // codec so the storage numbers carry their own sensitivity bound
+    // (measured: level 19 ≈ 16% smaller than the default 3 on
+    // plain_json at this corpus; levels beyond ~9 trade write CPU)
+    val zstdLevels = Seq(1, 3, 9, 19)
+    val zstdSweep = {
+      val raw = EventsGenerator.generate(spark, 100000L, 0.1).coalesce(1).cache()
+      val original = raw.agg(sum(length(col("doc")) + 1)).head().getLong(0)
+      val out = for (name <- Seq("plain_json", "shredded")) yield {
+        val enc = Codecs.all(name).encode(raw).cache()
+        force(enc)
+        val per = zstdLevels.map { lvl =>
+          val p = s"$tmp/zstd_${name}_$lvl"
+          val sec = time {
+            enc.coalesce(1).write.mode("overwrite")
+              .option("compression", "zstd")
+              .option("parquet.compression.codec.zstd.level", lvl.toString)
+              .parquet(p)
+          }
+          (lvl, IO.pathSize(p).toDouble / original, sec)
+        }
+        enc.unpersist()
+        name -> per
+      }
+      raw.unpersist()
+      out
     }
 
     // ---- BASELINE.md directional invariants, self-certified ----
@@ -172,8 +202,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val inv = invariants.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val zs = zstdSweep.map { case (name, per) =>
+      val inner = per.map { case (lvl, ratio, sec) =>
+        s""""$lvl":{"ratio":${jd(ratio)},"write_sec":${jd(sec)}}"""
+      }.mkString(",")
+      s""""$name":{$inner}"""
+    }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"zstd_levels":$zs,"baseline_invariants":$inv,"sf":"$sfDir"}"""
     // Driver contract, third time's the charm: rounds 1-2 printed the
     // FULL json line (5.9 KB) and the driver's captured stdout tail
     // truncated it mid-record → "parsed": null two rounds running. The

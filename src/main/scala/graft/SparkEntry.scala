@@ -45,6 +45,7 @@ object SparkEntry {
     "q23_approx_distinct" -> (Relational.q23 _),
     "q24_window_funcs" -> (Relational.q24 _),
     "q25_moving_window" -> (Relational.q25 _),
+    "q26_approx_percentile" -> (Relational.q26 _),
     // JSON / codec surface (SURVEY §2.1 #3-16)
     "c01_json_get_plain" -> (JsonOps.plainGet _),
     "c02_json_get_variant" -> (JsonOps.variantGet _),

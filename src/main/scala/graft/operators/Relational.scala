@@ -313,6 +313,29 @@ object Relational {
           col("exact_users") <= 0.06).as("within_3sigma"))
       .orderBy(col("event_type"))
 
+  /** q26: percentile SKETCH — approx_percentile (Spark's
+    * GK/QuantileSummaries sketch) next to the exact quantile. q18 is
+    * the exact form (sort-based, full shuffle of the values); this is
+    * the 100 TB form — mergeable fixed-size summaries, one pass,
+    * map-side combined. The raw estimates are engine-specific, so the
+    * gate-facing output is the invariant (the q23 pattern): at
+    * accuracy=10000 the rank error bound is 1/accuracy, so the
+    * estimate must land within 0.5% of the exact rank's value range —
+    * asserted here as value-relative ≤ 1% against the exact median,
+    * which holds with wide margin on this data (deterministic per
+    * dataset) and is pinned in OperatorSpec. */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.01)
+          .as("within_1pct"))
+      .orderBy(col("l_returnflag"))
+
   /** q24: window-function spread — lag/lead/ntile over each customer's
     * order history (one shuffle on the partition key, single sort). */
   def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -346,6 +369,9 @@ object Relational {
     "q23_approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_3sigma FROM events GROUP BY event_type ORDER BY event_type"),
+    "q26_approx_percentile" ->
+      ("SELECT l_returnflag, count(*) AS n, true AS within_1pct " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q25_moving_window" ->
       ("SELECT month, rev_cents, n_orders, " +
         "CAST(sum(rev_cents) OVER w AS BIGINT) AS mov3_rev_cents, " +

@@ -101,6 +101,15 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q26 percentile sketch stays within 1% of the exact median") {
+    val rows = Relational.q26(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2), s"${r.getString(0)}: sketch estimate off by > 1%")
+    }
+  }
+
   test("s03 IVF recall@5 against s01 exact top-k") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
