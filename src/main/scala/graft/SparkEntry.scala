@@ -79,6 +79,7 @@ object SparkEntry {
     // engine-specific; Similarity.s02AnnLsh is the operator)
     "s02_ann_lsh" -> (Similarity.s02AnnLshRecall _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
+    "s04_ann_ivf_kmeans" -> (Similarity.s04AnnIvfKmeans _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

@@ -121,6 +121,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("s04 k-means-refined IVF recall@5 against s01 exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.s01KnnBrute(spark, sf))
+    val ivf = pairs(Similarity.s04AnnIvfKmeans(spark, sf))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(s"k-means IVF recall@5 = $recall")
+    assert(recall >= 0.4, s"recall too low: $recall")
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard output (recall holds)") {
     val lsh = Dedup.d04MinHashLsh(spark, sf).collect().map(_.toSeq).toSet
     val exact = Dedup.d03NgramJaccard(spark, sf).collect().map(_.toSeq).toSet

@@ -119,6 +119,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window runs verbatim over readStream; finalized sessions match batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"),
+          col("n_events"), col("total_value"),
+          col("session_window.end").as("w_end"))
+    val agg = sessionAgg(StreamingOps.readEvents(spark, sf).withWatermark("ts", "10 minutes"))
+      .drop("w_end")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sw_stream").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("sw_stream").collect().map(key).toSet
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val batchRows = sessionAgg(ev).collect()
+    val batch = batchRows.map(key).toSet
+    // append mode emits a session once the watermark passes its window
+    // end; the final watermark on a bounded run is max(ts) - delay, so
+    // sessions ending strictly inside that horizon MUST all be out,
+    // and nothing may be emitted that batch doesn't have
+    val horizonMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime - 10 * 60 * 1000
+    val mustEmit = batchRows
+      .filter(_.getTimestamp(4).getTime < horizonMs - 1000).map(key).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"streamed sessions disagree with batch: ${(streamed -- batch).take(3)}")
+    assert(mustEmit.subsetOf(streamed),
+      s"watermark-cleared sessions missing: ${(mustEmit -- streamed).take(3)}")
+  }
+
   test("session_window SQL surface agrees with the stateful sessionizer") {
     import spark.implicits._
     val sql = StreamingOps.st01SessionWindow(spark, sf)
