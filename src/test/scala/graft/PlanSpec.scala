@@ -122,6 +122,20 @@ class PlanSpec extends AnyFunSuite {
     assert(viaShred == direct)
   }
 
+  test("st01 session_window aggregates partially before its one data shuffle") {
+    val p = plan(graft.streaming.StreamingOps.st01SessionWindow(spark, sf))
+    assert(p.contains("MergingSessions"), s"expected session-merge operator:\n$p")
+    assert(p.contains("partial_min"), s"expected partial (map-side) session agg:\n$p")
+  }
+
+  test("q26 percentile sketch is partial-aggregated (mergeable summaries)") {
+    val p = plan(Relational.q26(spark, sf))
+    assert(p.contains("partial_percentile_approx"),
+      s"sketch must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"),
+      s"scan should read only the two needed columns:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must
