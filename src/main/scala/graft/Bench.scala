@@ -111,15 +111,26 @@ object Bench {
         val loadSec = time(force(loaded))
         val decSec = time(force(codec.decode(loaded)))
         val querySec = time(force(codec.get(loaded, Seq("name"))))
+        // Spark 4 writes VariantType SHREDDED by default (typed columns
+        // inferred next to the binary), so the "variant" ratio above IS
+        // the shredded layout; publish the pure-binary (unshredded)
+        // layout next to it — the reference jsonb's true analog — so
+        // the shredding win is visible in the storage table
+        val shredExtra = if (name == "variant") {
+          val ps = s"$path-unshred"
+          graft.codecs.VariantCodec.flushUnshredded(enc, ps)
+          Map("ratio_unshredded" -> IO.pathSize(ps).toDouble / original)
+        } else Map.empty[String, Double]
         enc.unpersist()
         loaded.unpersist()
-        name -> Map(
+        name -> (Map(
           "bytes" -> bytes.toDouble,
           "ratio" -> bytes.toDouble / original,
           "bytes_8file" -> bytes8.toDouble,
           "ratio_8file" -> bytes8.toDouble / original,
           "encode_sec" -> encSec, "flush_sec" -> flushSec,
           "load_sec" -> loadSec, "decode_sec" -> decSec, "query_sec" -> querySec)
+          ++ shredExtra)
       }
       raw.unpersist()
       (s"events_ndv${ndv}_$lines", original, perCodec)

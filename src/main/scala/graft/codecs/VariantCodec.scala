@@ -37,7 +37,7 @@ object VariantCodec extends JsonCodec {
     encoded.select(
       variant_get(col("v"), path.mkString("$.", ".", ""), "string").as("result"))
 
-  /** Reference `flush` with Spark 4 VARIANT SHREDDING enabled: the
+  /** Reference `flush` with Spark 4 VARIANT SHREDDING pinned ON: the
     * writer infers a shredding schema and materializes typed columns
     * next to the binary (the parquet-standard shredded layout) — the
     * "modern equivalent" of the reference's shredded format (SURVEY
@@ -45,16 +45,31 @@ object VariantCodec extends JsonCodec {
     * access paths. On read, `variant_get` over the result is rewritten
     * by PushVariantIntoScan into a TYPED column scan with pushed
     * filters — no binary decode on the hot path (pinned in PlanSpec).
-    * Session confs are restored after the write so other codecs'
-    * flushes are unaffected. */
-  def flushShredded(encoded: DataFrame, path: String): Unit = {
+    *
+    * NOTE (measured, Spark 4.1.2): `writeShredding.enabled` and
+    * `inferShreddingSchema` both default to TRUE, so the plain [[flush]]
+    * already produces this layout — every "variant" storage ratio in
+    * the bench is the shredded layout. This method pins the behavior
+    * against environments with different session defaults;
+    * [[flushUnshredded]] is the explicit opt-out that writes the pure
+    * binary layout (the reference jsonb's true analog), benched as
+    * `ratio_unshredded`. Session confs are restored after the write. */
+  def flushShredded(encoded: DataFrame, path: String): Unit =
+    withShredding(encoded, "true")(graft.core.IO.writeParquetZstd(encoded, path))
+
+  /** Write the variant column UNSHREDDED — one binary value column, no
+    * inferred typed columns (see [[flushShredded]] note). */
+  def flushUnshredded(encoded: DataFrame, path: String): Unit =
+    withShredding(encoded, "false")(graft.core.IO.writeParquetZstd(encoded, path))
+
+  private def withShredding(encoded: DataFrame, on: String)(body: => Unit): Unit = {
     val conf = encoded.sparkSession.conf
     val keys = Seq("spark.sql.variant.writeShredding.enabled",
       "spark.sql.variant.inferShreddingSchema")
     val saved = keys.map(k => k -> conf.getOption(k))
     try {
-      keys.foreach(conf.set(_, "true"))
-      graft.core.IO.writeParquetZstd(encoded, path)
+      keys.foreach(conf.set(_, on))
+      body
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }
