@@ -59,7 +59,44 @@ object Sinks {
       .orderBy("event_id")
   }
 
+  /** p03: BUCKETED co-located join — both sides written bucketed by the
+    * join key (8 buckets, bucket-sorted), then joined with NO exchange:
+    * the bucketed scans satisfy the join's distribution requirement
+    * directly, so the only shuffle in the whole plan is the final
+    * orderBy (pinned in PlanSpec). This is the pre-partitioning story
+    * at 100 TB: pay the shuffle ONCE at write time, then every
+    * downstream join/agg on the bucket key is map-side. Semantically
+    * identical to p02's salted join (same oracle SQL) — p02 is the
+    * read-time answer to skew, p03 the write-time answer to repeated
+    * joins. */
+  def p03BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.core.IO.scratchDir("graft-bucket")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", s"$wh/events_b").saveAsTable("graft_events_bucketed")
+    ev.groupBy(col("user_id")).agg(avg(col("value")).as("user_avg"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", s"$wh/peruser_b").saveAsTable("graft_peruser_bucketed")
+    // merge hint: at the toy gate SFs the planner would broadcast the
+    // per-user side (correct there, impossible at 100 TB where both
+    // sides are fact-sized) and skip the bucketed scans entirely; the
+    // hint pins the plan this operator exists to demonstrate — a
+    // sort-merge join fed DIRECTLY by bucketed scans, zero exchanges
+    spark.table("graft_events_bucketed").hint("merge")
+      .join(spark.table("graft_peruser_bucketed"), Seq("user_id"))
+      .filter(col("value") > col("user_avg") * 2)
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p03_bucketed_join" ->
+      ("SELECT event_id, user_id FROM events JOIN (" +
+        "SELECT user_id AS u2, avg(value) AS user_avg FROM events GROUP BY 1) " +
+        "ON user_id = u2 WHERE value > user_avg * 2 ORDER BY event_id"),
     "p01_partitioned_sink" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +

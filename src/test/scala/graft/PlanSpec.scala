@@ -122,6 +122,16 @@ class PlanSpec extends AnyFunSuite {
     assert(viaShred == direct)
   }
 
+  test("p03 bucketed join: no exchange feeds the join (bucket co-location)") {
+    val df = operators.Sinks.p03BucketedJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge over bucketed scans:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans should be bucketed:\n$p")
+    // the ONLY exchange allowed is the final orderBy's range partition —
+    // the join itself must consume the bucketed layout directly
+    assert("Exchange".r.findAllIn(p).size <= 1, s"join should not shuffle:\n$p")
+  }
+
   test("st01 session_window aggregates partially before its one data shuffle") {
     val p = plan(graft.streaming.StreamingOps.st01SessionWindow(spark, sf))
     assert(p.contains("MergingSessions"), s"expected session-merge operator:\n$p")
