@@ -60,6 +60,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.t04Fingerprint _),
     "t05_tfidf" -> (TextOps.t05TfIdf _),
     "t06_bpe_tokens" -> (TextOps.t06BpeTokens _),
+    "t07_normalize" -> (TextOps.t07Normalize _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),

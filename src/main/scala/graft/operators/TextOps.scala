@@ -132,6 +132,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t07: normalization + redaction — the cleaning pass every training
+    * corpus goes through before dedup/tokenization: trim, collapse
+    * whitespace runs, lowercase, then redact digit runs to a
+    * placeholder. Pure map-only codegen'd expressions (one narrow scan,
+    * the final sort is the only exchange); the gate hash-compares the
+    * full normalized text byte-for-byte against DuckDB, so the regex
+    * and case semantics are pinned cross-engine (patterns restricted to
+    * classes where Java regex and RE2 agree). */
+  def t07Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    docs(spark, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        regexp_replace(norm, "[0-9]+", "<num>").as("norm_redacted"))
+      .orderBy("doc_id")
+  }
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -140,6 +158,12 @@ object TextOps {
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "t07_normalize" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, " +
+        "CAST(length(norm) AS BIGINT) AS n_chars_norm, " +
+        "regexp_replace(norm, '[0-9]+', '<num>', 'g') AS norm_redacted FROM (" +
+        "SELECT doc_id, text, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm " +
+        "FROM documents) ORDER BY doc_id"),
     "t04_fingerprint" ->
       ("SELECT count(*) AS n_docs, " +
         "count(DISTINCT regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n_distinct_fp " +
