@@ -64,13 +64,12 @@ object Bench {
 
     // ---- storage + codec lifecycle on the generated events corpus ----
     val tmp = IO.scratchDir("graft-bench")
-    // (ndv, lines) grid: the full 4-point NDV curve at 8192 lines
-    // matches the baseline's curve (benchmark_results.csv rows 18-33),
-    // so ratio_degrades_with_ndv is certified on the same points;
-    // 100000@0.1 is BASELINE.md's most dramatic row (the shredded
-    // format's order-of-magnitude win at scale).
+    // (ndv, lines) grid: the FULL 12-point grid BASELINE.md publishes
+    // (benchmark_results.csv rows 2-49: NDV ∈ {0.1,0.3,0.6,1.0} ×
+    // lines ∈ {1024, 8192, 100000}), so every cell of the reference's
+    // storage table has a directly comparable repo number.
     val ndvCurve = Seq(0.1, 0.3, 0.6, 1.0)
-    val grid = ndvCurve.map((_, 8192L)) :+ (0.1, 100000L)
+    val grid = Seq(1024L, 8192L, 100000L).flatMap(l => ndvCurve.map((_, l)))
     val storage = for ((ndv, lines) <- grid) yield {
       // coalesce(1): the reference flushes ONE row group per corpus
       // (SURVEY §1.2), and dictionary encoding only bites with all rows

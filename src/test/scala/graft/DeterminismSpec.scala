@@ -15,9 +15,13 @@ class DeterminismSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   // representative set: shuffle-heavy join/agg, window, LSH dedup,
-  // top-k ranking, set-op, generator
+  // top-k ranking, set-op, generator, plus the round-3 additions with
+  // nontrivial distribution behavior: k-means IVF (float-avg training),
+  // session windows, capped Jaccard, bucketed join
   val picks = Seq("q03_join_agg", "q07_window_topn", "d04_minhash_lsh",
-    "s01_knn_brute", "q09_setops", "g01_generator_ndv", "t05_tfidf")
+    "s01_knn_brute", "q09_setops", "g01_generator_ndv", "t05_tfidf",
+    "s04_ann_ivf_kmeans", "st01_session_window", "d08_ngram_jaccard_capped",
+    "p03_bucketed_join")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
