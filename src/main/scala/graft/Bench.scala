@@ -135,17 +135,19 @@ object Bench {
       (s"events_ndv${ndv}_$lines", original, perCodec)
     }
 
-    // ---- zstd level sensitivity (100k corpus, ndv 0.1) ----
-    // the reference benches a single zstd level; a 100 TB deployment
-    // tunes it — publish the ratio curve for the textual and the typed
-    // codec so the storage numbers carry their own sensitivity bound
-    // (measured: level 19 ≈ 16% smaller than the default 3 on
-    // plain_json at this corpus; levels beyond ~9 trade write CPU)
+    // ---- storage sensitivity sweeps (100k corpus, ndv 0.1) ----
+    // the reference benches one zstd level and one row-group layout; a
+    // 100 TB deployment tunes both — publish the curves so the storage
+    // numbers carry their own sensitivity bounds. Measured: zstd 19 is
+    // ~16% smaller than the default 3 on plain_json but ~20× the write
+    // CPU; row-group (block) size trades scan parallelism (one task
+    // per row group) against dictionary/compression locality.
     val zstdLevels = Seq(1, 3, 9, 19)
-    val zstdSweep = {
+    val blockSizes = Seq(1L << 20, 8L << 20, 128L << 20)
+    val (zstdSweep, blockSweep) = {
       val raw = EventsGenerator.generate(spark, 100000L, 0.1).coalesce(1).cache()
       val original = raw.agg(sum(length(col("doc")) + 1)).head().getLong(0)
-      val out = for (name <- Seq("plain_json", "shredded")) yield {
+      val zs = for (name <- Seq("plain_json", "shredded")) yield {
         val enc = Codecs.all(name).encode(raw).cache()
         force(enc)
         val per = zstdLevels.map { lvl =>
@@ -161,8 +163,19 @@ object Bench {
         enc.unpersist()
         name -> per
       }
+      val encS = Codecs.all("shredded").encode(raw).cache()
+      force(encS)
+      val bs = blockSizes.map { b =>
+        val p = s"$tmp/block_$b"
+        encS.coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("parquet.block.size", b.toString)
+          .parquet(p)
+        (b, IO.pathSize(p).toDouble / original)
+      }
+      encS.unpersist()
       raw.unpersist()
-      out
+      (zs, bs)
     }
 
     // ---- BASELINE.md directional invariants, self-certified ----
@@ -218,8 +231,10 @@ object Bench {
       }.mkString(",")
       s""""$name":{$inner}"""
     }.mkString("{", ",", "}")
+    val bsj = blockSweep.map { case (b, ratio) => s""""$b":${jd(ratio)}""" }
+      .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"zstd_levels":$zs,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
     // Driver contract, third time's the charm: rounds 1-2 printed the
     // FULL json line (5.9 KB) and the driver's captured stdout tail
     // truncated it mid-record → "parsed": null two rounds running. The

@@ -1,4 +1,5 @@
 package graft
+// (parquet footer inspection for the shredding-layout test)
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.codecs._
@@ -199,5 +200,33 @@ class CodecSpec extends AnyFunSuite {
     assert(Codecs("jsonc").name == "jsonc")
     assert(Codecs("variant").name == "variant")
     intercept[IllegalArgumentException] { Codecs("nope") }
+  }
+
+  test("variant flushShredded/flushUnshredded produce the claimed parquet layouts") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.gen.EventsGenerator.generate(spark, 256, 0.5).coalesce(1)
+    val enc = graft.codecs.VariantCodec.encode(raw)
+    val dir = graft.core.IO.scratchDir("graft-shredlayout")
+    graft.codecs.VariantCodec.flushShredded(enc, s"$dir/s")
+    graft.codecs.VariantCodec.flushUnshredded(enc, s"$dir/u")
+    // inspect the physical parquet schema via the footer, not the Spark
+    // reader (which reassembles a VariantType either way)
+    def footerSchema(d: String): String = {
+      val f = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema.toString finally r.close()
+    }
+    assert(footerSchema(s"$dir/s").contains("typed_value"),
+      "shredded write must materialize typed columns")
+    assert(!footerSchema(s"$dir/u").contains("typed_value"),
+      "unshredded write must be the pure binary layout")
+    // both layouts round-trip the same values
+    def vals(p: String) = spark.read.parquet(p)
+      .select(to_json(col("v"))).as[String].collect().sorted.toSeq
+    assert(vals(s"$dir/s") == vals(s"$dir/u"))
   }
 }
