@@ -92,6 +92,7 @@ object SparkEntry {
     "p01_partitioned_sink" -> (Sinks.p01PartitionedSink _),
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),
     "p03_bucketed_join" -> (Sinks.p03BucketedJoin _),
+    "p04_split_census" -> (Sinks.p04SplitCensus _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)

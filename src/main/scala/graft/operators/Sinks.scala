@@ -92,7 +92,29 @@ object Sinks {
       .orderBy("event_id")
   }
 
+  /** p04: reproducible train/val/test split census — the assignment is
+    * a pure function of the stable id (multiplicative hash → per-mille
+    * bucket → 98/1/1), so it is identical across engines, re-runs,
+    * partitionings and cluster sizes: the property a training pipeline
+    * needs so that later stages (dedup, tokenization, sharding) can
+    * re-derive membership without a join against a stored assignment.
+    * Map-only until the tiny 3-group census agg. */
+  def p04SplitCensus(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000))
+    val split = when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    Tables(spark, dir, "documents")
+      .select(split.as("split"), length(col("text")).as("chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "p04_split_census" ->
+      ("SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM (" +
+        "SELECT text, (doc_id * 2654435761) % 1000 AS b FROM documents) " +
+        "GROUP BY split ORDER BY split"),
     "p03_bucketed_join" ->
       ("SELECT event_id, user_id FROM events JOIN (" +
         "SELECT user_id AS u2, avg(value) AS user_avg FROM events GROUP BY 1) " +
