@@ -249,10 +249,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // compact summary (< 1 KB): total, invariants, sf, detail pointer
-    val summary = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":${queryTimes.size},"queries_failed":${queryTimes.count(_._2 < 0)},"baseline_invariants":$inv,"sf":"$sfDir","detail":"$outFile"}"""
+    val summary = summaryLine(total, queryTimes.size,
+      queryTimes.count(_._2 < 0), inv, sfDir, outFile)
     IO.deleteRecursively(java.nio.file.Paths.get(tmp)) // scratch gone before exit
     spark.stop() // stop BEFORE the JSON line so no shutdown logs trail it
     println(summary)
+  }
+
+  /** The compact stdout line — the driver's machine-readable handoff.
+    * MUST stay well under 1 KB: rounds 1-2 printed the full 5.9 KB
+    * bench JSON and the driver's captured stdout tail truncated it
+    * mid-record ("parsed": null two rounds running). ContractSpec pins
+    * the size bound and JSON shape. */
+  private[graft] def summaryLine(total: Double, nQueries: Int, nFailed: Int,
+      invJson: String, sfDir: String, outFile: String): String = {
+    def jd(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6f"
+    s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
   }
 }

@@ -17,6 +17,19 @@ class ContractSpec extends AnyFunSuite {
     qs.foreach(k => assert(k.matches("[a-z][a-z0-9_]+"), s"odd key: $k"))
   }
 
+  test("bench summary line stays far under the driver's stdout-tail budget") {
+    val inv = """{"a":true,"b":true,"c":true,"d":true,"e":false}"""
+    val line = Bench.summaryLine(12345.678901, 63, 0, inv,
+      "/root/testdata/sf0.1", "/some/long/output/path/bench.json")
+    assert(line.length < 1024, s"summary line too long (${line.length}B): $line")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(!line.contains("\n"))
+    // must carry the driver-contract fields
+    Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+      "\"baseline_invariants\":", "\"sf\":").foreach(f =>
+      assert(line.contains(f), s"missing $f in $line"))
+  }
+
   test("oracle SQL is single-statement and DuckDB-parameter-free") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains(";"), s"$k: multi-statement oracle")
