@@ -154,14 +154,6 @@ object Dedup {
   private val MinHashPerms = 32
   private val BandRows = 2 // 16 bands × 2 rows: P(catch | j=0.9) ≈ 1-1e-11
 
-  /** MinHash signature: perm p's hash of shingle s is xxhash64(s, p);
-    * signature slot p is the min over the doc's shingles — all
-    * built-in array expressions. */
-  def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinHashPerms - 1)),
-      p => array_min(transform(sh, s => xxhash64(s, p))))
-
-
   /** d04: MinHash + LSH banding near-dup detection. Bands hash r
     * consecutive signature slots; docs colliding in any band become
     * candidates; exact Jaccard verifies. Output equals d03 whenever

@@ -18,16 +18,20 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** t01: token statistics — narrow map-only pass over the scan. */
+  /** t01: token statistics — narrow map-only pass over the scan, all
+    * codegen'd built-ins. Sum of token lengths ≡ count of
+    * non-whitespace chars (tokens() splits on \s+), so the average
+    * token length needs no per-token array walk — the interpreted
+    * aggregate(transform(...)) HOF this replaced re-walked every
+    * doc's token array per row (NOTES.md HOF pitfall). */
   def t01Tokens(spark: SparkSession, dir: String): DataFrame = {
     val w = tokens(col("text"))
+    val nonWsChars = length(regexp_replace(col("text"), "\\s", ""))
     docs(spark, dir).select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_uniq"),
-        round(
-          aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
-            .cast("double") / size(w), 4).as("avg_token_len"))
+        round(nonWsChars.cast("double") / size(w), 4).as("avg_token_len"))
       .orderBy("doc_id")
   }
 
