@@ -26,6 +26,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Locale-proof JSON number rendering: the default-locale f"" /
+    * String.format would print decimal COMMAS on e.g. a de_DE JVM and
+    * silently break the machine-readable output. */
+  private def jd(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+    else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+
   /** Force full evaluation of every column without driver collect. */
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -56,10 +63,12 @@ object Bench {
     // spaced runs is the steady-state cost of the plan.
     val BenchReps = 2
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        Seq.fill(BenchReps)(time(force(fn(spark, sfDir)))).min
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+      // each rep in its own try: a transient failure on rep 2 must not
+      // discard rep 1's valid measurement (min of the successes; -1
+      // only when every rep failed)
+      val reps = Seq.fill(BenchReps)(
+        try Some(time(force(fn(spark, sfDir)))) catch { case _: Throwable => None })
+      name -> reps.flatten.minOption.getOrElse(-1.0)
     }
 
     // ---- storage + codec lifecycle on the generated events corpus ----
@@ -214,8 +223,6 @@ object Bench {
         (ratio("events_ndv1.0_8192", "jsonc") > ratio("events_ndv1.0_8192", "plain_json")))
 
     // ---- emit ----
-    def jd(d: Double): String =
-      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6f"
     val qs = queryTimes.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val st = storage.map { case (key, original, perCodec) =>
       val inner = perCodec.map { case (c, m) =>
@@ -262,9 +269,6 @@ object Bench {
     * mid-record ("parsed": null two rounds running). ContractSpec pins
     * the size bound and JSON shape. */
   private[graft] def summaryLine(total: Double, nQueries: Int, nFailed: Int,
-      invJson: String, sfDir: String, outFile: String): String = {
-    def jd(d: Double): String =
-      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6f"
+      invJson: String, sfDir: String, outFile: String): String =
     s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
-  }
 }

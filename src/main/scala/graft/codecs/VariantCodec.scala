@@ -62,6 +62,11 @@ object VariantCodec extends JsonCodec {
   def flushUnshredded(encoded: DataFrame, path: String): Unit =
     withShredding(encoded, "false")(graft.core.IO.writeParquetZstd(encoded, path))
 
+  /** NOT thread-safe across writers: this toggles SESSION-level conf
+    * around the write, so a concurrent variant parquet write on the
+    * same SparkSession could observe the temporary setting. Callers
+    * needing concurrent mixed-layout writes should clone the session
+    * (`spark.newSession()`) per writer. */
   private def withShredding(encoded: DataFrame, on: String)(body: => Unit): Unit = {
     val conf = encoded.sparkSession.conf
     val keys = Seq("spark.sql.variant.writeShredding.enabled",

@@ -120,7 +120,10 @@ object Similarity {
         count(lit(1)).as("n_exact"))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_queries"), col("n_exact"),
-        (col("n_hit").cast("double") / col("n_exact") >= RecallFloor).as("recall_ok"))
+        // vacuous-safe: no exact neighbors (degenerate corpus) must
+        // read true, not NULL, to match the oracle
+        (col("n_exact") === 0 ||
+          col("n_hit").cast("double") / col("n_exact") >= RecallFloor).as("recall_ok"))
   }
 
   private val IvfCentroids = 16

@@ -71,22 +71,29 @@ object Sinks {
     * joins. */
   def p03BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val wh = graft.core.IO.scratchDir("graft-bucket")
+    // per-call unique table names: bucketBy requires catalog tables,
+    // and a FIXED name would make concurrent callers on one session
+    // clobber each other's data mid-query (catalog entries are
+    // in-memory and session-scoped, so uniqueness costs nothing)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val evT = s"graft_events_bucketed_$tag"
+    val puT = s"graft_peruser_bucketed_$tag"
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
     ev.write.mode("overwrite").format("parquet")
       .bucketBy(8, "user_id").sortBy("user_id")
-      .option("path", s"$wh/events_b").saveAsTable("graft_events_bucketed")
+      .option("path", s"$wh/events_b").saveAsTable(evT)
     ev.groupBy(col("user_id")).agg(avg(col("value")).as("user_avg"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "user_id").sortBy("user_id")
-      .option("path", s"$wh/peruser_b").saveAsTable("graft_peruser_bucketed")
+      .option("path", s"$wh/peruser_b").saveAsTable(puT)
     // merge hint: at the toy gate SFs the planner would broadcast the
     // per-user side (correct there, impossible at 100 TB where both
     // sides are fact-sized) and skip the bucketed scans entirely; the
     // hint pins the plan this operator exists to demonstrate — a
     // sort-merge join fed DIRECTLY by bucketed scans, zero exchanges
-    spark.table("graft_events_bucketed").hint("merge")
-      .join(spark.table("graft_peruser_bucketed"), Seq("user_id"))
+    spark.table(evT).hint("merge")
+      .join(spark.table(puT), Seq("user_id"))
       .filter(col("value") > col("user_avg") * 2)
       .select(col("event_id"), col("user_id"))
       .orderBy("event_id")

@@ -142,10 +142,12 @@ object TextOps {
     * placeholder. Pure map-only codegen'd expressions (one narrow scan,
     * the final sort is the only exchange); the gate hash-compares the
     * full normalized text byte-for-byte against DuckDB, so the regex
-    * and case semantics are pinned cross-engine (patterns restricted to
-    * classes where Java regex and RE2 agree). */
+    * and case semantics are pinned cross-engine. The whitespace class
+    * is EXPLICIT, not \s: Java's \s includes vertical tab (0x0B), RE2's
+    * does not — with a byte-compare gate that divergence would go red
+    * the moment a corpus carries a 0x0B. */
   def t07Normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val norm = lower(regexp_replace(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))
     docs(spark, dir).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
@@ -166,7 +168,7 @@ object TextOps {
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, " +
         "CAST(length(norm) AS BIGINT) AS n_chars_norm, " +
         "regexp_replace(norm, '[0-9]+', '<num>', 'g') AS norm_redacted FROM (" +
-        "SELECT doc_id, text, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm " +
+        "SELECT doc_id, text, lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm " +
         "FROM documents) ORDER BY doc_id"),
     "t04_fingerprint" ->
       ("SELECT count(*) AS n_docs, " +

@@ -96,7 +96,6 @@ object StreamingOps {
   case class SessionState(n: Int, startUs: Long, endUs: Long, total: Double)
 
   private val GapUs = 30L * 60 * 1000 * 1000
-  private val GapMs = 30L * 60 * 1000
 
   private def micros(t: java.sql.Timestamp): Long = {
     val i = t.toInstant
@@ -190,7 +189,15 @@ object StreamingOps {
               st = if (st.n == 0 || t - st.endUs >= GapUs) {
                 if (st.n > 0) out += toSession(st) // gap crossed in-batch
                 SessionState(1, t, t, e.value)
-              } else SessionState(st.n + 1, st.startUs, t, st.total + e.value)
+              } else
+                // MERGE, don't append: a watermark-admitted late event
+                // can precede the stored session bounds (it arrives in a
+                // LATER batch than in-session events already processed),
+                // so the bounds widen by min/max — assigning end := t
+                // unconditionally would REGRESS the session end and both
+                // misclassify the next gap and fire the timeout early
+                SessionState(st.n + 1, Math.min(st.startUs, t),
+                  Math.max(st.endUs, t), st.total + e.value)
             }
             state.update(st)
             // fire when no event can extend the session any more

@@ -119,6 +119,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionizer merges watermark-admitted LATE events without regressing bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp((100 + min) * 60 * 1000)
+    val input = MemoryStream[StreamingOps.Ev](spark)
+    val q = StreamingOps.sessionizeStreaming(input.toDS()).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("late_sessions").start()
+    try {
+      input.addData(StreamingOps.Ev(1L, ts(60), 1.0)) // 13:40; watermark → 13:30
+      q.processAllAvailable()
+      // LATE but admitted (13:31 > watermark): must WIDEN the open
+      // session backwards, not overwrite its end
+      input.addData(StreamingOps.Ev(1L, ts(51), 2.0))
+      q.processAllAvailable()
+      // 14:05 is 25 min after the TRUE end (13:40): same session. With
+      // the regressed end (13:31) it would have been 34 min — a bogus
+      // session split (the bug this test pins)
+      input.addData(StreamingOps.Ev(1L, ts(85), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past end+gap, then one more trigger
+      // so the timeout fires
+      input.addData(StreamingOps.Ev(2L, ts(300), 0.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.Ev(2L, ts(301), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions").as[StreamingOps.Session]
+        .collect().filter(_.user_id == 1L).toSeq
+      assert(got == Seq(StreamingOps.Session(1L, 3, ts(51), ts(85), 7.0)),
+        s"expected one merged session, got $got")
+    } finally q.stop()
+  }
+
   test("session_window runs verbatim over readStream; finalized sessions match batch") {
     import org.apache.spark.sql.streaming.OutputMode
     def sessionAgg(df: org.apache.spark.sql.DataFrame) =
