@@ -42,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("jsonc_encode"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.codecs.JsoncEncodeExpr].getName, "jsonc_encode"),
-        one("jsonc_encode", graft.codecs.JsoncEncodeExpr) _))
+        one("jsonc_encode", graft.codecs.JsoncEncodeExpr.apply) _))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("jsonc_decode"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -30,7 +30,7 @@ final class ShreddedCodec(val name: String, val schema: StructType) extends Json
       .select(col("shred.*"))
 
   def decode(encoded: DataFrame): DataFrame =
-    encoded.select(to_json(struct(schema.fieldNames.map(col): _*)).as("doc"))
+    encoded.select(to_json(struct(schema.fieldNames.toIndexedSeq.map(col): _*)).as("doc"))
 
   /** On the shredded form a dot path is literally a nested-column access —
     * the lookup is pure column pruning, no JSON machinery at all. */
