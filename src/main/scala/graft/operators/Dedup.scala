@@ -317,20 +317,19 @@ object Dedup {
     * (e.g. feed into cosine + threshold). This is the bucketed tier the
     * blocked-exact d06 deliberately does not use at τ=0.45 — see the
     * d06 scaladoc. */
+  private[graft] val LshSeed = 4242L
+
   private[graft] def lshCosineCandidates(
       emb: DataFrame, dim: Int, bitsB: Int, bandsL: Int): DataFrame = {
-    import graft.functions.VectorFunctions.array_dot
-    val rnd = new scala.util.Random(4242)
-    val planes = Array.fill(bandsL * bitsB, dim)(rnd.nextGaussian())
-    val bandKey = (band: Int) => (0 until bitsB).map { b =>
-      val d = array_dot(col("e"), typedLit(planes(band * bitsB + b).toSeq))
-      when(d >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val bandStructs = (0 until bandsL).map(b =>
-      struct(lit(b).as("band"), bandKey(b).as("bh")))
-    val keyed = emb.select(col("vec_id"), col("e"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // native one-pass band keys (graft.functions.CosineBandKeys): the
+    // composable form projected bitsB×bandsL separate array_dot
+    // expressions per row; this computes the identical keys (same
+    // seeded planes, same accumulation order — pinned by the planted
+    // fixture) in one codegen'd operator
+    val keyed = emb.select(col("vec_id"),
+        posexplode(graft.functions.CosineLshFunctions.cosine_band_keys(
+          col("e"), LshSeed, bitsB, bandsL)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
     keyed.hint("shuffle_hash").as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -46,24 +46,16 @@ object Similarity {
   }
 
   private val NumPlanes = 8
+  private val LshSeed = 42L
 
-  /** Deterministic random hyperplanes (seeded PRNG, materialized as a
-    * literal — no runtime randomness, so plans are reproducible). */
-  private def planes(dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, dim)(rnd.nextGaussian())
-  }
-
-  /** Sign-bit bucket id of a vector under the fixed hyperplanes
-    * (native array_dot — the HOF form runs interpreted). */
-  private def bucketOf(e: Column, dim: Int): Column = {
-    import graft.functions.VectorFunctions.array_dot
-    val ps = planes(dim)
-    (0 until NumPlanes).map { p =>
-      val d = array_dot(e, typedLit(ps(p).toSeq))
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Sign-bit bucket id of a vector under the fixed seeded hyperplanes
+    * — the native one-pass CosineBandKeys expression with a single
+    * band of NumPlanes bits (same seeded plane matrix and bit order as
+    * the previous per-plane array_dot formulation, so bucket ids are
+    * unchanged). */
+  private def bucketOf(e: Column, dim: Int): Column =
+    graft.functions.CosineLshFunctions.cosine_band_keys(e, LshSeed, NumPlanes, 1)
+      .getItem(0).cast("long")
 
   /** s02: LSH-bucketed ANN. Corpus hashed once into sign-bit buckets;
     * each query probes its own bucket plus all 1-bit-flip neighbors
