@@ -48,6 +48,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q25's moving window is a DELIBERATE global window over a bounded
+    // monthly aggregate (see Relational.q25 scaladoc) — WindowExec's
+    // "No Partition Defined" warning is a known false positive there
+    // and was spamming the driver's captured stdout tail. Lower exactly
+    // that one logger; every other WARN still surfaces.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // JVM/codegen warmup so the first timed query doesn't absorb
     // executor startup + first-compile costs — include one real parquet

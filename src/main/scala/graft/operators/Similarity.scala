@@ -69,6 +69,14 @@ object Similarity {
     val all = emb(spark, dir).withColumn("bucket", bucketOf(col("e"), dim))
     val queries = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket").as("qb"))
+    // hot-bucket cap on the CORPUS side of the probe join (queries keep
+    // their own vectors): one degenerate bucket — e.g. all near-zero
+    // vectors sharing a sign pattern — would otherwise put k corpus
+    // rows under one join key and every probe of it pays k candidate
+    // events. Same corpus-relative cap + census as the Dedup band joins
+    // (Dedup.capBandBuckets scaladoc has the full rationale).
+    val capped = Dedup.capBandBuckets(all, Seq("bucket"),
+      Dedup.bandCap(Tables(spark, dir, "embeddings").count()))
     // multi-probe: own bucket + every ≤2-bit flip (1 + n + n(n-1)/2 probes)
     val flips: Seq[Long] = 0L +:
       ((0 until NumPlanes).map(p => 1L << p) ++
@@ -77,7 +85,7 @@ object Similarity {
     val probes = queries
       .withColumn("flip", explode(array(flips.map(lit(_)): _*)))
       .select(col("qid"), col("qe"), col("qb").bitwiseXOR(col("flip")).as("probe"))
-    val cands = probes.join(all, col("probe") === col("bucket") && col("vec_id") =!= col("qid"))
+    val cands = probes.join(capped, col("probe") === col("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), Dedup.cosine(col("qe"), col("e")).as("c"))
       .distinct()
     val w = Window.partitionBy(col("qid"))
@@ -87,6 +95,19 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
         col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** s02's bucket-occupancy census vs its cap — unioned into
+    * [[Dedup.lshBucketCensus]]'s published artifact by the bench. */
+  def s02BucketCensus(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).withColumn("bucket", bucketOf(col("e"), 64))
+    val cap = Dedup.bandCap(Tables(spark, dir, "embeddings").count())
+    all.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .agg(lit("s02_signlsh").as("op"), lit(cap).as("cap"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("n_skipped_buckets"),
+        coalesce(sum(when(col("bn") > cap, col("bn"))), lit(0L)).as("n_skipped_rows"))
   }
 
   private val RecallFloor = 0.15

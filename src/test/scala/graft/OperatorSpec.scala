@@ -285,4 +285,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getLong(0) == expect.getLong(0))
     assert(row.getLong(1) == expect.getLong(1))
   }
+
+  test("band-bucket cap bounds the degenerate-key pair blowup, keeps real clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted degenerate band key: 200 rows under ONE (band, bh) key
+    // (the all-zero simhash band of boilerplate docs) next to healthy
+    // buckets of ≤ 3 members — the exact k² failure mode the cap guards
+    val degenerate = (0L until 200L).map(i => (i, 0, 0L))
+    val healthy = (0L until 90L).map(i => (1000L + i, 1, i / 3))
+    val keyed = (degenerate ++ healthy).toDF("doc_id", "band", "bh")
+    val capped = Dedup.capBandBuckets(keyed, Seq("band", "bh"), maxBucket = 64L)
+    // the 200-member bucket is skipped wholesale; every healthy bucket
+    // (3 ≤ 64 members) survives untouched — so the self-join emits the
+    // healthy buckets' pair events and ZERO of the degenerate key's
+    // 200·199/2 = 19900
+    val pairEvents = capped.as("a").join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .count()
+    assert(pairEvents == 90L, s"expected 30 healthy buckets × 3 pairs, got $pairEvents")
+    assert(capped.count() == 90L, "degenerate bucket rows must leave the join entirely")
+    // and the skip is PUBLISHED, not silent: the census form reports it
+    val census = keyed.groupBy($"band", $"bh").agg(count(lit(1)).as("bn"))
+      .agg(sum(when($"bn" > 64, 1L).otherwise(0L)).as("n_skipped")).collect().head
+    assert(census.getLong(0) == 1L)
+  }
+
+  test("lshBucketCensus: no real bucket near the cap at the gate SF (caps don't bite)") {
+    // the d04=d03 equality and d05/d09/s02 invariant gates all assume
+    // the cap only ever bites DEGENERATE keys at the driver SFs — pin
+    // that assumption where it's cheap (sf0.001)
+    val rows = Dedup.lshBucketCensus(spark, sf)
+      .unionAll(Similarity.s02BucketCensus(spark, sf)).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"${r.getString(0)}: skipped rows at gate SF")
+    }
+  }
+
+  test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
+    import spark.implicits._
+    // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
+    // overflows int64 (Spark wraps, DuckDB raises); the modular-reduced
+    // form must equal the TRUE unbounded product mod 1000
+    val ids = Seq(0L, 1L, 999L, 3500000000L, (1L << 62) - 1, 1L << 62, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select(Sinks.splitBucket(org.apache.spark.sql.functions.col("doc_id")))
+      .collect().map(_.getLong(0))
+    val want = ids.map(id => ((BigInt(id) * BigInt(2654435761L)) mod 1000).toLong)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
 }
