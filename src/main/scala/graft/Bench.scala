@@ -69,15 +69,55 @@ object Bench {
     // number (round-2 judge: q01 measured 15.2s right after p01/p02's
     // write churn, vs 1.7s for the same-shaped q06). The min of two
     // spaced runs is the steady-state cost of the plan.
+    //
+    // Reps are PUBLISHED (per-rep times + spread in bench.json), and a
+    // spread over 2× escalates to a third rep: round 3's driver window
+    // hit a multi-minute contention burst that inflated d03/d05/st01
+    // ~10× in BOTH back-to-back reps (d03 reported 19.96 s while d07,
+    // which computes d03 as its input, reported 2.37 s — mutually
+    // impossible), and min-of-2 can't defend against a burst longer
+    // than the pair. The third, later rep usually lands outside the
+    // burst; when even three disagree >2× the spread column flags the
+    // number as contention-tainted instead of presenting it as truth.
     val BenchReps = 2
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val SpreadEscalate = 2.0
+    def measure(fn: (SparkSession, String) => DataFrame): (Double, Seq[Double], Double) = {
       // each rep in its own try: a transient failure on rep 2 must not
       // discard rep 1's valid measurement (min of the successes; -1
       // only when every rep failed)
-      val reps = Seq.fill(BenchReps)(
-        try Some(time(force(fn(spark, sfDir)))) catch { case _: Throwable => None })
-      name -> reps.flatten.minOption.getOrElse(-1.0)
+      def rep(): Option[Double] =
+        try Some(time(force(fn(spark, sfDir)))) catch { case _: Throwable => None }
+      var reps = Seq.fill(BenchReps)(rep()).flatten
+      if (reps.size >= 2 && reps.max / reps.min > SpreadEscalate)
+        reps = reps ++ rep()
+      val spread = if (reps.size >= 2) reps.max / reps.min else 1.0
+      (reps.minOption.getOrElse(-1.0), reps, spread)
     }
+    val queryMeasures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> measure(fn)
+    }
+    val queryTimes = queryMeasures.map { case (name, (best, _, _)) => name -> best }
+
+    // ---- raw operators behind the invariant gates ----
+    // d05's and d09's GATE queries embed their exact truth-side replica
+    // (by design — the invariant must be engine-independent), so their
+    // gate wall-times are mostly oracle cost. Time the raw operators
+    // separately so an operator regression is visible on its own line
+    // (round-3 judge item 4).
+    val operatorMeasures = Seq[(String, (SparkSession, String) => DataFrame)](
+      "d05_simhash_op" -> (graft.operators.Dedup.d05SimHash _),
+      "d09_lsh_cosine_op" -> (graft.operators.Dedup.d09RawPairs _)
+    ).map { case (name, fn) => name -> measure(fn) }
+
+    // ---- LSH band-bucket cap census ----
+    // the hot-bucket caps skip oversized buckets; the skip counts are
+    // published here so a corpus whose boilerplate hits the caps shows
+    // up in the artifact, not in a silent recall drop
+    val bucketCensus = graft.operators.Dedup.lshBucketCensus(spark, sfDir)
+      .unionAll(graft.operators.Similarity.s02BucketCensus(spark, sfDir))
+      .collect().toSeq.map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      }
 
     // ---- storage + codec lifecycle on the generated events corpus ----
     val tmp = IO.scratchDir("graft-bench")
@@ -232,6 +272,17 @@ object Bench {
 
     // ---- emit ----
     val qs = queryTimes.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
+    def repsJson(ms: Seq[(String, (Double, Seq[Double], Double))]): String =
+      ms.map { case (k, (_, reps, spread)) =>
+        s""""$k":{"reps":[${reps.map(jd).mkString(",")}],"spread":${jd(spread)}}"""
+      }.mkString("{", ",", "}")
+    val qreps = repsJson(queryMeasures)
+    val ops = operatorMeasures.map { case (k, (best, _, _)) => s""""$k":${jd(best)}""" }
+      .mkString("{", ",", "}")
+    val opreps = repsJson(operatorMeasures)
+    val lsh = bucketCensus.map { case (op, cap, nb, mx, skb, skr) =>
+      s""""$op":{"cap":$cap,"n_buckets":$nb,"max_bucket":$mx,"n_skipped_buckets":$skb,"n_skipped_rows":$skr}"""
+    }.mkString("{", ",", "}")
     val st = storage.map { case (key, original, perCodec) =>
       val inner = perCodec.map { case (c, m) =>
         s""""$c":{${m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jd(v)}""" }.mkString(",")}}"""
@@ -249,7 +300,7 @@ object Bench {
     val bsj = blockSweep.map { case (b, ratio) => s""""$b":${jd(ratio)}""" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"query_reps":$qreps,"operators":$ops,"operator_reps":$opreps,"lsh_bucket_caps":$lsh,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
     // Driver contract, third time's the charm: rounds 1-2 printed the
     // FULL json line (5.9 KB) and the driver's captured stdout tail
     // truncated it mid-record → "parsed": null two rounds running. The
@@ -264,8 +315,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    val maxSpread = (queryMeasures ++ operatorMeasures)
+      .map(_._2._3).maxOption.getOrElse(1.0)
     val summary = summaryLine(total, queryTimes.size,
-      queryTimes.count(_._2 < 0), inv, sfDir, outFile)
+      queryTimes.count(_._2 < 0), maxSpread, inv, sfDir, outFile)
     IO.deleteRecursively(java.nio.file.Paths.get(tmp)) // scratch gone before exit
     spark.stop() // stop BEFORE the JSON line so no shutdown logs trail it
     println(summary)
@@ -277,6 +330,6 @@ object Bench {
     * mid-record ("parsed": null two rounds running). ContractSpec pins
     * the size bound and JSON shape. */
   private[graft] def summaryLine(total: Double, nQueries: Int, nFailed: Int,
-      invJson: String, sfDir: String, outFile: String): String =
-    s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
+      maxSpread: Double, invJson: String, sfDir: String, outFile: String): String =
+    s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"max_rep_spread":${jd(maxSpread)},"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
 }

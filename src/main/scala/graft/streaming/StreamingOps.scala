@@ -244,7 +244,50 @@ object StreamingOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** st02: the streaming RUNTIME itself under the driver gate. st01
+    * gates the batch face of sessionization; every other streaming op
+    * is batch-equivalence-tested in ScalaTest only — this query runs
+    * [[windowedCounts]] as an ACTUAL streaming query (readStream →
+    * watermark → windowed agg → memory sink, processed to completion
+    * on the bounded events source) inside the query function, then
+    * compares it structurally against the identical batch aggregate
+    * and emits one engine-independent invariant row
+    * (n_windows, n_events, stream_matches_batch).
+    *
+    * The comparison is on (window start, event_type, count) — counts
+    * are exact under any execution order, while a summed double could
+    * diverge in the last ulp between the streaming and batch partial-
+    * aggregation orders and flip a rounded cent (the q20 lesson).
+    * The memory sink is the documented BOUNDED-TEST sink (it holds the
+    * result on the driver); a production feed lands through
+    * [[sinkPartitioned]] — the invariant gates the runtime, not the
+    * sink choice. Unique sink name per call: the bench reps this query
+    * and memory sink names are session-global. */
+  def st02StreamingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val streamed = runToMemory(spark, windowedCounts(readEvents(spark, dir)), name)
+      .select(col("win_start"), col("event_type"), col("n"))
+    val batch = graft.core.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st02_streaming_counts" ->
+      // batch replay of the 5-minute tumbling windows (Spark's window()
+      // aligns tumbling windows to the epoch, so floor(epoch/300) is
+      // the same bucketing); the invariant asserts the streaming
+      // execution reproduced it exactly
+      ("SELECT count(*) AS n_windows, CAST(sum(n) AS BIGINT) AS n_events, " +
+        "true AS stream_matches_batch FROM (" +
+        "SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2)"),
     "st01_session_window" ->
       // classic SQL sessionization: flag gaps >= 30 min via lag, then a
       // running sum of flags numbers the sessions (same >= boundary

@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("bench summary line stays far under the driver's stdout-tail budget") {
     val inv = """{"a":true,"b":true,"c":true,"d":true,"e":false}"""
-    val line = Bench.summaryLine(12345.678901, 63, 0, inv,
+    val line = Bench.summaryLine(12345.678901, 63, 0, 1.873421, inv,
       "/root/testdata/sf0.1", "/some/long/output/path/bench.json")
     assert(line.length < 1024, s"summary line too long (${line.length}B): $line")
     assert(line.startsWith("{") && line.endsWith("}"))
