@@ -25,6 +25,12 @@ object Measure {
       val d05 = pairs(Dedup.d05SimHash(spark, sf), "ida", "idb")
       val catchRate = d03.intersect(d05).size.toDouble / d03.size
       println(s"MEASURE $sf s02_recall=$recall d05_catch=$catchRate d03_n=${d03.size}")
+      // s04 recall-vs-Lloyd-rounds curve (0 = raw stride seeds ≈ s03)
+      val curve = (0 to 3).map { r =>
+        val got = pairs(Similarity.s04WithRounds(spark, sf, r), "query_id", "neighbor_id")
+        f"$r:${exact.intersect(got).size.toDouble / exact.size}%.3f"
+      }.mkString(" ")
+      println(s"MEASURE $sf s04_recall_by_rounds $curve")
     }
     spark.stop()
   }
