@@ -46,6 +46,9 @@ object SparkEntry {
     "q24_window_funcs" -> (Relational.q24 _),
     "q25_moving_window" -> (Relational.q25 _),
     "q26_approx_percentile" -> (Relational.q26 _),
+    // q27 materializes per-day HLL sketches and UNIONS them — the
+    // mergeable-sketch pipeline shape q23's inline sketch can't show
+    "q27_sketch_union" -> (Relational.q27 _),
     // JSON / codec surface (SURVEY §2.1 #3-16)
     "c01_json_get_plain" -> (JsonOps.plainGet _),
     "c02_json_get_variant" -> (JsonOps.variantGet _),
@@ -100,6 +103,11 @@ object SparkEntry {
     // it on batch equivalence — the streaming engine itself is under
     // the driver gate, not just its batch faces
     "st02_streaming_counts" -> (graft.streaming.StreamingOps.st02StreamingCounts _),
+    // st03/st04: streaming dedup and stream-stream join runtimes under
+    // the gate, same pattern (bounded-source execution + batch-
+    // equivalence invariant row)
+    "st03_streaming_dedup" -> (graft.streaming.StreamingOps.st03StreamingDedup _),
+    "st04_streaming_join" -> (graft.streaming.StreamingOps.st04StreamingJoin _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

@@ -336,6 +336,34 @@ object Relational {
           .as("within_1pct"))
       .orderBy(col("l_returnflag"))
 
+  /** q27: MERGEABLE sketch pipeline — Datasketches HLL built per
+    * (event_type, day), then UNIONED across days and estimated. This is
+    * the shape a 100 TB pipeline actually stores: one small sketch per
+    * partition/day written at ingest, unioned at query time over any
+    * date range without touching raw data — the property q23's inline
+    * approx_count_distinct can't demonstrate (its sketch never
+    * materializes). Estimates are engine-specific, so the gate-facing
+    * output is the q23-pattern invariant: the unioned estimate lands
+    * within 6% of the exact per-type distinct count (lgK=12 → RSE
+    * ≈0.8%, so 6% is >3σ with margin; Datasketches HLL updates and
+    * unions are commutative ⇒ deterministic under any partitioning).
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.06).as("within_6pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** q24: window-function spread — lag/lead/ntile over each customer's
     * order history (one shuffle on the partition key, single sort). */
   def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -381,6 +409,9 @@ object Relational {
     "q23_approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_3sigma FROM events GROUP BY event_type ORDER BY event_type"),
+    "q27_sketch_union" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "true AS within_6pct FROM events GROUP BY event_type ORDER BY event_type"),
     "q26_approx_percentile" ->
       ("SELECT l_returnflag, count(*) AS n, true AS within_1pct " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

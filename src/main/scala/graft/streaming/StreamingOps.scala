@@ -278,7 +278,59 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st03: streaming DEDUP under the driver gate. The events feed has
+    * unique ids, so the source is unioned with itself — every event
+    * arrives (at least) twice and [[dedupped]]'s keyed state must
+    * collapse the copies; the result is compared against batch
+    * DISTINCT. Append mode (dropDuplicates is not an aggregation, so
+    * Complete is illegal); on the bounded source nothing is
+    * watermark-dropped — all rows arrive before the watermark first
+    * advances. */
+  def st03StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st03_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val doubled = readEvents(spark, dir).unionAll(readEvents(spark, dir))
+    val streamed = runToMemoryAppend(spark,
+      dedupped(doubled).select(col("event_id")), name)
+    val batch = graft.core.Tables.events(spark, dir).select(col("event_id")).distinct()
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
+  /** st04: the stream-stream JOIN under the driver gate —
+    * [[purchaseSignupJoin]] (watermarked both sides + event-time range
+    * constraint) run to completion on the bounded source, compared
+    * against the identical batch join. */
+  def st04StreamingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val streamed = runToMemoryAppend(spark,
+      purchaseSignupJoin(readEvents(spark, dir)), name)
+    val ev = graft.core.Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st03_streaming_dedup" ->
+      ("SELECT count(DISTINCT event_id) AS n_distinct, " +
+        "true AS stream_matches_batch FROM events"),
+    "st04_streaming_join" ->
+      ("SELECT count(*) AS n_pairs, true AS stream_matches_batch FROM (" +
+        "SELECT p.event_id FROM events p JOIN events s " +
+        "ON p.event_type = 'purchase' AND s.event_type = 'signup' " +
+        "AND p.user_id = s.user_id " +
+        "AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR)"),
     "st02_streaming_counts" ->
       // batch replay of the 5-minute tumbling windows (Spark's window()
       // aligns tumbling windows to the epoch, so floor(epoch/300) is
@@ -308,6 +360,16 @@ object StreamingOps {
     * use; `Relational.q11`'s hour buckets are the batch face. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** [[runToMemory]] for non-aggregating streaming plans (dedup,
+    * stream-stream joins): Append is the only legal output mode. */
+  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
