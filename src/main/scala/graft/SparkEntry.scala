@@ -64,6 +64,8 @@ object SparkEntry {
     "t05_tfidf" -> (TextOps.t05TfIdf _),
     "t06_bpe_tokens" -> (TextOps.t06BpeTokens _),
     "t07_normalize" -> (TextOps.t07Normalize _),
+    // t08 chunks documents into overlapping fixed-char context windows
+    "t08_chunks" -> (TextOps.t08Chunks _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),
@@ -96,6 +98,8 @@ object SparkEntry {
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),
     "p03_bucketed_join" -> (Sinks.p03BucketedJoin _),
     "p04_split_census" -> (Sinks.p04SplitCensus _),
+    // p05 stratified sample census — engine-invariant hash membership
+    "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // st02 runs the STREAMING runtime to completion inside the query

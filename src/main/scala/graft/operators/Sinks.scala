@@ -130,7 +130,41 @@ object Sinks {
       .orderBy(col("split"))
   }
 
+  /** p05: hash-based STRATIFIED sampling census — per-class keep rates
+    * (per-mille) applied through the same engine-invariant modular
+    * bucket as p04, so membership is a pure function of (event_id,
+    * event_type): identical across engines, re-runs, partitionings and
+    * cluster sizes, and NO stored sample assignment to join against.
+    * This is how a training mixture downsamples over-represented
+    * classes (keep every purchase, 1 in 20 errors) — `sampleBy` would
+    * give the same rates but seeded-rand membership is partitioning-
+    * dependent, which breaks re-derivability (the p04 property).
+    * Map-only until the 5-group census. */
+  private[graft] val SampleRatesPerMille: Seq[(String, Int)] = Seq(
+    "purchase" -> 1000, "signup" -> 500, "click" -> 250,
+    "view" -> 100, "error" -> 50)
+
+  def p05StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = splitBucket(col("event_id"))
+    val rate = SampleRatesPerMille.foldLeft(lit(0)) { case (acc, (t, r)) =>
+      when(col("event_type") === t, lit(r)).otherwise(acc)
+    }
+    Tables.events(spark, dir)
+      .filter(bucket < rate)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "p05_stratified_sample" ->
+      ("SELECT event_type, count(*) AS n_sampled, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events WHERE ((event_id % 1000) * 761) % 1000 < (" +
+        "CASE event_type WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 500 " +
+        "WHEN 'click' THEN 250 WHEN 'view' THEN 100 WHEN 'error' THEN 50 ELSE 0 END) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "p04_split_census" ->
       // same modular-reduced bucket as [[splitBucket]] — DuckDB would
       // RAISE on the naive product's int64 overflow at large doc_ids

@@ -156,6 +156,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val ChunkChars = 200
+  private val ChunkStride = 160 // 40-char overlap between windows
+
+  /** t08: fixed-window CHUNKING with overlap — the context-window
+    * preparation step between cleaning and tokenization in a training
+    * pipeline: each document becomes ⌈len/stride⌉ overlapping windows
+    * of [[ChunkChars]] chars (stride [[ChunkStride]], so consecutive
+    * chunks share 40 chars and no boundary content is lost to a cut).
+    * One narrow scan → explode(sequence) → substring: map-only, scales
+    * as a pure flatMap with output ≈ len/stride × corpus — no shuffle
+    * until the gate's ORDER BY. Offsets are 1-based in BOTH engines
+    * (SQL substring convention), and the chunk text itself is
+    * hash-compared cross-engine. */
+  def t08Chunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(ChunkStride))).as("off"))
+      .select(col("doc_id"),
+        ((col("off") - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        col("text").substr(col("off"), lit(ChunkChars)).as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -164,6 +187,11 @@ object TextOps {
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "t08_chunks" ->
+      ("SELECT doc_id, CAST((i - 1) // 160 AS BIGINT) AS chunk_idx, " +
+        "substring(text, CAST(i AS INT), 200) AS chunk " +
+        "FROM documents, LATERAL unnest(generate_series(1, greatest(length(text), 1), 160)) t(i) " +
+        "ORDER BY doc_id, chunk_idx"),
     "t07_normalize" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, " +
         "CAST(length(norm) AS BIGINT) AS n_chars_norm, " +

@@ -152,4 +152,30 @@ class PlanSpec extends AnyFunSuite {
     // be no aggregation/join exchanges — i.e. exactly one Exchange node.
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffles:\n$p")
   }
+
+  test("t08 chunking is a pure flatMap — Generate feeds the scan, no pre-sort shuffle") {
+    val p = plan(TextOps.t08Chunks(spark, sf))
+    assert(p.contains("Generate explode"), s"expected explode generator:\n$p")
+    // only the final orderBy may exchange
+    assert("Exchange".r.findAllIn(p).size <= 1, s"chunking must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation belongs here:\n$p")
+  }
+
+  test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {
+    val p = plan(operators.Sinks.p05StratifiedSample(spark, sf))
+    // filter on the modular bucket is not scan-pushable (expression on
+    // two columns) but must sit BELOW the partial aggregate — the plan
+    // is scan → filter → partial agg → single shuffle → final agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"census should partial-aggregate:\n$p")
+    assert(!p.contains("Join"), s"membership must need no join:\n$p")
+  }
+
+  test("q27 sketch pipeline: HLL sketches partial-aggregate at both levels") {
+    val p = plan(Relational.q27(spark, sf))
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"per-day sketch build must combine map-side:\n$p")
+    assert(p.contains("partial_hll_union_agg"),
+      s"cross-day union must combine map-side:\n$p")
+  }
 }
