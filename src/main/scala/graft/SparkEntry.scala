@@ -112,6 +112,9 @@ object SparkEntry {
     // equivalence invariant row)
     "st03_streaming_dedup" -> (graft.streaming.StreamingOps.st03StreamingDedup _),
     "st04_streaming_join" -> (graft.streaming.StreamingOps.st04StreamingJoin _),
+    // st05: the foreachBatch partitioned sink — streamed files must
+    // census identically to the batch sink (p01's oracle, verbatim)
+    "st05_streaming_sink" -> (graft.streaming.StreamingOps.st05StreamingSink _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

@@ -321,7 +321,33 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st05: the foreachBatch PARTITIONED SINK under the driver gate —
+    * [[sinkPartitioned]] streams the events feed into hive-partitioned
+    * ZSTD parquet (fresh scratch dir per call; each micro-batch appends
+    * its partition files), then the gate reads the landed table back
+    * through a partition-pruned scan and emits the same per-hour
+    * purchase census as the batch sink p01 — so the oracle is
+    * literally p01's SQL: what the streaming sink lands must be
+    * indistinguishable from what the batch sink writes. */
+  def st05StreamingSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.IO.scratchDir("graft-st05") + "/events"
+    val q = sinkPartitioned(readEvents(spark, dir), out)
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+      .filter(col("event_type") === "purchase") // → partition pruning
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st05_streaming_sink" ->
+      // identical to p01's oracle: the streamed partitioned table must
+      // census exactly like the batch-written one
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY hour"),
     "st03_streaming_dedup" ->
       ("SELECT count(DISTINCT event_id) AS n_distinct, " +
         "true AS stream_matches_batch FROM events"),
