@@ -191,14 +191,17 @@ object Dedup {
   }
 
   /** Per-bucket occupancy census for one banding stage — the published
-    * face of the cap (skips must be visible, not silent). */
-  private def bucketCensusOf(
+    * face of the cap (skips must be visible, not silent). EVERY
+    * aggregate is coalesced: on an empty banding input (empty corpus,
+    * or all docs under the 3-word shingle minimum) max/sum return NULL
+    * and an uncoalesced column would crash the bench's getLong decode. */
+  private[graft] def bucketCensusOf(
       keyed: DataFrame, keyCols: Seq[String], cap: Long, op: String): DataFrame =
     keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bn"))
       .agg(lit(op).as("op"), lit(cap).as("cap"),
         count(lit(1)).as("n_buckets"),
-        max(col("bn")).as("max_bucket"),
-        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("n_skipped_buckets"),
+        coalesce(max(col("bn")), lit(0L)).as("max_bucket"),
+        coalesce(sum(when(col("bn") > cap, 1L).otherwise(0L)), lit(0L)).as("n_skipped_buckets"),
         coalesce(sum(when(col("bn") > cap, col("bn"))), lit(0L)).as("n_skipped_rows"))
 
   /** Census of every LSH banding stage vs its cap (d04/d05/d09 here,

@@ -98,16 +98,12 @@ object Similarity {
   }
 
   /** s02's bucket-occupancy census vs its cap — unioned into
-    * [[Dedup.lshBucketCensus]]'s published artifact by the bench. */
+    * [[Dedup.lshBucketCensus]]'s published artifact by the bench
+    * (same census aggregation, so the union can never misalign). */
   def s02BucketCensus(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).withColumn("bucket", bucketOf(col("e"), 64))
     val cap = Dedup.bandCap(Tables(spark, dir, "embeddings").count())
-    all.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-      .agg(lit("s02_signlsh").as("op"), lit(cap).as("cap"),
-        count(lit(1)).as("n_buckets"),
-        max(col("bn")).as("max_bucket"),
-        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("n_skipped_buckets"),
-        coalesce(sum(when(col("bn") > cap, col("bn"))), lit(0L)).as("n_skipped_rows"))
+    Dedup.bucketCensusOf(all, Seq("bucket"), cap, "s02_signlsh")
   }
 
   private val RecallFloor = 0.15

@@ -264,7 +264,7 @@ object StreamingOps {
     * sink choice. Unique sink name per call: the bench reps this query
     * and memory sink names are session-global. */
   def st02StreamingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = "st02_mem" // fixed name: runToMemory* drops the previous view
     val streamed = runToMemory(spark, windowedCounts(readEvents(spark, dir)), name)
       .select(col("win_start"), col("event_type"), col("n"))
     val batch = graft.core.Tables.events(spark, dir)
@@ -287,7 +287,7 @@ object StreamingOps {
     * watermark-dropped — all rows arrive before the watermark first
     * advances. */
   def st03StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st03_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = "st03_mem" // fixed name: runToMemory* drops the previous view
     val doubled = readEvents(spark, dir).unionAll(readEvents(spark, dir))
     val streamed = runToMemoryAppend(spark,
       dedupped(doubled).select(col("event_id")), name)
@@ -302,7 +302,7 @@ object StreamingOps {
     * constraint) run to completion on the bounded source, compared
     * against the identical batch join. */
   def st04StreamingJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = "st04_mem" // fixed name: runToMemory* drops the previous view
     val streamed = runToMemoryAppend(spark,
       purchaseSignupJoin(readEvents(spark, dir)), name)
     val ev = graft.core.Tables.events(spark, dir)
@@ -383,8 +383,18 @@ object StreamingOps {
 
   /** Run the windowed aggregation to completion against a bounded
     * source (memory sink) — the batch-equivalence harness the tests
-    * use; `Relational.q11`'s hour buckets are the batch face. */
+    * use; `Relational.q11`'s hour buckets are the batch face.
+    *
+    * The PREVIOUS invocation's view under the same name is dropped
+    * first: memory-sink views are session-global and pin their full
+    * result set on the driver, so UUID-per-call names would leak one
+    * result set per bench rep for the session lifetime. Name
+    * uniqueness is only needed among concurrently ACTIVE queries, and
+    * every gate query is stopped (and its returned plan forced) before
+    * the same name runs again — so drop-then-reuse bounds driver
+    * memory at one retained result per name. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(name).start()
     q.processAllAvailable()
@@ -395,6 +405,7 @@ object StreamingOps {
   /** [[runToMemory]] for non-aggregating streaming plans (dedup,
     * stream-stream joins): Append is the only legal output mode. */
   def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
     val q = df.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     q.processAllAvailable()
