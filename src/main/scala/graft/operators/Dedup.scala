@@ -498,7 +498,32 @@ object Dedup {
   }
 
   /** LSH candidates + exact cosine verify — the reusable core of d09
-    * (the planted-fixture test runs the same pipeline). */
+    * (the planted-fixture test runs the same pipeline).
+    *
+    * Two physically different plans compute the IDENTICAL pair set;
+    * which wins depends on the candidate-to-corpus ratio:
+    *
+    *  - candidates-then-join (this, the default): band keys shuffle
+    *    narrow (24 B/row), the candidate set is deduplicated, then two
+    *    joins attach vectors for one verify per DISTINCT pair. Right
+    *    when candidates ≈ O(n) — every REAL near-dup corpus, where
+    *    background pairs sit near cos 0 and bands prune ~3000×. At 1B
+    *    vectors the band shuffle is ~0.3 TB; shipping vectors instead
+    *    would be ~6 TB.
+    *  - fused verify ([[lshCosineVerifiedPairsFused]]): vectors ride
+    *    WITH their band keys, the verify runs inside the band join,
+    *    and distinct() touches only survivors. Right when candidates
+    *    >> n — adversarially uniform corpora like this synthetic one,
+    *    where the pair-event set (~58M at 50k vectors) dwarfs the
+    *    corpus and the per-pair join+distinct dominates. Measured by
+    *    ScaleCheck at 50.5k vectors: fused 11.0 s vs 622 s unfused
+    *    (57×) — identical output, planted recall 500/500 both ways.
+    *    The unfused form's cost there is the 58M-row distinct plus two
+    *    candidate↔corpus joins; the fused form pays vectors-through-
+    *    the-band-shuffle (bandsL× the vector volume vs the unfused
+    *    form's 2×), which is why it does NOT replace the default on
+    *    sparse-candidate corpora.
+    */
   private[graft] def lshCosineVerifiedPairs(
       emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame =
     lshCosineCandidates(emb, dim = 64, bitsB = bitsB, bandsL = bandsL)
@@ -507,6 +532,26 @@ object Dedup {
       .withColumn("c", cosine(col("ea"), col("eb")))
       .filter(col("c") >= tau)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
+
+  /** The fused twin of [[lshCosineVerifiedPairs]] — see its scaladoc
+    * for when each wins. Same candidates, same verify, same output:
+    * a pair colliding in k bands is verified k times (cheap native dot
+    * products) and deduplicated AFTER the τ filter, so the expensive
+    * distinct only ever sees survivors. */
+  private[graft] def lshCosineVerifiedPairsFused(
+      emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame = {
+    val keyed = capBandBuckets(cosineBandsDf(emb, bitsB, bandsL),
+        Seq("band", "bh"), bandCap(emb.count()))
+      .join(emb, "vec_id")
+    keyed.hint("shuffle_hash").as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        cosine(col("a.e"), col("b.e")).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
+      .distinct()
+  }
 
   /** d07: near-dup clusters — connected components over the d03 pair
     * graph, each doc labeled with the minimum doc_id of its component

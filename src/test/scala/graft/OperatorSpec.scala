@@ -324,6 +324,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fused d09 verify equals the candidates-then-join form (planted fixture)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 50L).map(i => (i, vec()))
+    val dups = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(_ + rnd.nextGaussian() * 0.02))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "e0")
+      .select(col("vec_id"), col("e0").cast("array<double>").as("e"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unfused = pairs(Dedup.lshCosineVerifiedPairs(emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))
+    val fused = pairs(Dedup.lshCosineVerifiedPairsFused(emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))
+    assert(unfused.nonEmpty && fused == unfused,
+      s"fused=${fused.size} unfused=${unfused.size}")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000

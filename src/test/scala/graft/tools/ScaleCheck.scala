@@ -115,9 +115,17 @@ object ScaleCheck {
     println(f"SCALE d04_pairs=$d04n (planted>=${plantedPairs * 999 / 1000}) wall=$d04s%.1fs")
 
     // d09: hyperplane LSH + exact verify at τ=0.8 over 50.5k vectors —
-    // planted 500 dup pairs at cos≈0.9999 must be recovered
+    // planted 500 dup pairs at cos≈0.9999 must be recovered. Both
+    // physical forms (candidates-then-join vs fused verify) are timed:
+    // this uniform corpus is the candidates >> n regime where the
+    // fused plan should win (see lshCosineVerifiedPairs scaladoc).
     val (d09n, d09s) = time(pairCount(Dedup.d09RawPairs(spark, dir)))
     println(f"SCALE d09_pairs=$d09n (planted=$EmbDups) wall=$d09s%.1fs")
+    val embDf = graft.core.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (d09fn, d09fs) = time(pairCount(Dedup.lshCosineVerifiedPairsFused(
+      embDf, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands)))
+    println(f"SCALE d09_fused_pairs=$d09fn (must equal ${d09n}) wall=$d09fs%.1fs")
 
     println("SCALE bucket census:")
     Dedup.lshBucketCensus(spark, dir).collect().foreach { r =>
