@@ -113,7 +113,16 @@ object Bench {
     // (round-3 judge item 4).
     val operatorMeasures = Seq[(String, (SparkSession, String) => DataFrame)](
       "d05_simhash_op" -> (graft.operators.Dedup.d05SimHash _),
-      "d09_lsh_cosine_op" -> (graft.operators.Dedup.d09RawPairs _)
+      "d09_lsh_cosine_op" -> (graft.operators.Dedup.d09RawPairs _),
+      // the fused twin next to the default — the candidate-density
+      // crossover (see lshCosineVerifiedPairs scaladoc) stays visible
+      // per SF instead of only in the one-off scale check
+      "d09_fused_op" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.lshCosineVerifiedPairsFused(
+          graft.core.Tables(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+          graft.operators.Dedup.D09Tau, graft.operators.Dedup.D09Bits,
+          graft.operators.Dedup.D09Bands))
     ).map { case (name, fn) => name -> measure(fn) }
 
     // ---- containment cross-checks ----

@@ -90,6 +90,8 @@ object SparkEntry {
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
+    // m04: exact media dedup — content-hash census per modality
+    "m04_media_dedup" -> (Multimodal.m04MediaDedup _),
     // Codec lifecycle census (SURVEY §2.1 #3-13 as driver-gate queries)
     "c06_roundtrip" -> (CodecLifecycle.c06RoundTrip _),
     "c07_flush_load" -> (CodecLifecycle.c07FlushLoad _),

@@ -118,7 +118,35 @@ object Multimodal {
           .as("frame_hex"))
       .orderBy("media_id", "frame_no")
 
+  /** m04: exact MEDIA dedup census — the multimodal face of d01: blobs
+    * are identical iff their content hash is, so the census is one
+    * map-side md5 over the binary column + a per-modality aggregate
+    * (count-distinct over fixed-width hashes shuffles 16 bytes/row, not
+    * payloads — the property that matters when payloads are megabytes).
+    * md5 here is a CONTENT FINGERPRINT, not security material, chosen
+    * because both engines compute the identical hex for the same bytes
+    * (xxhash64 would be cheaper but is Spark-only, and the gate needs
+    * cross-engine equality). */
+  def m04MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val firstByte = ascii(substring(col("payload").cast("string"), 1, 1)) % 3
+    val modality = when(firstByte === 0, "image")
+      .when(firstByte === 1, "audio").otherwise("video")
+    media(spark, dir)
+      .select(modality.as("modality"), md5(col("payload")).as("h"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+      .orderBy("modality")
+  }
+
   val oracles: Map[String, String] = Map(
+    "m04_media_dedup" ->
+      ("SELECT CASE ascii(substring(text, 1, 1)) % 3 WHEN 0 THEN 'image' " +
+        "WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
+        "count(*) AS n_media, count(DISTINCT md5(text)) AS n_distinct, " +
+        "count(*) - count(DISTINCT md5(text)) AS n_dupes " +
+        "FROM documents GROUP BY modality ORDER BY modality"),
     "m01_binary_meta" ->
       ("SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "substring(hex(encode(text)), 1, 8) AS magic_hex, " +
