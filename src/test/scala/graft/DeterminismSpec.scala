@@ -17,11 +17,18 @@ class DeterminismSpec extends AnyFunSuite {
   // representative set: shuffle-heavy join/agg, window, LSH dedup,
   // top-k ranking, set-op, generator, plus the round-3 additions with
   // nontrivial distribution behavior: k-means IVF (float-avg training),
-  // session windows, capped Jaccard, bucketed join
+  // session windows, capped Jaccard, bucketed join — and the round-4
+  // additions whose invariance is load-bearing: the HLL sketch union
+  // (q27 — sketch merges must commute), the hash-membership sample
+  // (p05), the streaming-engine gates (st02 windowed agg, st03 dedup —
+  // micro-batch boundaries must not show), and the media-hash census
+  // (m04)
   val picks = Seq("q03_join_agg", "q07_window_topn", "d04_minhash_lsh",
     "s01_knn_brute", "q09_setops", "g01_generator_ndv", "t05_tfidf",
     "s04_ann_ivf_kmeans", "st01_session_window", "d08_ngram_jaccard_capped",
-    "p03_bucketed_join")
+    "p03_bucketed_join",
+    "q27_sketch_union", "p05_stratified_sample", "st02_streaming_counts",
+    "st03_streaming_dedup", "m04_media_dedup")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
