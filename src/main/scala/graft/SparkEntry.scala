@@ -66,6 +66,8 @@ object SparkEntry {
     "t07_normalize" -> (TextOps.t07Normalize _),
     // t08 chunks documents into overlapping fixed-char context windows
     "t08_chunks" -> (TextOps.t08Chunks _),
+    // t09: Gopher-style within-doc repetition (duplicate 3-gram frac)
+    "t09_repetition" -> (TextOps.t09Repetition _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),

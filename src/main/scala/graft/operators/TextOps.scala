@@ -179,6 +179,29 @@ object TextOps {
         col("text").substr(col("off"), lit(ChunkChars)).as("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** t09: within-document REPETITION signal — the fraction of a doc's
+    * word 3-grams that are duplicates of an earlier 3-gram in the same
+    * doc. Boilerplate, keyword stuffing and template spam repeat
+    * internally long before they repeat across documents, so
+    * repetition thresholds are a standard pre-filter for LLM training
+    * corpora (alongside the cross-doc dedup tier d01-d09, which this
+    * deliberately does not touch). Map-only: total 3-grams from the
+    * token count, distinct 3-grams from the same native shingle
+    * expression the dedup tier uses — one narrow scan, no shuffle
+    * before the gate's sort. */
+  def t09Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(tokens(col("text")))
+    val total3 = greatest(nWords - 2, lit(0))
+    val distinct3 = size(wordShingles(col("text"), 3))
+    docs(spark, dir).select(
+        col("doc_id"),
+        total3.cast("long").as("n_3grams"),
+        when(total3 > 0,
+          round((total3 - distinct3).cast("double") / total3, 4))
+          .otherwise(0.0).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -187,6 +210,14 @@ object TextOps {
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "t09_repetition" ->
+      // same tokenization + 3-gram construction as the d03 oracle
+      ("SELECT doc_id, CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_3grams, " +
+        "CASE WHEN len(w) - 2 > 0 THEN round((greatest(len(w) - 2, 0) - " +
+        "len(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))))) " +
+        "/ greatest(len(w) - 2, 0), 4) ELSE 0.0 END AS dup_frac FROM (" +
+        "SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents) " +
+        "ORDER BY doc_id"),
     "t08_chunks" ->
       ("SELECT doc_id, CAST((i - 1) // 160 AS BIGINT) AS chunk_idx, " +
         "substring(text, CAST(i AS INT), 200) AS chunk " +
