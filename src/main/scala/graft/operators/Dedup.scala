@@ -356,12 +356,24 @@ object Dedup {
   def d06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    blockedCosinePairs(emb, CosineThreshold, D06Blocks)
+    blockedCosinePairs(emb, CosineThreshold,
+      blocksFor(Tables(spark, dir, "embeddings").count()))
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
       .orderBy("ida", "idb")
   }
 
   private[graft] val D06Blocks = 8
+
+  /** Corpus-relative block count for the exact tier: the OUTPUT is
+    * independent of B (every unordered pair meets under exactly one
+    * block-pair key — pinned by the blocked==naive test), so B is pure
+    * parallelism tuning: B(B+1)/2 equal tiles. A fixed B=8 gives 36
+    * tiles — fine on local[32], a straggler-fest on 1000 executors —
+    * so B grows with the corpus (≈25k vectors per block, i.e. tile
+    * work bounded) up to 256 blocks = 32 896 tiles. At the gate SFs
+    * this stays exactly 8, so nothing about the gates moves. */
+  private[graft] def blocksFor(n: Long): Int =
+    math.min(256L, math.max(D06Blocks.toLong, math.ceil(n / 25000.0).toLong)).toInt
 
   /** Exact all-pairs cosine ≥ threshold over (vec_id, e) rows, blocked:
     * each unordered pair of rows meets under exactly one block-pair
@@ -472,7 +484,8 @@ object Dedup {
   def d09LshCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val truth = blockedCosinePairs(emb, D09Tau, D06Blocks).select(col("ida"), col("idb"))
+    val truth = blockedCosinePairs(emb, D09Tau,
+      blocksFor(Tables(spark, dir, "embeddings").count())).select(col("ida"), col("idb"))
     val found = lshCosineVerifiedPairs(emb, D09Tau, D09Bits, D09Bands)
       .select(col("ida"), col("idb"))
     val caught = truth.join(found, Seq("ida", "idb"), "left_semi")

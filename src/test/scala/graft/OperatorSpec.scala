@@ -343,6 +343,50 @@ class OperatorSpec extends AnyFunSuite {
       s"fused=${fused.size} unfused=${unfused.size}")
   }
 
+  test("splitBucket property: equals the unbounded modular product for random ids") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 200 random non-negative ids across the full long range (the
+    // 2^62 edge test pins specific values; this sweeps the space)
+    val ids = Gen.listOfN(200, Gen.chooseNum(0L, Long.MaxValue))
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    val got = ids.toDF("doc_id")
+      .select(Sinks.splitBucket(org.apache.spark.sql.functions.col("doc_id")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = ids.map(id => ((BigInt(id) * BigInt(2654435761L)) mod 1000).toLong)
+    assert(got == want)
+  }
+
+  test("capBandBuckets property: output is a subset with every bucket within the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random keyed rows with a skewed bucket-size distribution
+    val rows = Gen.listOfN(800,
+        Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 2), Gen.chooseNum(0L, 12L)))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+      .zipWithIndex.map { case ((_, b, h), i) => (i.toLong, b, h) }
+    val keyed = rows.toDF("doc_id", "band", "bh")
+    // compare by field NAME: the using-columns anti join may reorder
+    // columns (join keys first), which is fine for every real caller
+    // (they select by name) but would break a positional comparison
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[Long]("bh"))).toSet
+    for (cap <- Seq(1L, 7L, 40L, 10000L)) {
+      val capped = rowSet(Dedup.capBandBuckets(keyed, Seq("band", "bh"), cap))
+      val all = rowSet(keyed)
+      assert(capped.subsetOf(all), s"cap=$cap produced rows not in the input")
+      val bucketSizes = capped.groupBy(r => (r._2, r._3)).values.map(_.size)
+      assert(bucketSizes.forall(_ <= cap), s"cap=$cap left an oversized bucket")
+      // rows in under-cap buckets are never dropped
+      val expectKept = rows.groupBy(r => (r._2, r._3)).values
+        .filter(_.size <= cap).map(_.size).sum
+      assert(capped.size == expectKept, s"cap=$cap kept ${capped.size}, want $expectKept")
+    }
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
