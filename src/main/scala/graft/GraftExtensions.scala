@@ -66,5 +66,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
           graft.codecs.JsoncGetExpr(exprs(0), exprs(1), exprs(2), path)
         }))
+    // the LSH/dedup primitives, so the candidate-generation tier is
+    // reachable from pure SQL too (parameters must be literals — they
+    // shape the generated code)
+    def litNum(e: Expression, name: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name parameters must be integer literals, got $other")
+    }
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.WordShingles].getName, "word_shingles"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "word_shingles expects (text, k)")
+          graft.functions.WordShingles(exprs.head,
+            litNum(exprs(1), "word_shingles").toInt)
+        }))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_band_keys"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.MinHashBandKeys].getName, "minhash_band_keys"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3, "minhash_band_keys expects (shingles, numPerms, bandRows)")
+          graft.functions.MinHashBandKeys(exprs.head,
+            litNum(exprs(1), "minhash_band_keys").toInt,
+            litNum(exprs(2), "minhash_band_keys").toInt)
+        }))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_band_keys"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CosineBandKeys].getName, "cosine_band_keys"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 4, "cosine_band_keys expects (vec, seed, bits, bands)")
+          graft.functions.CosineBandKeys(exprs.head,
+            litNum(exprs(1), "cosine_band_keys"),
+            litNum(exprs(2), "cosine_band_keys").toInt,
+            litNum(exprs(3), "cosine_band_keys").toInt)
+        }))
   }
 }

@@ -38,5 +38,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 8.0)
     assert(row.getString(3) == "\"v\"") // quoted-token semantics survive SQL
     assert(row.getString(4) == """{"k":"v","n":1}""")
+
+    // the LSH/dedup primitives resolve too, matching the DataFrame forms
+    val lsh = ext.sql(
+      """SELECT
+        |  word_shingles('a b c d', 3) AS sh,
+        |  size(minhash_band_keys(array('x', 'y'), 32, 2)) AS nbands,
+        |  size(cosine_band_keys(array(1.0d, -1.0d), 4242L, 8, 12)) AS ncos
+        |""".stripMargin).collect().head
+    assert(lsh.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(lsh.getInt(1) == 16) // 32 perms / 2 rows per band
+    assert(lsh.getInt(2) == 12)
   }
 }
