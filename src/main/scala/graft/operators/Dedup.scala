@@ -529,8 +529,9 @@ object Dedup {
     *    >> n — adversarially uniform corpora like this synthetic one,
     *    where the pair-event set (~58M at 50k vectors) dwarfs the
     *    corpus and the per-pair join+distinct dominates. Measured by
-    *    ScaleCheck at 50.5k vectors: fused 11.0 s vs 622 s unfused
-    *    (57×) — identical output, planted recall 500/500 both ways.
+    *    ScaleCheck at 50.5k vectors: fused 11-65 s vs 537-622 s
+    *    unfused across runs (~10-50×) — identical output, planted
+    *    recall 500/500 both ways.
     *    The unfused form's cost there is the 58M-row distinct plus two
     *    candidate↔corpus joins; the fused form pays vectors-through-
     *    the-band-shuffle (bandsL× the vector volume vs the unfused

@@ -127,6 +127,14 @@ object ScaleCheck {
       embDf, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands)))
     println(f"SCALE d09_fused_pairs=$d09fn (must equal ${d09n}) wall=$d09fs%.1fs")
 
+    // similarity tier at 50.5k vectors: exact baseline, IVF, trained IVF
+    val (s01n, s01s) = time(Similarity.s01KnnBrute(spark, dir).count())
+    println(f"SCALE s01_rows=$s01n wall=$s01s%.1fs")
+    val (s03n, s03s) = time(Similarity.s03AnnIvf(spark, dir).count())
+    println(f"SCALE s03_rows=$s03n wall=$s03s%.1fs")
+    val (s04n, s04s) = time(Similarity.s04AnnIvfKmeans(spark, dir).count())
+    println(f"SCALE s04_rows=$s04n wall=$s04s%.1fs")
+
     println("SCALE bucket census:")
     Dedup.lshBucketCensus(spark, dir).collect().foreach { r =>
       println(s"SCALE   ${r.getString(0)} cap=${r.getLong(1)} buckets=${r.getLong(2)} " +
