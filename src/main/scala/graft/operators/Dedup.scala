@@ -433,20 +433,27 @@ object Dedup {
           col("e"), LshSeed, bitsB, bandsL)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
 
-  private[graft] def lshCosineCandidates(
-      emb: DataFrame, dim: Int, bitsB: Int, bandsL: Int): DataFrame = {
-    // band-bucket cap (see capBandBuckets): with bitsB-bit keys a
-    // bucket's EXPECTED share of a centered corpus is 2^-bitsB, so the
-    // 1%-of-corpus cap only ever bites degenerate keys (e.g. the bucket
-    // all zero/near-zero vectors share), never healthy occupancy
-    val keyed = capBandBuckets(cosineBandsDf(emb, bitsB, bandsL),
-      Seq("band", "bh"), bandCap(emb.count()))
+  /** Capped (band, bh) keys for the cosine LSH tier — the shared input
+    * of both d09 physical plans and the plan router's census.
+    * Band-bucket cap (see capBandBuckets): with bitsB-bit keys a
+    * bucket's EXPECTED share of a centered corpus is 2^-bitsB, so the
+    * 1%-of-corpus cap only ever bites degenerate keys (e.g. the bucket
+    * all zero/near-zero vectors share), never healthy occupancy. */
+  private[graft] def cappedCosineBands(
+      emb: DataFrame, bitsB: Int, bandsL: Int, n: Long): DataFrame =
+    capBandBuckets(cosineBandsDf(emb, bitsB, bandsL),
+      Seq("band", "bh"), bandCap(n))
+
+  private def candidatesFromKeyed(keyed: DataFrame): DataFrame =
     keyed.hint("shuffle_hash").as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
       .distinct()
-  }
+
+  private[graft] def lshCosineCandidates(
+      emb: DataFrame, dim: Int, bitsB: Int, bandsL: Int): DataFrame =
+    candidatesFromKeyed(cappedCosineBands(emb, bitsB, bandsL, emb.count()))
 
   private[graft] val D09Tau = 0.8
   private[graft] val D09Bits = 8
