@@ -56,6 +56,12 @@ object SparkEntry {
     "c04_shred_agg" -> (JsonOps.shreddedAgg _),
     "c05_shred_filter" -> (JsonOps.shreddedFilter _),
     "c08_jsonc_array_get" -> (JsonOps.jsoncArrayGet _),
+    // c09-c12: the reference's own EP3 literal assertions
+    // (benches/query.rs:46-67) as oracle-gated queries per codec
+    "c09_ep3_canada_type" -> (JsonOps.c09CanadaType _),
+    "c10_ep3_citm_area" -> (JsonOps.c10CitmArea _),
+    "c11_ep3_citm_topic" -> (JsonOps.c11CitmTopic _),
+    "c12_ep3_twitter_max_id" -> (JsonOps.c12TwitterMaxId _),
     // Text analysis (north-star; documents table)
     "t01_tokens" -> (TextOps.t01Tokens _),
     "t02_quality" -> (TextOps.t02Quality _),

@@ -434,11 +434,12 @@ object Dedup {
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
 
   /** Capped (band, bh) keys for the cosine LSH tier — the shared input
-    * of both d09 physical plans and the plan router's census.
-    * Band-bucket cap (see capBandBuckets): with bitsB-bit keys a
-    * bucket's EXPECTED share of a centered corpus is 2^-bitsB, so the
-    * 1%-of-corpus cap only ever bites degenerate keys (e.g. the bucket
-    * all zero/near-zero vectors share), never healthy occupancy. */
+    * of both d09 physical plans and the routing census of
+    * [[lshCosineVerifiedPairsAuto]]. Band-bucket cap (see
+    * capBandBuckets): with bitsB-bit keys a bucket's EXPECTED share of
+    * a centered corpus is 2^-bitsB, so the 1%-of-corpus cap only ever
+    * bites degenerate keys (e.g. the bucket all zero/near-zero vectors
+    * share), never healthy occupancy. */
   private[graft] def cappedCosineBands(
       emb: DataFrame, bitsB: Int, bandsL: Int, n: Long): DataFrame =
     capBandBuckets(cosineBandsDf(emb, bitsB, bandsL),
@@ -454,6 +455,18 @@ object Dedup {
   private[graft] def lshCosineCandidates(
       emb: DataFrame, dim: Int, bitsB: Int, bandsL: Int): DataFrame =
     candidatesFromKeyed(cappedCosineBands(emb, bitsB, bandsL, emb.count()))
+
+  /** Expected pair events of the band self-join — Σ over capped
+    * buckets of C(occupancy, 2): exactly the number of (a, b) rows the
+    * self-join will emit before distinct/verify, computed WITHOUT
+    * running it. One aggregation over the narrow (vec_id, band, bh)
+    * rows — the routing signal of [[lshCosineVerifiedPairsAuto]].
+    * Overflow-safe under the cap: occupancy ≤ 1% of corpus keeps
+    * bn·(bn−1)/2 and its sum far inside Long at any feasible scale. */
+  private[graft] def expectedPairEvents(keyed: DataFrame): Long =
+    keyed.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bn"))
+      .agg(coalesce(sum((col("bn") * (col("bn") - 1) / lit(2)).cast("long")), lit(0L)))
+      .head().getLong(0)
 
   private[graft] val D09Tau = 0.8
   private[graft] val D09Bits = 8
@@ -493,7 +506,7 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val truth = blockedCosinePairs(emb, D09Tau,
       blocksFor(Tables(spark, dir, "embeddings").count())).select(col("ida"), col("idb"))
-    val found = lshCosineVerifiedPairs(emb, D09Tau, D09Bits, D09Bands)
+    val found = lshCosineVerifiedPairsAuto(emb, D09Tau, D09Bits, D09Bands)
       .select(col("ida"), col("idb"))
     val caught = truth.join(found, Seq("ida", "idb"), "left_semi")
     truth.agg(count(lit(1)).as("n_true_pairs"))
@@ -514,16 +527,18 @@ object Dedup {
   def d09RawPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    lshCosineVerifiedPairs(emb, D09Tau, D09Bits, D09Bands)
+    lshCosineVerifiedPairsAuto(emb, D09Tau, D09Bits, D09Bands)
   }
 
   /** LSH candidates + exact cosine verify — the reusable core of d09
     * (the planted-fixture test runs the same pipeline).
     *
     * Two physically different plans compute the IDENTICAL pair set;
-    * which wins depends on the candidate-to-corpus ratio:
+    * which wins depends on the candidate-to-corpus ratio, and
+    * [[lshCosineVerifiedPairsAuto]] picks per corpus from the
+    * band-occupancy census — callers should go through it:
     *
-    *  - candidates-then-join (this, the default): band keys shuffle
+    *  - candidates-then-join (this): band keys shuffle
     *    narrow (24 B/row), the candidate set is deduplicated, then two
     *    joins attach vectors for one verify per DISTINCT pair. Right
     *    when candidates ≈ O(n) — every REAL near-dup corpus, where
@@ -547,7 +562,11 @@ object Dedup {
     */
   private[graft] def lshCosineVerifiedPairs(
       emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame =
-    lshCosineCandidates(emb, dim = 64, bitsB = bitsB, bandsL = bandsL)
+    unfusedFromKeyed(cappedCosineBands(emb, bitsB, bandsL, emb.count()), emb, tau)
+
+  private def unfusedFromKeyed(
+      keyed: DataFrame, emb: DataFrame, tau: Double): DataFrame =
+    candidatesFromKeyed(keyed)
       .join(emb.select(col("vec_id").as("ida"), col("e").as("ea")), "ida")
       .join(emb.select(col("vec_id").as("idb"), col("e").as("eb")), "idb")
       .withColumn("c", cosine(col("ea"), col("eb")))
@@ -560,11 +579,13 @@ object Dedup {
     * products) and deduplicated AFTER the τ filter, so the expensive
     * distinct only ever sees survivors. */
   private[graft] def lshCosineVerifiedPairsFused(
-      emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame = {
-    val keyed = capBandBuckets(cosineBandsDf(emb, bitsB, bandsL),
-        Seq("band", "bh"), bandCap(emb.count()))
-      .join(emb, "vec_id")
-    keyed.hint("shuffle_hash").as("a").join(keyed.as("b"),
+      emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame =
+    fusedFromKeyed(cappedCosineBands(emb, bitsB, bandsL, emb.count()), emb, tau)
+
+  private def fusedFromKeyed(
+      keyed: DataFrame, emb: DataFrame, tau: Double): DataFrame = {
+    val k = keyed.join(emb, "vec_id")
+    k.hint("shuffle_hash").as("a").join(k.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
@@ -572,6 +593,43 @@ object Dedup {
       .filter(col("c") >= tau)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
       .distinct()
+  }
+
+  /** Candidate-density crossover of the d09 plan router: the fused
+    * plan is chosen when expected pair events exceed this multiple of
+    * the corpus size. Measured (graft.tools.DensitySweep, NOTES round
+    * 7): on uniform 64-dim corpora the fused plan wins at every
+    * measured density — 1.5× at pe/n ≈ 55 widening to 5.4× at
+    * pe/n ≈ 1090 (and 10-50× at ScaleCheck's 50.5k vectors) — so the
+    * local walls alone would route everything fused. The unfused plan
+    * earns its keep on what local benches cannot show: SHUFFLE VOLUME
+    * at production scale — on a sparse-candidate corpus (real near-dup
+    * data, background cos ≈ 0) candidates are O(n) and pe/n ≈
+    * bandsL·avg-cluster-excess ≲ 12-ish, where shipping vectors
+    * through all bandsL band shuffles costs bandsL× the corpus volume
+    * (~6 TB at 1B×64-dim) vs the unfused form's 24 B/row band keys
+    * (~0.3 TB). The constant therefore sits between the volume regime
+    * (pe/n ≈ O(bandsL)) and the lowest measured fused-win point
+    * (pe/n ≈ 55). */
+  private[graft] val D09FusedCrossover = 32.0
+
+  /** The d09 entry point: picks the physical plan from the band-
+    * occupancy census. Cost of the choice is one narrow aggregation
+    * over the (vec_id, band, bh) rows ([[expectedPairEvents]]) — noise
+    * against either plan's self-join — plus one recomputation of the
+    * band keys (a single codegen'd pass over the vectors; caching the
+    * keyed rows across census and join would trade that for
+    * executor-storage lifecycle management inside a lazy plan, a bad
+    * deal at this cost). Both plans produce the identical pair set
+    * (OperatorSpec pins set equality), so routing never changes
+    * results — only which regime pays its natural cost. */
+  private[graft] def lshCosineVerifiedPairsAuto(
+      emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame = {
+    val n = emb.count()
+    val keyed = cappedCosineBands(emb, bitsB, bandsL, n)
+    if (expectedPairEvents(keyed) > D09FusedCrossover * n)
+      fusedFromKeyed(keyed, emb, tau)
+    else unfusedFromKeyed(keyed, emb, tau)
   }
 
   /** d07: near-dup clusters — connected components over the d03 pair

@@ -68,6 +68,50 @@ object JsonOps {
       .orderBy("event_id")
   }
 
+  /** c09-c12: the reference's EP3 correctness assertions as gate
+    * queries — the four literal dot-path lookups its query benchmark
+    * asserts (/root/reference/benches/query.rs:46-67) over the
+    * reference's own corpora (canada/citm_catalog/twitter.json), run
+    * through all three codecs ON THE ENCODED FORM. The output keeps
+    * each codec's raw token semantics (jsonc returns quoted string
+    * tokens — SURVEY §1.2, query.rs:99; plain/variant return bare
+    * strings), and the DuckDB oracle is the literal row set — so the
+    * driver gate asserts the reference's exact expectations per codec,
+    * not just in ScalaTest (round-4 verdict item 2). The corpus files
+    * are fixed reference inputs, independent of the sf dir (like the
+    * generator's g01, the query is corpus-parameterized, not
+    * table-parameterized). */
+  private def ep3Suite(spark: SparkSession, file: String, path: Seq[String]): DataFrame = {
+    import graft.codecs.Codecs
+    val raw = spark.read.option("wholetext", "true")
+      .text(s"/root/reference/json/$file.json")
+      .select(col("value").as("doc"))
+    Seq("plain_json", "variant", "jsonc").map { name =>
+      val codec = Codecs(name)
+      codec.get(codec.encode(raw), path)
+        .select(lit(name).as("codec"), col("result").as("v"))
+    }.reduce(_ unionAll _).orderBy("codec")
+  }
+
+  def c09CanadaType(spark: SparkSession, dir: String): DataFrame =
+    ep3Suite(spark, "canada", Seq("type"))
+
+  def c10CitmArea(spark: SparkSession, dir: String): DataFrame =
+    ep3Suite(spark, "citm_catalog", Seq("areaNames", "205705994"))
+
+  def c11CitmTopic(spark: SparkSession, dir: String): DataFrame =
+    ep3Suite(spark, "citm_catalog", Seq("topicNames", "324846100"))
+
+  def c12TwitterMaxId(spark: SparkSession, dir: String): DataFrame =
+    ep3Suite(spark, "twitter", Seq("search_metadata", "max_id_str"))
+
+  /** Literal-row oracle for one EP3 suite: plain/variant return the
+    * bare string, jsonc the quoted token. */
+  private def ep3Oracle(expected: String): String =
+    s"""SELECT codec, v FROM (VALUES ('jsonc', '"$expected"'), """ +
+      s"('plain_json', '$expected'), ('variant', '$expected')) " +
+      "AS t(codec, v) ORDER BY codec"
+
   /** Shredded (variant-role) path: project to typed columns at encode
     * time, filter/aggregate on real columns — Catalyst prunes + pushes. */
   def shreddedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -106,6 +150,10 @@ object JsonOps {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "c05_shred_filter" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events " +
-        "WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90 ORDER BY event_id")
+        "WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90 ORDER BY event_id"),
+    "c09_ep3_canada_type" -> ep3Oracle("FeatureCollection"),
+    "c10_ep3_citm_area" -> ep3Oracle("1er balcon central"),
+    "c11_ep3_citm_topic" -> ep3Oracle("Formations musicales"),
+    "c12_ep3_twitter_max_id" -> ep3Oracle("505874924095815681")
   )
 }

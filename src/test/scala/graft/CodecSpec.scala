@@ -109,6 +109,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EP3 gate queries c09-c12 return exactly their literal oracle rows") {
+    // the driver-gate face of the suites above (JsonOps.ep3Suite):
+    // (codec, v) rows with jsonc's quoted-token semantics preserved
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def expect(lit: String) =
+      Seq(("jsonc", "\"" + lit + "\""), ("plain_json", lit), ("variant", lit))
+    assert(rows(graft.operators.JsonOps.c09CanadaType(spark, "")) ==
+      expect("FeatureCollection"))
+    assert(rows(graft.operators.JsonOps.c10CitmArea(spark, "")) ==
+      expect("1er balcon central"))
+    assert(rows(graft.operators.JsonOps.c11CitmTopic(spark, "")) ==
+      expect("Formations musicales"))
+    assert(rows(graft.operators.JsonOps.c12TwitterMaxId(spark, "")) ==
+      expect("505874924095815681"))
+  }
+
   test("EP3 path lookups: jsonc returns quoted tokens (reference query.rs:99)") {
     for ((file, path, expected) <- suites) {
       val raw = Seq(corpus(file)).toDF("doc")

@@ -343,6 +343,71 @@ class OperatorSpec extends AnyFunSuite {
       s"fused=${fused.size} unfused=${unfused.size}")
   }
 
+  test("expectedPairEvents sums C(occupancy, 2) over band buckets") {
+    import spark.implicits._
+    // band 0 / bucket 1: 3 rows → 3 pairs; band 0 / bucket 2: 2 rows →
+    // 1 pair; band 1 / bucket 1: 1 row → 0. Total 4.
+    val keyed = Seq((1L, 0, 1L), (2L, 0, 1L), (3L, 0, 1L),
+      (4L, 0, 2L), (5L, 0, 2L), (6L, 1, 1L)).toDF("vec_id", "band", "bh")
+    assert(Dedup.expectedPairEvents(keyed) == 4L)
+    assert(Dedup.expectedPairEvents(keyed.limit(0)) == 0L)
+  }
+
+  test("d09 router: sparse routes unfused, dense routes fused, output invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the router's plan choice is visible at the plan root: the fused
+    // form ends in distinct() (logical Deduplicate), the unfused form
+    // in a Project over the verify
+    def rootIsDistinct(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Deduplicate]
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // SPARSE: the planted 60-vector fixture — background cos ≈ 0, so
+    // pe/n ≈ bandsL·2^-bits·n/2 « crossover
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 50L).map(i => (i, vec()))
+    val dups = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(_ + rnd.nextGaussian() * 0.02))
+    }
+    val sparse = (base ++ dups).toDF("vec_id", "e0")
+      .select(col("vec_id"), col("e0").cast("array<double>").as("e"))
+    val peS = Dedup.expectedPairEvents(
+      Dedup.cappedCosineBands(sparse, Dedup.D09Bits, Dedup.D09Bands, 60L))
+    assert(peS <= Dedup.D09FusedCrossover * 60, s"fixture not sparse: pe=$peS")
+    val autoS = Dedup.lshCosineVerifiedPairsAuto(
+      sparse, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands)
+    assert(!rootIsDistinct(autoS), "sparse corpus must route candidates-then-join")
+    assert(pairs(autoS) == (0L until 10L).map(i => (i, i + 100L)).toSet)
+
+    // DENSE: 50 clusters × 10 near-identical members — every cluster
+    // collides in ~all bands (bucket size 10, far under the cap of 64),
+    // pe ≈ bandsL·50·C(10,2) ≈ 27k > crossover·500 = 16k
+    val cl = (0L until 500L).map { i =>
+      val b = new scala.util.Random(100 + (i / 10)).nextInt() // cluster seed
+      val cr = new scala.util.Random(b)
+      val cv = Array.fill(64)(cr.nextGaussian())
+      val mr = new scala.util.Random(7000 + i)
+      (i, cv.map(_ + mr.nextGaussian() * 0.02))
+    }
+    val dense = cl.toDF("vec_id", "e0")
+      .select(col("vec_id"), col("e0").cast("array<double>").as("e"))
+    val peD = Dedup.expectedPairEvents(
+      Dedup.cappedCosineBands(dense, Dedup.D09Bits, Dedup.D09Bands, 500L))
+    assert(peD > Dedup.D09FusedCrossover * 500, s"fixture not dense: pe=$peD")
+    val autoD = Dedup.lshCosineVerifiedPairsAuto(
+      dense, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands)
+    assert(rootIsDistinct(autoD), "dense corpus must route fused")
+    val got = pairs(autoD)
+    val viaUnfused = pairs(Dedup.lshCosineVerifiedPairs(
+      dense, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))
+    assert(got.nonEmpty && got == viaUnfused,
+      s"routing changed the result: ${got.size} vs ${viaUnfused.size}")
+  }
+
   test("splitBucket property: equals the unbounded modular product for random ids") {
     import spark.implicits._
     import org.scalacheck.Gen
