@@ -257,34 +257,63 @@ object Dedup {
     verifyJaccard(cands, shingled(spark, dir))
   }
 
-  private val SimHashBands = 4
+  private val SimHashChunks = 8
   private val HammingMax = 6
 
   /** (doc_id, sig, band, bh) band-key rows for d05 — shared by the
-    * operator and the cap census. */
+    * operator and the cap census. Bands are ALL C(8,2) = 28 unordered
+    * pairs of the signature's eight 8-bit chunks, keyed on both chunk
+    * values (16-bit keyspace per band, same occupancy profile as a
+    * contiguous 16-bit band). The pigeonhole argument makes banding
+    * EXACT for the verify threshold: a pair within Hamming distance
+    * ≤ 6 has ≥ 2 chunks with zero flipped bits, so SOME chunk-pair
+    * band matches — candidate recall for hamming ≤ [[HammingMax]] is
+    * 1.0 by construction, not probabilistic. (The previous 4×16-bit
+    * contiguous banding guaranteed only hamming ≤ 3 and caught 4-6
+    * w.p. < 1: measured catch 0.84 at sf0.01 with half the misses at
+    * hamming 5-6 — graft.tools.Measure, NOTES round 7.) 7× the band
+    * rows of the old layout, rows stay 24 B. NOTE: simhash chunk
+    * values CONCENTRATE on natural text (every doc's majority tokens
+    * pull the same bits the same way), so the mode chunk-pair bucket
+    * holds ~15% of the corpus at every measured SF — the band cap
+    * therefore bites NATURAL buckets here (unlike d04/d09/s02), which
+    * is exactly the k²-blowup guard working; skips are published in
+    * the census and measured at zero catch impact at the driver SFs
+    * (capped == uncapped catch — a low-hamming pair has many clean
+    * chunk pairs, so losing capped bands rarely loses the pair). */
   private[graft] def simhashBandsDf(spark: SparkSession, dir: String): DataFrame = {
     val sigs = docs(spark, dir)
       .select(col("doc_id"), gf.simhash64(col("text")).as("sig"))
-    val bandStructs = (0 until SimHashBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }
+    def chunk(k: Int) =
+      shiftrightunsigned(col("sig"), k * 8).bitwiseAND(lit(0xFFL))
+    val bandStructs = for {
+      i <- 0 until SimHashChunks
+      j <- (i + 1) until SimHashChunks
+    } yield struct(lit(i * SimHashChunks + j).as("band"),
+      (chunk(i) * 256 + chunk(j)).as("bh"))
     sigs.select(col("doc_id"), col("sig"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** d05: SimHash near-dup — native simhash64 expression, banded into
-    * 4×16-bit keys (any equal band → candidate; catches all pairs with
-    * Hamming distance ≤ 3 exactly, more probabilistically), verified by
-    * exact Hamming distance via bit_count(xor). Engine-specific hash ⇒
-    * rows-only oracle; semantics pinned in ScalaTest. Band buckets are
-    * capped ([[capBandBuckets]]): the all-zero band every short/
-    * boilerplate doc shares is precisely this operator's degenerate key.
+    * 28 chunk-pair 16-bit keys (see [[simhashBandsDf]]: pigeonhole-
+    * exact for hamming ≤ 6), verified by exact Hamming distance via
+    * bit_count(xor) — so the output is EXACTLY the hamming ≤ 6 pair
+    * set, modulo capped buckets. Engine-specific hash ⇒ rows-only
+    * oracle; semantics pinned in ScalaTest. Band buckets are capped
+    * ([[capBandBuckets]]): the all-zero band every short/boilerplate
+    * doc shares is precisely this operator's degenerate key.
     */
-  def d05SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val bands = capBandBuckets(simhashBandsDf(spark, dir), Seq("band", "bh"),
-      bandCap(docs(spark, dir).count()))
+  def d05SimHash(spark: SparkSession, dir: String): DataFrame =
+    d05SimHashCapped(spark, dir, bandCap(docs(spark, dir).count()))
+
+  /** [[d05SimHash]] with an explicit band-bucket cap — the sweep seam
+    * (graft.tools.Measure sweeps the cap fraction so the published
+    * catch floor carries its sensitivity, NOTES round 7). */
+  private[graft] def d05SimHashCapped(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val bands = capBandBuckets(simhashBandsDf(spark, dir), Seq("band", "bh"), cap)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

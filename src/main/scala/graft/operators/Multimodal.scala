@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat media payloads as opaque `binary`
@@ -33,18 +33,28 @@ object Multimodal {
         length(col("text")).cast("long").as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
+  /** Stub format sniff: FIRST BYTE of the binary payload mod 3 → a
+    * modality bucket (in place of a real magic-number table). The byte
+    * is read from the hex rendering (`conv` base 16 → 10), NEVER via
+    * `payload.cast("string")`: a cast decodes UTF-8 and real media
+    * bytes (0x80-0xFF leads, invalid sequences → replacement chars)
+    * would collapse distinct leading bytes onto one modality. The
+    * DuckDB oracles derive the identical byte from hex(encode(text)).
+    * OperatorSpec pins the non-UTF8 case. */
+  private[graft] def modality(payload: Column): Column = {
+    val b0 = conv(substring(hex(payload), 1, 2), 16, 10).cast("int")
+    when(b0 % 3 === 0, "image").when(b0 % 3 === 1, "audio").otherwise("video")
+  }
+
   /** m01: metadata + format sniff over the binary column — byte length,
-    * leading magic bytes as hex, and a deterministic (stub) modality
-    * tag in place of a real magic-number table. */
+    * leading magic bytes as hex, and the deterministic (stub) modality
+    * tag ([[modality]]). */
   def m01BinaryMeta(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir).select(
         col("media_id"),
         col("meta.n_bytes").as("n_bytes"),
         substring(hex(col("payload")), 1, 8).as("magic_hex"),
-        // stub format sniff: first byte mod 3 → modality bucket
-        when(ascii(substring(col("payload").cast("string"), 1, 1)) % 3 === 0, "image")
-          .when(ascii(substring(col("payload").cast("string"), 1, 1)) % 3 === 1, "audio")
-          .otherwise("video").as("modality"))
+        modality(col("payload")).as("modality"))
       .orderBy("media_id")
 
   /** m02: feature extraction — 8-dim vector per payload, exploded to
@@ -128,11 +138,8 @@ object Multimodal {
     * (xxhash64 would be cheaper but is Spark-only, and the gate needs
     * cross-engine equality). */
   def m04MediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val firstByte = ascii(substring(col("payload").cast("string"), 1, 1)) % 3
-    val modality = when(firstByte === 0, "image")
-      .when(firstByte === 1, "audio").otherwise("video")
     media(spark, dir)
-      .select(modality.as("modality"), md5(col("payload")).as("h"))
+      .select(modality(col("payload")).as("modality"), md5(col("payload")).as("h"))
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
         countDistinct(col("h")).as("n_distinct"),
@@ -140,18 +147,27 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** The oracle-side twin of [[modality]]: first PAYLOAD BYTE (not
+    * code point — ascii() would diverge on non-ASCII text) decoded
+    * from the hex rendering, DuckDB having no BLOB substring or conv:
+    * two hex digits → value via strpos on the digit alphabet. */
+  private val modalitySql: String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789ABCDEF', substring(hex(encode(text)), $i, 1)) - 1)"
+    s"CASE (${digit(1)} * 16 + ${digit(2)}) % 3 " +
+      "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  }
+
   val oracles: Map[String, String] = Map(
     "m04_media_dedup" ->
-      ("SELECT CASE ascii(substring(text, 1, 1)) % 3 WHEN 0 THEN 'image' " +
-        "WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
+      (s"SELECT $modalitySql AS modality, " +
         "count(*) AS n_media, count(DISTINCT md5(text)) AS n_distinct, " +
         "count(*) - count(DISTINCT md5(text)) AS n_dupes " +
         "FROM documents GROUP BY modality ORDER BY modality"),
     "m01_binary_meta" ->
       ("SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "substring(hex(encode(text)), 1, 8) AS magic_hex, " +
-        "CASE ascii(substring(text, 1, 1)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS modality FROM documents ORDER BY media_id"),
+        s"$modalitySql AS modality FROM documents ORDER BY media_id"),
     "m02_media_features" ->
       ("SELECT doc_id AS media_id, dim, round((ascii(substring(text, dim, 1)) % 256) / 255.0, 4) AS val " +
         "FROM documents, (SELECT unnest(range(1, 9)) AS dim) ORDER BY media_id, dim"),

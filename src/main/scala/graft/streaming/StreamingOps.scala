@@ -287,10 +287,9 @@ object StreamingOps {
     * watermark-dropped — all rows arrive before the watermark first
     * advances. */
   def st03StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st03_mem" // fixed name: runToMemory* drops the previous view
     val doubled = readEvents(spark, dir).unionAll(readEvents(spark, dir))
-    val streamed = runToMemoryAppend(spark,
-      dedupped(doubled).select(col("event_id")), name)
+    val streamed = runToFiles(spark,
+      dedupped(doubled).select(col("event_id")), "graft-st03")
     val batch = graft.core.Tables.events(spark, dir).select(col("event_id")).distinct()
     val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
     batch.agg(count(lit(1)).as("n_distinct"))
@@ -302,9 +301,8 @@ object StreamingOps {
     * constraint) run to completion on the bounded source, compared
     * against the identical batch join. */
   def st04StreamingJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st04_mem" // fixed name: runToMemory* drops the previous view
-    val streamed = runToMemoryAppend(spark,
-      purchaseSignupJoin(readEvents(spark, dir)), name)
+    val streamed = runToFiles(spark,
+      purchaseSignupJoin(readEvents(spark, dir)), "graft-st04")
     val ev = graft.core.Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -402,14 +400,24 @@ object StreamingOps {
     spark.table(name)
   }
 
-  /** [[runToMemory]] for non-aggregating streaming plans (dedup,
-    * stream-stream joins): Append is the only legal output mode. */
-  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    spark.catalog.dropTempView(name)
+  /** Run an append-mode streaming plan to completion into a PARQUET
+    * file sink and hand back a batch frame over the landed files — the
+    * 100 TB-shaped equivalence harness: unlike the memory sink (which
+    * pins the whole result set on the driver), the result lands
+    * distributed, and the downstream equivalence compare (exceptAll =
+    * a shuffled anti-join) stays distributed too — nothing is ever
+    * O(result) on the driver (round-4 verdict item 5). st02 keeps the
+    * memory sink deliberately: Complete-mode aggregates can't use file
+    * sinks, and its result is one row per (window, type) — bounded by
+    * time range, not data volume. Scratch dir (sink + checkpoint) is
+    * per call, reaped by the IO.scratchDir shutdown hook. */
+  def runToFiles(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val root = graft.core.IO.scratchDir(prefix)
     val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
+      .option("checkpointLocation", s"$root/chk")
+      .format("parquet").option("path", s"$root/out").start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    spark.read.parquet(s"$root/out")
   }
 }
