@@ -76,7 +76,19 @@ object GateAtScale {
             }
           }: _*)
         }
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      if (t == "events") {
+        // the streaming source (StreamingOps.readEvents) globs for a
+        // FILE named events.parquet, matching the driver testdata's
+        // single-file layout — flatten the write into one plain file
+        val tmp = s"$dst/_events_tmp"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(s"$dst/events.parquet"))
+        graft.core.IO.deleteRecursively(java.nio.file.Paths.get(tmp))
+      } else out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
   }
 
