@@ -367,6 +367,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // SURVEY §2.1 #22: the reference's figure surface (scripts/plot.py)
+    // — storage.svg + storage.csv next to the detail JSON
+    try {
+      val figDir = java.nio.file.Paths.get(outFile).toAbsolutePath
+        .getParent.resolve("figures").toString
+      graft.tools.Plot.write(storage, figDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write figures: ${e.getMessage}")
+    }
     val maxSpread = (queryMeasures ++ operatorMeasures)
       .map(_._2._3).maxOption.getOrElse(1.0)
     val summary = summaryLine(total, queryTimes.size,
