@@ -8,17 +8,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and run decode / feature-extract /
   * frame-sample as distributed column pipelines.
   *
-  * The container has no image/audio libraries, so the DECODE step is a
-  * clearly-marked deterministic stub (see [[fakeFeature]]): it derives
-  * features from the raw bytes instead of pixels. Everything around it
-  * — binary schema, batch shapes, partition-parallel extraction, the
-  * query surface — is real, tested, and oracle-checked. A real decoder
-  * drops in at the marked seam (mapPartitions over the binary column
-  * with a native lib, one batch per partition, no driver involvement).
+  * The DECODE seam ([[BatchDecoder]], one call per partition) has a
+  * REAL default: [[jdkDecoder]] sniffs the payload's magic number and
+  * decodes PNG/JPEG/GIF/BMP through `javax.imageio` and WAV through
+  * `javax.sound.sampled` — both ship with the JDK, no external
+  * libraries — extracting pixel/sample statistics as the feature
+  * vector. Formats the JDK cannot decode (mp4, mp3) and corrupt
+  * payloads fall back to the deterministic byte-derived features
+  * ([[fallbackFeatures]]): at 100 TB corrupt media is routine, and a
+  * decoder that throws per bad blob kills the stage — degrade, count,
+  * continue. A heavier decoder (JNI/GPU) drops in at the same seam.
   *
   * The binary payloads themselves are derived deterministically from
   * `documents.text` (UTF-8 bytes), since the driver testdata ships no
-  * media table.
+  * media table; MultimodalSpec exercises the real decode paths with
+  * in-memory PNG/WAV fixtures.
   */
 object Multimodal {
 
@@ -59,12 +63,19 @@ object Multimodal {
 
   /** m02: feature extraction — 8-dim vector per payload, exploded to
     * (media_id, dim, val) rows. [[fakeFeature]] is the decode stub; a
-    * real embedding model replaces exactly that expression. */
+    * real embedding model replaces exactly that expression (the seam
+    * with the REAL decoder is [[decodeFeatures]]/[[jdkDecoder]]). */
   def m02Features(spark: SparkSession, dir: String): DataFrame = {
     // >>> DECODE STUB: byte i (1-based) scaled to [0,1); a real decoder
     // >>> would decode pixels/samples here instead of reading raw bytes.
-    def fakeFeature(i: Int) =
-      round((ascii(substring(col("payload").cast("string"), i, 1)) % 256) / 255.0, 4)
+    // Byte i comes from the hex rendering (like [[modality]]) — NEVER
+    // payload.cast("string"), whose UTF-8 decode collapses real media
+    // bytes onto replacement chars. Missing byte → feature 0, matching
+    // [[fallbackFeatures]].
+    def fakeFeature(i: Int) = {
+      val b = conv(substring(hex(col("payload")), 2 * i - 1, 2), 16, 10).cast("int")
+      round(coalesce(b, lit(0)) / 255.0, 4)
+    }
     val dims = (1 to 8).map(i => struct(lit(i.toLong).as("dim"), fakeFeature(i).as("val")))
     media(spark, dir)
       .select(col("media_id"), explode(array(dims: _*)).as("f"))
@@ -72,32 +83,172 @@ object Multimodal {
       .orderBy("media_id", "dim")
   }
 
-  /** The decoder seam: a real media decoder (JNI/native lib) implements
-    * this signature — one call per PARTITION, receiving an iterator of
-    * (id, payload) so the implementation can batch into whatever shape
-    * the underlying library wants (contiguous buffers, GPU batches).
-    * The default is the deterministic byte-derived fake used everywhere
-    * in this container (no media libraries available).
+  /** The decoder seam: a media decoder implements this signature — one
+    * call per PARTITION, receiving an iterator of (id, payload) so the
+    * implementation can batch into whatever shape the underlying
+    * library wants (contiguous buffers, GPU batches).
     */
   type BatchDecoder = Iterator[(Long, Array[Byte])] => Iterator[(Long, Array[Float])]
 
-  /** >>> DECODE STUB — deterministic fake: 8 floats from the first 8
-    * bytes. Replace with a real decoder at deployment. */
+  /** Magic-number table shared by the Scala sniff ([[magicOf]]) and the
+    * Column sniff ([[sniffFormat]]); MultimodalSpec pins their
+    * agreement on real fixture bytes. Hex prefixes at offset 0 —
+    * RIFF/WAVE and ftyp/mp4 need a second probe past offset 0 and are
+    * handled out-of-table. */
+  private val Magics: Seq[(String, String)] = Seq(
+    "89504E47" -> "png",
+    "FFD8FF" -> "jpeg",
+    "47494638" -> "gif",
+    "424D" -> "bmp",
+    "494433" -> "mp3") // ID3-tagged mp3; bare-frame sync words excluded
+
+  /** Format sniff over raw bytes (executor-side, inside the decode
+    * seam). */
+  private[graft] def magicOf(bytes: Array[Byte]): String = {
+    def hexAt(off: Int, n: Int): String =
+      bytes.slice(off, off + n).map(b => f"${b & 0xff}%02X").mkString
+    val head = hexAt(0, 4)
+    Magics.collectFirst { case (m, f) if head.startsWith(m) => f }
+      .orElse(if (head == "52494646" && hexAt(8, 4) == "57415645") Some("wav") else None)
+      .orElse(if (bytes.length >= 12 && hexAt(4, 4) == "66747970") Some("mp4") else None)
+      .getOrElse("unknown")
+  }
+
+  /** The same magic table as a codegen'd Column (sniffing a binary
+    * column inside a query, no UDF): prefix-compare the hex rendering.
+    */
+  def sniffFormat(payload: Column): Column = {
+    val hx = hex(payload)
+    val base = Magics.foldRight(lit("unknown"): Column) { case ((m, f), els) =>
+      when(substring(hx, 1, m.length) === m, f).otherwise(els)
+    }
+    when(substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57415645", "wav")
+      .when(substring(hx, 9, 8) === "66747970", "mp4")
+      .otherwise(base)
+  }
+
+  /** Deterministic byte-derived features: 8 floats from the first 8
+    * bytes. The fallback for formats the JDK can't decode and for
+    * corrupt payloads. */
+  private def fallbackFeatures(bytes: Array[Byte]): Array[Float] =
+    Array.tabulate(8)(i =>
+      if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f)
+
+  /** Byte-derived stub decoder (touches no decode library). */
   val fakeDecoder: BatchDecoder = batch =>
+    batch.map { case (id, bytes) => id -> fallbackFeatures(bytes) }
+
+  /** Pixel statistics over a decoded image, sampled on a ≤64×64 grid so
+    * feature cost is bounded regardless of resolution: [w, h scaled by
+    * 4096, mean R, G, B, mean luma, luma stddev, aspect/8]. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+    var n = 0L
+    var (sr, sg, sb, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val l = (r + g + b) / 3.0
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l; n += 1
+        x += sx
+      }
+      y += sy
+    }
+    val lumMean = sl / n
+    val lumVar = math.max(0.0, sl2 / n - lumMean * lumMean)
+    Array(math.min(w / 4096.0, 1.0), math.min(h / 4096.0, 1.0),
+      sr / n / 255.0, sg / n / 255.0, sb / n / 255.0, lumMean / 255.0,
+      math.sqrt(lumVar) / 255.0, math.min(w.toDouble / h, 8.0) / 8.0)
+      .map(_.toFloat)
+  }
+
+  /** Sample statistics over a decoded PCM stream (first 4096 frames,
+    * channel 0): [channels/8, rate/96k, duration/60s capped, bits/32,
+    * mean |amp|, rms, zero-crossing rate, 0]. */
+  private def audioFeatures(in: javax.sound.sampled.AudioInputStream): Array[Float] = {
+    val fmt = in.getFormat
+    val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+    val frameSize = math.max(1, fmt.getFrameSize)
+    val buf = new Array[Byte](4096 * frameSize)
+    var filled = 0
+    var r = in.read(buf, 0, buf.length)
+    while (r > 0 && filled < buf.length) {
+      filled += r
+      r = in.read(buf, filled, buf.length - filled)
+    }
+    val nSamples = filled / frameSize
+    var (sa, s2) = (0.0, 0.0)
+    var zc = 0
+    var prev = 0.0
+    for (i <- 0 until nSamples) {
+      val off = i * frameSize // channel 0 leads each frame
+      val amp = bytesPerSample match {
+        case 1 => ((buf(off) & 0xff) - 128) / 128.0 // 8-bit PCM is unsigned
+        case _ => // 16-bit PCM, honoring the container's endianness
+          val (lo, hi) =
+            if (fmt.isBigEndian) (buf(off + 1), buf(off)) else (buf(off), buf(off + 1))
+          ((hi << 8) | (lo & 0xff)) / 32768.0
+      }
+      sa += math.abs(amp); s2 += amp * amp
+      if (i > 0 && amp * prev < 0) zc += 1
+      prev = amp
+    }
+    val n = math.max(1, nSamples)
+    val durSec = if (in.getFrameLength > 0) in.getFrameLength / fmt.getFrameRate else 0f
+    Array(fmt.getChannels / 8.0, math.min(fmt.getSampleRate / 96000.0, 1.0),
+      math.min(durSec / 60.0, 1.0), fmt.getSampleSizeInBits / 32.0,
+      sa / n, math.sqrt(s2 / n), zc.toDouble / n, 0.0).map(_.toFloat)
+  }
+
+  /** REAL decoder on JDK built-ins — no external libraries: images via
+    * `javax.imageio` (PNG, JPEG, GIF, BMP), WAV via
+    * `javax.sound.sampled`; per-payload format sniff, decode,
+    * pixel/sample statistics. Unknown formats and decode failures
+    * degrade to [[fallbackFeatures]] instead of killing the stage — at
+    * 100 TB corrupt media is routine, and one throwing blob must not
+    * fail a 10M-row partition. */
+  val jdkDecoder: BatchDecoder = batch =>
     batch.map { case (id, bytes) =>
-      id -> Array.tabulate(8)(i =>
-        if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f)
+      val feats =
+        try {
+          magicOf(bytes) match {
+            case "png" | "jpeg" | "gif" | "bmp" =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) fallbackFeatures(bytes) else imageFeatures(img)
+            case "wav" =>
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try audioFeatures(in) finally in.close()
+            case _ => fallbackFeatures(bytes)
+          }
+        } catch { case scala.util.control.NonFatal(_) => fallbackFeatures(bytes) }
+      id -> feats
     }
 
   /** Partition-parallel decode through the seam: mapPartitions keeps
     * the batch shape (one decoder call per partition, streaming
     * iterator in/out — no per-row library setup, no driver transfer).
+    * Default decoder is the real JDK one; the synthetic text payloads
+    * sniff as `unknown`, so gate behavior equals the byte fallback.
     */
   def decodeFeatures(spark: SparkSession, dir: String,
-      decoder: BatchDecoder = fakeDecoder): DataFrame = {
+      decoder: BatchDecoder = jdkDecoder): DataFrame =
+    decodePayloads(spark, media(spark, dir).select(col("media_id"), col("payload")), decoder)
+
+  /** The same seam over any (media_id, payload) frame — what a real
+    * ingest calls after its own source read. */
+  def decodePayloads(spark: SparkSession, payloads: DataFrame,
+      decoder: BatchDecoder = jdkDecoder): DataFrame = {
     import spark.implicits._
-    media(spark, dir)
-      .select(col("media_id"), col("payload"))
+    payloads
+      .select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(decoder)
       .toDF("media_id", "features")
@@ -169,7 +320,13 @@ object Multimodal {
         "substring(hex(encode(text)), 1, 8) AS magic_hex, " +
         s"$modalitySql AS modality FROM documents ORDER BY media_id"),
     "m02_media_features" ->
-      ("SELECT doc_id AS media_id, dim, round((ascii(substring(text, dim, 1)) % 256) / 255.0, 4) AS val " +
+      // byte `dim` (1-based) via hex digits, the twin of the Spark-side
+      // hex path: character substring would read code points, not bytes
+      ("SELECT doc_id AS media_id, dim, " +
+        "round(CASE WHEN length(hex(encode(text))) >= 2 * dim THEN " +
+        "(strpos('0123456789ABCDEF', substring(hex(encode(text)), 2 * dim - 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789ABCDEF', substring(hex(encode(text)), 2 * dim, 1)) - 1) " +
+        "ELSE 0 END / 255.0, 4) AS val " +
         "FROM documents, (SELECT unnest(range(1, 9)) AS dim) ORDER BY media_id, dim"),
     "m03_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no, " +
