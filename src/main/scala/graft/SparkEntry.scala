@@ -110,6 +110,8 @@ object SparkEntry {
     "p04_split_census" -> (Sinks.p04SplitCensus _),
     // p05 stratified sample census — engine-invariant hash membership
     "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
+    // p06 target-size binning — scalable two-phase prefix sum
+    "p06_size_bins" -> (Sinks.p06SizeBins _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // st02 runs the STREAMING runtime to completion inside the query

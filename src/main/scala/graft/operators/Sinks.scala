@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Partition-aware sinks and skew tooling — the storage-layout half of
@@ -157,7 +158,62 @@ object Sinks {
       .orderBy(col("event_type"))
   }
 
+  private val BinTargetBytes = 8192L
+  private val GroupSpan = 64L
+
+  /** p06: target-size output binning — the planning half of small-file
+    * compaction: assign each document to an output file ("bin") so
+    * files land near a byte target, as a pure function of the doc_id
+    * order and sizes (not of partitioning — the p04 re-derivability
+    * property). A document's bin is `floor(start_offset / target)`
+    * where start_offset is the running byte total before it; bins can
+    * overshoot the target by at most one document, never undershoot
+    * pathologically.
+    *
+    * The prefix sum is TWO-PHASE so it scales: a per-group running sum
+    * (group = doc_id range of [[GroupSpan]], shuffle-partitioned and
+    * parallel) plus an offset window over the per-group totals — the
+    * one single-partition window in the plan runs over n/GroupSpan
+    * rows, not n (grow GroupSpan with the corpus, or recurse the same
+    * trick, to keep the offset table executor-sized). A naive
+    * `sum() OVER (ORDER BY doc_id)` moves EVERY row to one partition —
+    * the q25 global-window lesson applied at data scale. Offsets join
+    * back broadcast. Double division is exact here up to 2^53 bytes
+    * (8 PB) of cumulative corpus, and the DuckDB twin computes the
+    * identical IEEE double.
+    */
+  def p06SizeBins(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("len"),
+        (col("doc_id") / GroupSpan).cast("long").as("grp"))
+    val wIn = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("cum_in", sum(col("len")).over(wIn))
+    val wOff = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("grp").agg(sum(col("len")).as("gtot"))
+      .withColumn("off", coalesce(sum(col("gtot")).over(wOff), lit(0L)))
+      .select("grp", "off")
+    within.join(broadcast(offsets), "grp")
+      .select(col("doc_id"), col("len"),
+        floor((col("off") + col("cum_in") - col("len")) / lit(BinTargetBytes.toDouble))
+          .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "p06_size_bins" ->
+      // single-window cumsum (DuckDB is the small-scale truth twin; the
+      // Spark side carries the scalable two-phase form of the same sum)
+      ("SELECT CAST(floor((cum - len) / 8192.0) AS BIGINT) AS bin_id, " +
+        "count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS bin_bytes, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM (" +
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len, " +
+        "sum(octet_length(encode(text))) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM documents) GROUP BY bin_id ORDER BY bin_id"),
     "p05_stratified_sample" ->
       ("SELECT event_type, count(*) AS n_sampled, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +

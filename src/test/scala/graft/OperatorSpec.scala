@@ -477,6 +477,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("p06 size bins: two-phase prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Sinks.p06SizeBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // naive truth: one global window (fine at test scale, the exact
+    // shape p06 exists to avoid at data scale)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("len"))
+      .withColumn("cum", sum(col("len")).over(w))
+      .select(col("doc_id"), col("len"),
+        floor((col("cum") - col("len")) / 8192.0).cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+    // structural invariants: bins tile the doc_id order, bytes conserve
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong), "dense bin ids")
+    for (Seq(a, b) <- got.toSeq.sliding(2) if got.length > 1)
+      assert(a._5 < b._4, "bins must not overlap in doc_id order")
+    val total = graft.core.Tables(spark, sf, "documents")
+      .agg(sum(octet_length(col("text")).cast("long"))).head().getLong(0)
+    assert(got.map(_._3).sum == total, "every byte lands in exactly one bin")
+    // every bin STARTS under its boundary: start = cumulative bytes of
+    // prior bins < (bin_id+1) * target (bins overshoot by ≤ 1 doc only)
+    got.foldLeft(0L) { case (start, (bin, _, bytes, _, _)) =>
+      assert(start < (bin + 1) * 8192L, s"bin $bin starts at $start past boundary")
+      start + bytes
+    }
+    assert(got.length > 1, "fixture corpus should span multiple bins")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
