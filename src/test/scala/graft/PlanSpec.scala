@@ -161,6 +161,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"no aggregation belongs here:\n$p")
   }
 
+  test("p06 size bins: the only unpartitioned window runs over group totals, not rows") {
+    val p = plan(Sinks.p06SizeBins(spark, sf))
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toList
+    assert(windows.size == 2, s"expected row cumsum + group offset windows:\n$p")
+    // the row-level cumsum is PARTITIONED: spec lists the grp partition
+    // expr before the doc_id sort order
+    val rowW = windows.filter(_.matches(""".*windowspecdefinition\(grp#\d+L?, doc_id#.*"""))
+    assert(rowW.size == 1, s"row-level window lost its grp partitioning:\n$p")
+    // the unpartitioned window (spec = sort order only) must aggregate
+    // group totals, never touch document rows — a global row-level
+    // window is exactly the shuffle p06 exists to avoid
+    val globalW = windows.filterNot(rowW.contains(_))
+    globalW.foreach { w =>
+      assert(w.matches(""".*windowspecdefinition\(grp#\d+L? ASC.*"""),
+        s"unexpected window shape:\n$w")
+      assert(w.contains("gtot#"), s"offset window is not over group totals:\n$w")
+      assert(!w.contains("doc_id#"), s"offset window touches row-level doc_ids:\n$w")
+    }
+  }
+
   test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {
     val p = plan(operators.Sinks.p05StratifiedSample(spark, sf))
     // filter on the modular bucket is not scan-pushable (expression on
