@@ -94,6 +94,8 @@ object SparkEntry {
     "s02_ann_lsh" -> (Similarity.s02AnnLshRecall _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s04_ann_ivf_kmeans" -> (Similarity.s04AnnIvfKmeans _),
+    // s05 int8 quantization census — order-free integer micro-units
+    "s05_quantize_census" -> (Similarity.s05QuantizeCensus _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

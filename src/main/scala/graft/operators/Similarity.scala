@@ -318,7 +318,49 @@ object Similarity {
       "WHERE rn <= 5 ORDER BY query_id, rnk"
   }
 
+  /** s05: int8 scalar-quantization census — the storage-compression
+    * step a 100 TB embedding pipeline runs before ANN (4× smaller
+    * vectors, then s02/s03 search the codes). Per-vector max-abs scale;
+    * level = floor(v·127/scale + 0.5) — NEVER `round`, whose half-rule
+    * differs between engines, while the identical floor formula is
+    * reproducible anywhere IEEE doubles are. The census reports
+    * reconstruction error in integer MICRO-UNITS (floor(err·1e6)):
+    * integer sums are exact and order-free, so the result is invariant
+    * to partitioning and to either engine's fold order — doubles never
+    * cross a row boundary (the t02 basis-points rule applied to
+    * vectors).
+    *
+    * Map-only single pass, no shuffle. The HOF lambdas run interpreted
+    * (NOTES: no codegen/CSE — projection collapse inlines `scale` into
+    * each use, re-evaluating array_max ~2× per element); that's ~16k
+    * flat comparisons per row, dwarfed by the fold itself, and worth it
+    * to stay shuffle-free — the explode/groupBy alternative ships every
+    * element through an exchange.
+    */
+  def s05QuantizeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val ed = col("embedding").cast("array<double>")
+    val scale = greatest(array_max(transform(ed, v => abs(v))), lit(1e-30))
+    def errMicro(v: Column): Column =
+      floor(abs(v - floor(v * 127 / scale + lit(0.5)) * scale / 127) * 1e6)
+    Tables(spark, dir, "embeddings").select(
+        col("vec_id"),
+        floor(scale * 1e6).cast("long").as("scale_micro"),
+        aggregate(ed, lit(0L), (acc, v) => acc + errMicro(v)).as("sum_qerr_micro"),
+        array_max(transform(ed, v => errMicro(v))).cast("long").as("max_qerr_micro"))
+      .orderBy("vec_id")
+  }
+
+  private val s05ErrSql =
+    "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
+
   val oracles: Map[String, String] = Map(
+    "s05_quantize_census" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings), " +
+        "sc AS (SELECT vec_id, ed, greatest(list_max(list_transform(ed, v -> abs(v))), 1e-30) AS scale FROM e) " +
+        "SELECT vec_id, CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro, " +
+        s"CAST(list_sum(list_transform(ed, v -> $s05ErrSql)) AS BIGINT) AS sum_qerr_micro, " +
+        s"CAST(list_max(list_transform(ed, v -> $s05ErrSql)) AS BIGINT) AS max_qerr_micro " +
+        "FROM sc ORDER BY vec_id"),
     "s02_ann_lsh" ->
       // replay the EXACT top-5 side in SQL; the invariant row asserts
       // the ANN side reached the recall floor (deterministic per

@@ -477,6 +477,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s05 quantization error is bounded by half a quantization step") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.s05QuantizeCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.core.Tables(spark, sf, "embeddings").count()
+    assert(rows.length == n, "one census row per vector")
+    for ((id, scaleMicro, sumErr, maxErr) <- rows) {
+      // |err| ≤ scale/127/2 per dim ⇒ micro-units ≤ scale_micro/254 (+1 floor slack)
+      val bound = scaleMicro / 254 + 1
+      assert(maxErr <= bound, s"vec $id: max err $maxErr > half-step bound $bound")
+      assert(sumErr <= 64L * bound && sumErr >= 0, s"vec $id: sum err $sumErr")
+      assert(maxErr <= sumErr, s"vec $id: max > sum")
+      assert(scaleMicro > 0, s"vec $id: degenerate scale")
+    }
+    // partitioning invariance: integer micro-units make the census
+    // independent of fold/partition order
+    val again = Similarity.s05QuantizeCensus(spark, sf)
+    assert(again.repartition(7, col("vec_id")).collect().map(r => r.getLong(2)).sorted.toSeq ==
+      rows.map(_._3).sorted.toSeq)
+  }
+
   test("p06 size bins: two-phase prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
