@@ -28,7 +28,12 @@ class DeterminismSpec extends AnyFunSuite {
     "s04_ann_ivf_kmeans", "st01_session_window", "d08_ngram_jaccard_capped",
     "p03_bucketed_join",
     "q27_sketch_union", "p05_stratified_sample", "st02_streaming_counts",
-    "st03_streaming_dedup", "m04_media_dedup")
+    "st03_streaming_dedup", "m04_media_dedup",
+    // round-7 additions with nontrivial distribution behavior: the
+    // two-phase prefix sum (group boundaries must not show), the
+    // micro-unit quantization census (fold order must not show), and
+    // one EP3 literal lookup (single-row corpus through the codecs)
+    "p06_size_bins", "s05_quantize_census", "c12_ep3_twitter_max_id")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
