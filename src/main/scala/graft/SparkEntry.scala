@@ -74,6 +74,8 @@ object SparkEntry {
     "t08_chunks" -> (TextOps.t08Chunks _),
     // t09: Gopher-style within-doc repetition (duplicate 3-gram frac)
     "t09_repetition" -> (TextOps.t09Repetition _),
+    // t10 rare-token census — corpus-relative frequency quality signal
+    "t10_rare_tokens" -> (TextOps.t10RareTokens _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),

@@ -202,6 +202,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t10: corpus-relative rare-token census — frequency-based quality
+    * filtering (the CCNet-style "unusual vocabulary" signal) reduced to
+    * exact integer arithmetic: per document, the corpus frequency of
+    * its rarest token and the fraction of tokens rarer than a tenth of
+    * the uniform share. The threshold is corpus-RELATIVE
+    * (total_tokens / vocab / 10), never absolute — the 100 TB rule.
+    * Two-phase shape: token counts partial-aggregate into a vocab-sized
+    * table that joins back BROADCAST (vocabularies are small relative
+    * to corpora); the only row-level shuffle is the per-doc aggregate.
+    * Outputs are exact integers or floors of IEEE divisions of
+    * integers, identical in any engine and under any partitioning.
+    */
+  def t10RareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val cf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
+    val thr = cf.agg((sum(col("cf")) / count(lit(1)) / 10.0).as("thr"))
+    tok.join(broadcast(cf), "t")
+      .crossJoin(broadcast(thr)) // 1-row corpus threshold
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("cf")).as("min_cf"),
+        sum(when(col("cf") < col("thr"), 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("min_cf"), col("n_rare"),
+        floor(col("n_rare") * 10000 / col("n_tokens")).cast("long").as("rare_bp"))
+      .orderBy("doc_id")
+  }
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -210,6 +238,15 @@ object TextOps {
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "t10_rare_tokens" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS t FROM documents), " +
+        "cf AS (SELECT t, count(*) AS cf FROM w GROUP BY t), " +
+        "thr AS (SELECT CAST(sum(cf) AS DOUBLE) / count(*) / 10.0 AS thr FROM cf) " +
+        "SELECT doc_id, n_tokens, min_cf, n_rare, " +
+        "CAST(floor(n_rare * 10000 / n_tokens) AS BIGINT) AS rare_bp FROM (" +
+        "SELECT doc_id, count(*) AS n_tokens, min(cf) AS min_cf, " +
+        "CAST(sum(CASE WHEN cf < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_rare " +
+        "FROM w JOIN cf USING (t), thr GROUP BY doc_id) ORDER BY doc_id"),
     "t09_repetition" ->
       // same tokenization + 3-gram construction as the d03 oracle
       ("SELECT doc_id, CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_3grams, " +

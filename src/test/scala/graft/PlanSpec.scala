@@ -181,6 +181,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t10 rare tokens: vocab and threshold join back broadcast, never shuffled") {
+    val p = plan(TextOps.t10RareTokens(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row threshold must broadcast")
+    // the row-level tokens must never sort-merge against the vocab
+    assert(!p.contains("SortMergeJoin"), s"token join degraded to sort-merge:\n$p")
+  }
+
   test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {
     val p = plan(operators.Sinks.p05StratifiedSample(spark, sf))
     // filter on the modular bucket is not scan-pushable (expression on
