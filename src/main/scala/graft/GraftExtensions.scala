@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{ArrayDotProduct, SimHash64, TokenFingerprint64}
+import graft.functions.{ArrayDotProduct, Int8QuantCensus, SimHash64, TokenFingerprint64}
 
 /** Session-extension entry point: makes graft's native expressions
   * available to pure-SQL users via
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 2, "array_dot expects exactly 2 arguments")
           ArrayDotProduct(exprs.head, exprs(1))
         }))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("int8_qcensus"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Int8QuantCensus].getName, "int8_qcensus"),
+        one("int8_qcensus", Int8QuantCensus) _))
     // full tape codec in SQL: jsonc_encode(doc), jsonc_decode(n,s,d),
     // jsonc_get(n,s,d, 'seg1', 'seg2', ...) — path segments are literals
     ext.injectFunction(

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -24,6 +24,32 @@ object VectorImpls {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** One-pass int8 scalar-quantization census (Similarity.s05):
+    * [floor(scale·1e6), Σ floor(err_i·1e6), max floor(err_i·1e6)]
+    * with scale = max |v_i| (floored at 1e-30), err_i = |v_i −
+    * floor(v_i·127/scale + 0.5)·scale/127|. Same IEEE formula the
+    * DuckDB oracle computes; `Math.floor`, never a half-rule round.
+    */
+  def qcensus(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var scale = 1e-30
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i)); if (v > scale) scale = v; i += 1
+    }
+    var sum = 0L
+    var max = 0L
+    i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      val err = math.abs(v - math.floor(v * 127 / scale + 0.5) * scale / 127)
+      val m = math.floor(err * 1e6).toLong
+      sum += m; if (m > max) max = m
+      i += 1
+    }
+    new GenericArrayData(Array(math.floor(scale * 1e6).toLong, sum, max))
+  }
 }
 
 case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -41,8 +67,33 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** int8 quantization census over one array<double> column → array<long>
+  * [scale_micro, sum_qerr_micro, max_qerr_micro]. The composable form
+  * (aggregate/transform lambdas around an aliased array_max scale) runs
+  * interpreted AND gets the scale re-inlined into every element lambda
+  * by projection collapse — measured ~30 s for 50k × 64-dim vectors at
+  * the 10× gate, against well under a second for this tight loop.
+  */
+case class Int8QuantCensus(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int8_qcensus"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorImpls.qcensus(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorImpls.qcensus($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantCensus =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns (native, codegen'd). */
   def array_dot(a: Column, b: Column): Column =
     GraftShims.column(ArrayDotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** int8 quantization census of an array<double> column (native). */
+  def int8_qcensus(a: Column): Column =
+    GraftShims.column(Int8QuantCensus(GraftShims.expression(a)))
 }

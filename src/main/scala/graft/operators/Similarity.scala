@@ -330,23 +330,23 @@ object Similarity {
     * cross a row boundary (the t02 basis-points rule applied to
     * vectors).
     *
-    * Map-only single pass, no shuffle. The HOF lambdas run interpreted
-    * (NOTES: no codegen/CSE — projection collapse inlines `scale` into
-    * each use, re-evaluating array_max ~2× per element); that's ~16k
-    * flat comparisons per row, dwarfed by the fold itself, and worth it
-    * to stay shuffle-free — the explode/groupBy alternative ships every
-    * element through an exchange.
+    * Map-only single pass, no shuffle, via the native codegen'd
+    * [[graft.functions.Int8QuantCensus]] expression. The composable
+    * HOF form (aggregate/transform around an aliased array_max scale)
+    * ran interpreted with the scale re-inlined into every element
+    * lambda by projection collapse — 29.7 s for 50k vectors at the 10×
+    * gate vs sub-second native (the NOTES HOF lesson, re-learned).
+    * `element_at` evaluates the census ≤3× per row; each evaluation is
+    * one tight 128-step loop, still allocation-free per element.
     */
   def s05QuantizeCensus(spark: SparkSession, dir: String): DataFrame = {
-    val ed = col("embedding").cast("array<double>")
-    val scale = greatest(array_max(transform(ed, v => abs(v))), lit(1e-30))
-    def errMicro(v: Column): Column =
-      floor(abs(v - floor(v * 127 / scale + lit(0.5)) * scale / 127) * 1e6)
+    val c = graft.functions.VectorFunctions.int8_qcensus(
+      col("embedding").cast("array<double>"))
     Tables(spark, dir, "embeddings").select(
         col("vec_id"),
-        floor(scale * 1e6).cast("long").as("scale_micro"),
-        aggregate(ed, lit(0L), (acc, v) => acc + errMicro(v)).as("sum_qerr_micro"),
-        array_max(transform(ed, v => errMicro(v))).cast("long").as("max_qerr_micro"))
+        element_at(c, 1).as("scale_micro"),
+        element_at(c, 2).as("sum_qerr_micro"),
+        element_at(c, 3).as("max_qerr_micro"))
       .orderBy("vec_id")
   }
 

@@ -39,6 +39,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getString(3) == "\"v\"") // quoted-token semantics survive SQL
     assert(row.getString(4) == """{"k":"v","n":1}""")
 
+    // int8 quantization census from pure SQL: scale 1.0 (micro 1e6),
+    // values ±1.0 and 0.5·scale quantize with err 0 / ~scale/254
+    val qc = ext.sql(
+      "SELECT int8_qcensus(array(1.0d, -1.0d, 0.503937d)) AS c").collect().head
+      .getSeq[Long](0)
+    assert(qc(0) == 1000000L, s"scale_micro: $qc")
+    assert(qc(2) <= 1000000L / 254 + 1, s"max err above half-step: $qc")
+    assert(qc(1) >= qc(2), s"sum below max: $qc")
+
     // the LSH/dedup primitives resolve too, matching the DataFrame forms
     val lsh = ext.sql(
       """SELECT
