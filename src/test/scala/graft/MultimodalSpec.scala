@@ -110,6 +110,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(6) > 0.95, "alternating-sign wave crosses zero every sample")
   }
 
+  test("jdkDecoder reads channel 0 of interleaved stereo and the 8-bit PCM path") {
+    // stereo 16-bit: ch0 constant +0.5, ch1 constant -0.25 — a decoder
+    // that strides wrong or mixes channels can't produce mean |amp| 0.5
+    val stereo: Array[Byte] = {
+      val n = 1000
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+      val pcm = new Array[Byte](n * 4)
+      for (i <- 0 until n) {
+        val c0 = 16384; val c1 = -8192
+        pcm(4 * i) = (c0 & 0xff).toByte; pcm(4 * i + 1) = ((c0 >> 8) & 0xff).toByte
+        pcm(4 * i + 2) = (c1 & 0xff).toByte; pcm(4 * i + 3) = ((c1 >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 8-bit mono is UNSIGNED PCM centered on 128: 192/64 → ±0.5
+    val eightBit: Array[Byte] = {
+      val n = 1000
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val pcm = Array.tabulate(n)(i => (if (i % 2 == 0) 192 else 64).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val out = Multimodal.jdkDecoder(Iterator(1L -> stereo, 2L -> eightBit)).toMap
+    val st = out(1L)
+    assert(math.abs(st(0) - 2 / 8.0) < 1e-6, "stereo channel count")
+    assert(math.abs(st(4) - 0.5) < 1e-3, s"ch0 mean |amp| (got ${st(4)}): wrong stride or channel mix")
+    assert(st(6) < 1e-6, "constant ch0 never crosses zero")
+    val eb = out(2L)
+    assert(math.abs(eb(3) - 8 / 32.0) < 1e-6, "8-bit sample size")
+    assert(math.abs(eb(4) - 0.5) < 1e-2, s"8-bit mean |amp| (got ${eb(4)})")
+    assert(eb(6) > 0.95, "alternating 8-bit wave crosses zero every sample")
+  }
+
   test("unknown formats and corrupt media degrade to byte features, never throw") {
     val truncated = redPng.take(12) // valid magic, unreadable body
     val out = Multimodal.jdkDecoder(
