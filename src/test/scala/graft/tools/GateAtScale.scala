@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object GateAtScale {
 
-  private val Copies = 10
+  /** Replication factor — override with the first CLI arg. */
+  private var Copies = 10
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -98,6 +99,8 @@ object GateAtScale {
     "d09_lsh_cosine_neardup")
 
   def main(args: Array[String]): Unit = {
+    args.headOption.foreach(a => Copies = a.toInt)
+    println(s"SF1GATE copies=$Copies")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
