@@ -101,6 +101,55 @@ object Dedup {
   private[graft] def capDf(nDocs: Long): Long =
     math.max(CapDfFloor, math.ceil(CapDfFrac * nDocs).toLong)
 
+  private[graft] val DecontamShingleK = 8
+  private[graft] val DecontamMinShared = 4L
+
+  /** d10: DECONTAMINATION — flag train-split documents that share long
+    * verbatim n-grams with the held-out (val+test) split, the overlap
+    * check every serious training pipeline runs before training (and
+    * val leakage is leakage, so the holdout is everything p04 does not
+    * call train). Long 8-gram shingles, not d03's 3-grams: on real text
+    * short n-grams saturate (everything overlaps everything) while
+    * 8-gram collisions are near-certain evidence of copied passages.
+    * Membership comes from [[Sinks.splitBucket]] — the same pure
+    * function of doc_id as p04, so contamination is re-derivable with
+    * no stored split assignment.
+    *
+    * Scale shape: distinct (doc, shingle-hash) postings, d08's
+    * corpus-relative hot-shingle cap (boilerplate 8-grams would
+    * otherwise put k·holdout pair events on one key), then an
+    * inner join whose build side is the HOLDOUT index — ~2% of the
+    * corpus, which AQE broadcasts when it fits and shuffles when it
+    * doesn't. Never train×train: cost is |train|×|holdout ∩ shingle|.
+    *
+    * At sf0.01 the true answer is EMPTY (no planted near-dup pair
+    * crosses the 2% holdout — verified against the trigram-Jaccard
+    * truth set), so the driver gate checks no-false-positives; the
+    * sf0.1 gate carries 13 true contaminated pairs, and OperatorSpec
+    * plants a cross-split copied passage to pin the positive path.
+    */
+  def d10Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).count() // parquet metadata count, cheap
+    // wordShingles dedupes per document internally, so the postings
+    // are already distinct (doc, shingle) pairs — no distinct shuffle
+    val postings = docs(spark, dir)
+      .select(col("doc_id"), Sinks.splitBucket(col("doc_id")).as("b"),
+        explode(wordShingles(col("text"), DecontamShingleK)).as("s0"))
+      .select(col("doc_id"), col("b"), xxhash64(col("s0")).as("s"))
+    val hot = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > capDf(n)).select(col("s"))
+    val inv = postings.join(hot, Seq("s"), "left_anti")
+    val train = inv.filter(col("b") < 980)
+      .select(col("doc_id").as("train_id"), col("s"))
+    val holdout = inv.filter(col("b") >= 980)
+      .select(col("doc_id").as("holdout_id"), col("s"))
+    train.join(holdout, "s")
+      .groupBy(col("train_id"), col("holdout_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .orderBy("train_id", "holdout_id")
+  }
+
   /** Count-based exact Jaccard over an inverted shingle index, with an
     * optional document-frequency cap (None ⇒ exact d03 semantics). */
   private[graft] def ngramJaccardPairs(
@@ -756,7 +805,25 @@ object Dedup {
 
   private val jaccardSql: String = jaccardSqlWith(None)
 
+  /** d10 oracle: same pipeline, 8-gram shingles, split membership via
+    * the p04 modular bucket; the hot-shingle cap is the identical
+    * corpus-relative expression. */
+  private val decontamSql: String =
+    "WITH tok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
+      "string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      s"sh0 AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - ${DecontamShingleK - 2}), " +
+      s"i -> array_to_string(w[i:i+${DecontamShingleK - 1}], ' ')))) AS s FROM tok WHERE len(w) >= $DecontamShingleK), " +
+      "sh AS (SELECT doc_id, b, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s " +
+      s"HAVING count(*) <= greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
+      "(SELECT count(*) FROM documents)) AS BIGINT)))), " +
+      "train AS (SELECT doc_id AS train_id, s FROM sh WHERE b < 980), " +
+      "hold AS (SELECT doc_id AS holdout_id, s FROM sh WHERE b >= 980) " +
+      "SELECT train_id, holdout_id, count(*) AS n_shared " +
+      "FROM train JOIN hold USING (s) GROUP BY 1, 2 " +
+      s"HAVING count(*) >= $DecontamMinShared ORDER BY train_id, holdout_id"
+
   val oracles: Map[String, String] = Map(
+    "d10_decontamination" -> decontamSql,
     "d01_exact_dedup" ->
       ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct, " +
         "count(*) - count(DISTINCT text) AS n_dupes FROM documents"),

@@ -477,6 +477,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 decontamination flags cross-split copied passages, and only those") {
+    import org.apache.spark.sql.functions.col
+    // p04 buckets: ((id % 1000) * 761) % 1000 — id 20 → 220 (train),
+    // id 870 → 270 (train), id 970 → 170 (train), id 990 → 390
+    // (train)… find holdout ids by computing the bucket directly
+    def bucket(id: Long) = ((id % 1000) * 761) % 1000
+    val holdoutId = (0L until 1000L).find(bucket(_) >= 980).get
+    val trainA = (0L until 1000L).find(bucket(_) < 980).get
+    val trainB = (0L until 1000L).filter(bucket(_) < 980)(1)
+    // two 12-token passages: X is copied ACROSS the split (must flag,
+    // 12-8+1 = 5 shared 8-grams ≥ MinShared 4), Y is copied WITHIN
+    // train (must not flag — decontamination is not dedup)
+    val passageX = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val passageY = "one two three four five six seven eight nine ten eleven twelve"
+    val fixture = java.nio.file.Files.createTempDirectory("d10fix").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (trainA, s"$passageX $passageY"),
+      (holdoutId, s"held out prefix $passageX"),
+      (trainB, s"$passageY train side twin tail")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$fixture/documents.parquet")
+    val got = Dedup.d10Decontamination(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1, s"expected exactly the cross-split pair, got ${got.toSeq}")
+    assert(got.head._1 == trainA && got.head._2 == holdoutId)
+    assert(got.head._3 == 5, s"shared-shingle count: ${got.head}")
+  }
+
   test("s05 quantization error is bounded by half a quantization step") {
     import org.apache.spark.sql.functions.col
     val rows = Similarity.s05QuantizeCensus(spark, sf).collect()
