@@ -33,7 +33,8 @@ class DeterminismSpec extends AnyFunSuite {
     // two-phase prefix sum (group boundaries must not show), the
     // micro-unit quantization census (fold order must not show), and
     // one EP3 literal lookup (single-row corpus through the codecs)
-    "p06_size_bins", "s05_quantize_census", "c12_ep3_twitter_max_id")
+    "p06_size_bins", "s05_quantize_census", "c12_ep3_twitter_max_id",
+    "t10_rare_tokens")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

@@ -181,6 +181,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 decontamination: no cartesian product; postings join on the shingle key") {
+    val p = plan(Dedup.d10Decontamination(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degraded to a product join:\n$p")
+    // train × holdout must be an equi-join on the hashed shingle —
+    // hash-based (broadcast or shuffled-hash per AQE), never a
+    // pre-sorted merge of the full postings
+    assert(p.contains("hashjoin") || p.contains("HashJoin"), s"no hash join:\n$p")
+  }
+
   test("t10 rare tokens: vocab and threshold join back broadcast, never shuffled") {
     val p = plan(TextOps.t10RareTokens(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
