@@ -248,24 +248,24 @@ object StreamingOps {
     * gates the batch face of sessionization; every other streaming op
     * is batch-equivalence-tested in ScalaTest only — this query runs
     * [[windowedCounts]] as an ACTUAL streaming query (readStream →
-    * watermark → windowed agg → memory sink, processed to completion
-    * on the bounded events source) inside the query function, then
-    * compares it structurally against the identical batch aggregate
-    * and emits one engine-independent invariant row
+    * watermark → windowed agg → snapshot file sink, processed to
+    * completion on the bounded events source) inside the query
+    * function, then compares it structurally against the identical
+    * batch aggregate and emits one engine-independent invariant row
     * (n_windows, n_events, stream_matches_batch).
     *
     * The comparison is on (window start, event_type, count) — counts
     * are exact under any execution order, while a summed double could
     * diverge in the last ulp between the streaming and batch partial-
     * aggregation orders and flip a rounded cent (the q20 lesson).
-    * The memory sink is the documented BOUNDED-TEST sink (it holds the
-    * result on the driver); a production feed lands through
-    * [[sinkPartitioned]] — the invariant gates the runtime, not the
-    * sink choice. Unique sink name per call: the bench reps this query
-    * and memory sink names are session-global. */
+    * The streamed result lands through [[runToSnapshotFiles]] (Complete
+    * mode can't use the append-only file sink, so foreachBatch
+    * overwrites a parquet snapshot per micro-batch) — like st03/st04,
+    * nothing in the equivalence path is ever held on the driver: the
+    * exceptAll over the landed files is a shuffled anti-join. */
   def st02StreamingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val name = "st02_mem" // fixed name: runToMemory* drops the previous view
-    val streamed = runToMemory(spark, windowedCounts(readEvents(spark, dir)), name)
+    val streamed = runToSnapshotFiles(spark,
+      windowedCounts(readEvents(spark, dir)), "graft-st02")
       .select(col("win_start"), col("event_type"), col("n"))
     val batch = graft.core.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -380,8 +380,9 @@ object StreamingOps {
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"))
 
   /** Run the windowed aggregation to completion against a bounded
-    * source (memory sink) — the batch-equivalence harness the tests
-    * use; `Relational.q11`'s hour buckets are the batch face.
+    * source (memory sink) — a TEST-ONLY convenience harness
+    * (StreamingSpec); no operator-path gate uses it any more: st02
+    * lands through [[runToSnapshotFiles]] since round 8.
     *
     * The PREVIOUS invocation's view under the same name is dropped
     * first: memory-sink views are session-global and pin their full
@@ -406,11 +407,11 @@ object StreamingOps {
     * pins the whole result set on the driver), the result lands
     * distributed, and the downstream equivalence compare (exceptAll =
     * a shuffled anti-join) stays distributed too — nothing is ever
-    * O(result) on the driver (round-4 verdict item 5). st02 keeps the
-    * memory sink deliberately: Complete-mode aggregates can't use file
-    * sinks, and its result is one row per (window, type) — bounded by
-    * time range, not data volume. Scratch dir (sink + checkpoint) is
-    * per call, reaped by the IO.scratchDir shutdown hook. */
+    * O(result) on the driver (round-4 verdict item 5). Complete-mode
+    * aggregates can't use the append-only file sink — they land
+    * through [[runToSnapshotFiles]] instead. Scratch dir (sink +
+    * checkpoint) is per call, reaped by the IO.scratchDir shutdown
+    * hook. */
   def runToFiles(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
     val root = graft.core.IO.scratchDir(prefix)
     val q = df.writeStream.outputMode(OutputMode.Append())
@@ -419,5 +420,36 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
     spark.read.parquet(s"$root/out")
+  }
+
+  /** The Complete-mode counterpart of [[runToFiles]]: run a streaming
+    * AGGREGATE to completion and land it as a parquet SNAPSHOT — each
+    * micro-batch receives the full updated result (Complete semantics)
+    * and foreachBatch overwrites the snapshot dir with it, so after
+    * processAllAvailable the dir holds exactly the final aggregate and
+    * downstream reads are ordinary distributed parquet scans. This is
+    * what makes every streaming gate 100 TB-shaped: a Complete-mode
+    * result is bounded by key cardinality (windows × types), not data
+    * volume, but even that never needs to transit the driver — the
+    * batch frame inside foreachBatch writes executor→files directly.
+    *
+    * Bounded-gate simplification, documented: overwrite-in-place means
+    * a crash mid-rewrite leaves a torn snapshot. A production
+    * continuous deploy writes each snapshot to a batchId-suffixed dir
+    * and atomically swaps a pointer (or lands in a table format with
+    * transactional commit); the gate runs to completion and reads
+    * after stop(), so in-place is exact here. */
+  def runToSnapshotFiles(spark: SparkSession, agg: DataFrame, prefix: String): DataFrame = {
+    val root = graft.core.IO.scratchDir(prefix)
+    val out = s"$root/out"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
   }
 }
