@@ -89,8 +89,10 @@ object SparkEntry {
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_ngram_jaccard_capped" -> (Dedup.d08NgramJaccardCapped _),
     "d09_lsh_cosine_neardup" -> (Dedup.d09LshCosineNearDup _),
-    // d10 decontamination — train×holdout long-n-gram overlap
-    "d10_decontamination" -> (Dedup.d10Decontamination _),
+    // d10 decontamination — train×holdout long-n-gram overlap; the
+    // gated face injects a deterministic canary pair so the gate is
+    // non-vacuous at every SF (r7 verdict item 3)
+    "d10_decontamination" -> (Dedup.d10DecontaminationGated _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     // s02 gate = recall invariant vs the exact top-k (bucket layout is
