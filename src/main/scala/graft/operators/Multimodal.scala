@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * decodes PNG/JPEG/GIF/BMP through `javax.imageio` and WAV through
   * `javax.sound.sampled` — both ship with the JDK, no external
   * libraries — extracting pixel/sample statistics as the feature
-  * vector. Formats the JDK cannot decode (mp4, mp3) and corrupt
-  * payloads fall back to the deterministic byte-derived features
-  * ([[fallbackFeatures]]): at 100 TB corrupt media is routine, and a
-  * decoder that throws per bad blob kills the stage — degrade, count,
-  * continue. A heavier decoder (JNI/GPU) drops in at the same seam.
+  * vector, and parses mp3 frame headers / mp4 mvhd boxes as pure byte
+  * arithmetic for real bitrate/samplerate/duration/track metadata
+  * (the JDK ships no codec for their SAMPLES — only the sample-level
+  * features need a heavier decoder, which drops in at the same seam).
+  * Corrupt payloads fall back to the deterministic byte-derived
+  * features ([[fallbackFeatures]]): at 100 TB corrupt media is
+  * routine, and a decoder that throws per bad blob kills the stage —
+  * degrade, count, continue.
   *
   * The binary payloads themselves are derived deterministically from
   * `documents.text` (UTF-8 bytes), since the driver testdata ships no
@@ -92,18 +95,21 @@ object Multimodal {
 
   /** Magic-number table shared by the Scala sniff ([[magicOf]]) and the
     * Column sniff ([[sniffFormat]]); MultimodalSpec pins their
-    * agreement on real fixture bytes. Hex prefixes at offset 0 —
-    * RIFF/WAVE and ftyp/mp4 need a second probe past offset 0 and are
-    * handled out-of-table. */
+    * agreement on real fixture bytes AND on adversarial edge payloads
+    * (truncated ftyp, table-magic + ftyp combos). Hex prefixes at
+    * offset 0 — RIFF/WAVE, ftyp/mp4 and the bare-frame mp3 sync need a
+    * probe past a prefix table and are handled out-of-table, in the
+    * SAME precedence in both twins: table → wav → mp4 (≥12 bytes) →
+    * bare-frame mp3 → unknown. */
   private val Magics: Seq[(String, String)] = Seq(
     "89504E47" -> "png",
     "FFD8FF" -> "jpeg",
     "47494638" -> "gif",
     "424D" -> "bmp",
-    "494433" -> "mp3") // ID3-tagged mp3; bare-frame sync words excluded
+    "494433" -> "mp3") // ID3-tagged mp3
 
   /** Format sniff over raw bytes (executor-side, inside the decode
-    * seam). */
+    * seam). Precedence mirrors [[sniffFormat]] exactly. */
   private[graft] def magicOf(bytes: Array[Byte]): String = {
     def hexAt(off: Int, n: Int): String =
       bytes.slice(off, off + n).map(b => f"${b & 0xff}%02X").mkString
@@ -111,21 +117,30 @@ object Multimodal {
     Magics.collectFirst { case (m, f) if head.startsWith(m) => f }
       .orElse(if (head == "52494646" && hexAt(8, 4) == "57415645") Some("wav") else None)
       .orElse(if (bytes.length >= 12 && hexAt(4, 4) == "66747970") Some("mp4") else None)
+      // bare-frame mp3 (no ID3 tag — common in scraped corpora): the
+      // 11-bit MPEG frame sync, 0xFF then top-3 bits of the next byte
+      .orElse(if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xe0) == 0xe0) Some("mp3") else None)
       .getOrElse("unknown")
   }
 
   /** The same magic table as a codegen'd Column (sniffing a binary
     * column inside a query, no UDF): prefix-compare the hex rendering.
-    */
+    * Same precedence and length guards as [[magicOf]] — the table
+    * first, then the offset probes (wav, mp4 with the ≥12-byte guard,
+    * bare-frame mp3 with the ≥4-byte guard). */
   def sniffFormat(payload: Column): Column = {
     val hx = hex(payload)
-    val base = Magics.foldRight(lit("unknown"): Column) { case ((m, f), els) =>
+    val probes =
+      when(substring(hx, 1, 8) === "52494646" &&
+        substring(hx, 17, 8) === "57415645", "wav")
+        .when(length(hx) >= 24 && substring(hx, 9, 8) === "66747970", "mp4")
+        .when(length(hx) >= 8 && substring(hx, 1, 2) === "FF" &&
+          substring(hx, 3, 1).isin("E", "F"), "mp3")
+        .otherwise("unknown")
+    Magics.foldRight(probes) { case ((m, f), els) =>
       when(substring(hx, 1, m.length) === m, f).otherwise(els)
     }
-    when(substring(hx, 1, 8) === "52494646" &&
-      substring(hx, 17, 8) === "57415645", "wav")
-      .when(substring(hx, 9, 8) === "66747970", "mp4")
-      .otherwise(base)
   }
 
   /** Deterministic byte-derived features: 8 floats from the first 8
@@ -138,6 +153,161 @@ object Multimodal {
   /** Byte-derived stub decoder (touches no decode library). */
   val fakeDecoder: BatchDecoder = batch =>
     batch.map { case (id, bytes) => id -> fallbackFeatures(bytes) }
+
+  // ---- mp3 / mp4 metadata parsers -----------------------------------
+  //
+  // The JDK ships no mp3/mp4 codec, but both container formats publish
+  // their metadata as plain byte arithmetic (ISO/IEC 11172-3 frame
+  // headers; ISO/IEC 14496-12 box structure), so the decode seam can
+  // emit REAL features for them without decoding a single sample.
+
+  // MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables,
+  // indexed by the 4-bit / 2-bit header fields. 0 marks free/invalid.
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+
+  /** Parse the first MPEG audio frame header: returns (version, layer,
+    * bitrateKbps, sampleRate, channels) or None. For ID3v2-tagged
+    * files the tag is skipped via its syncsafe size; then a bounded
+    * scan (64 KB) finds the first frame sync — real rips carry
+    * padding/garbage before the first frame. */
+  private[graft] def mp3Header(bytes: Array[Byte]): Option[(Double, Int, Int, Int, Int)] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2 size: 4 syncsafe bytes (7 bits each) at offset 6-9
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + sz
+    }
+    val limit = math.min(bytes.length - 4, off + 65536)
+    while (off >= 0 && off <= limit) {
+      if ((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xe0) == 0xe0) {
+        val b1 = bytes(off + 1) & 0xff
+        val b2 = bytes(off + 2) & 0xff
+        val b3 = bytes(off + 3) & 0xff
+        val verBits = (b1 >> 3) & 0x3   // 00=2.5, 10=2, 11=1 (01 invalid)
+        val layerBits = (b1 >> 1) & 0x3 // 01=III, 10=II, 11=I (00 invalid)
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val chMode = (b3 >> 6) & 0x3    // 11 = mono
+        if (verBits != 1 && layerBits != 0 && srIdx != 3 && brIdx != 0 && brIdx != 15) {
+          val version = verBits match {
+            case 3 => 1.0; case 2 => 2.0; case _ => 2.5
+          }
+          val layer = 4 - layerBits // bits 01→Layer III
+          // rate tables: MPEG-2 halves, MPEG-2.5 quarters the V1 rates
+          val sr = Mp3RateV1(srIdx) / (version match {
+            case 1.0 => 1; case 2.0 => 2; case _ => 4
+          })
+          val br = if (version == 1.0) Mp3BitrateV1L3(brIdx) else Mp3BitrateV2L3(brIdx)
+          val channels = if (chMode == 3) 1 else 2
+          return Some((version, layer, br, sr, channels))
+        }
+      }
+      off += 1
+    }
+    None
+  }
+
+  /** mp3 features from the frame header — no decode: [channels/8,
+    * rate/96k, bitrate/320, version/3, layer/4, est. duration/60s
+    * capped (bytes·8/bitrate — exact for CBR), 0, 0]. */
+  private def mp3Features(bytes: Array[Byte]): Array[Float] =
+    mp3Header(bytes) match {
+      case None => fallbackFeatures(bytes)
+      case Some((version, layer, br, sr, ch)) =>
+        val durSec = if (br > 0) bytes.length * 8.0 / (br * 1000.0) else 0.0
+        Array(ch / 8.0, math.min(sr / 96000.0, 1.0), math.min(br / 320.0, 1.0),
+          version / 3.0, layer / 4.0, math.min(durSec / 60.0, 1.0), 0.0, 0.0)
+          .map(_.toFloat)
+    }
+
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def beU64(b: Array[Byte], off: Int): Long =
+    (beU32(b, off) << 32) | beU32(b, off + 4)
+
+  /** Walk ISO-BMFF (mp4) boxes: find moov/mvhd for timescale+duration
+    * and count moov/trak children. Returns (durationSec, timescale,
+    * nTracks, mvhdVersion) or None. Size-0 ("to end of file") and
+    * size-1 (64-bit largesize) boxes are honored; malformed sizes
+    * terminate the walk rather than loop. */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[(Double, Long, Int, Int)] = {
+    def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var off = lo
+        def hasNext: Boolean = off + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val sz0 = beU32(bytes, off.toInt)
+          val typ = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+          val (body, sz) =
+            if (sz0 == 1 && off + 16 <= hi) (off + 16, beU64(bytes, off.toInt + 8))
+            else if (sz0 == 0) (off + 8, hi - off)
+            else (off + 8, sz0)
+          val end = off + math.max(sz, 8) // malformed size<8 can't recurse
+          val r = (typ, body, math.min(end, hi))
+          off = if (end <= off) hi else end // never loop on bad sizes
+          r
+        }
+      }
+    boxes(0, bytes.length.toLong).collectFirst { case ("moov", b, e) =>
+      var ts = 0L; var dur = 0L; var ver = 0; var nTrak = 0; var found = false
+      boxes(b, e).foreach {
+        case ("mvhd", mb, me) if me - mb >= 20 =>
+          found = true
+          ver = bytes(mb.toInt) & 0xff
+          if (ver == 1 && me - mb >= 28) { // 8-byte times
+            ts = beU32(bytes, mb.toInt + 20); dur = beU64(bytes, mb.toInt + 24)
+          } else {
+            ts = beU32(bytes, mb.toInt + 12); dur = beU32(bytes, mb.toInt + 16)
+          }
+        case ("trak", _, _) => nTrak += 1
+        case _ =>
+      }
+      if (found && ts > 0) Some((dur.toDouble / ts, ts, nTrak, ver)) else None
+    }.flatten
+  }
+
+  /** mp4 features from the box walk — no decode: [duration/3600s
+    * capped, tracks/16 capped, timescale/96k capped, mvhd version,
+    * 0...]. */
+  private def mp4Features(bytes: Array[Byte]): Array[Float] =
+    mp4Meta(bytes) match {
+      case None => fallbackFeatures(bytes)
+      case Some((durSec, ts, nTrak, ver)) =>
+        Array(math.min(durSec / 3600.0, 1.0), math.min(nTrak / 16.0, 1.0),
+          math.min(ts / 96000.0, 1.0), ver.toDouble, 0.0, 0.0, 0.0, 0.0)
+          .map(_.toFloat)
+    }
+
+  /** Decompression-bomb guard: probe WIDTH×HEIGHT from the image
+    * HEADER via ImageReader before any pixel allocation — a 50k×50k
+    * PNG header would make ImageIO.read allocate gigabytes and die
+    * with OutOfMemoryError, which NonFatal does NOT catch, killing the
+    * partition the degrade-never-throw contract protects. Oversized or
+    * unreadable images return null (caller falls back). */
+  private val MaxImagePixels = 64L * 1024 * 1024 // ≈256 MB ARGB
+  private[graft] def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
+          else r.read(0)
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
 
   /** Pixel statistics over a decoded image, sampled on a ≤64×64 grid so
     * feature cost is bounded regardless of resolution: [w, h scaled by
@@ -208,24 +378,29 @@ object Multimodal {
   }
 
   /** REAL decoder on JDK built-ins — no external libraries: images via
-    * `javax.imageio` (PNG, JPEG, GIF, BMP), WAV via
-    * `javax.sound.sampled`; per-payload format sniff, decode,
-    * pixel/sample statistics. Unknown formats and decode failures
-    * degrade to [[fallbackFeatures]] instead of killing the stage — at
-    * 100 TB corrupt media is routine, and one throwing blob must not
-    * fail a 10M-row partition. */
+    * `javax.imageio` (PNG, JPEG, GIF, BMP; dimensions probed from the
+    * header first so a decompression-bomb can't OOM the partition —
+    * [[readImageBounded]]), WAV via `javax.sound.sampled`, and mp3/mp4
+    * METADATA via pure byte arithmetic ([[mp3Header]]/[[mp4Meta]] —
+    * the JDK ships no codec for their samples, but frame headers and
+    * mvhd boxes are public byte formats). Unknown formats and decode
+    * failures degrade to [[fallbackFeatures]] instead of killing the
+    * stage — at 100 TB corrupt media is routine, and one throwing blob
+    * must not fail a 10M-row partition. */
   val jdkDecoder: BatchDecoder = batch =>
     batch.map { case (id, bytes) =>
       val feats =
         try {
           magicOf(bytes) match {
             case "png" | "jpeg" | "gif" | "bmp" =>
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              val img = readImageBounded(bytes)
               if (img == null) fallbackFeatures(bytes) else imageFeatures(img)
             case "wav" =>
               val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
               try audioFeatures(in) finally in.close()
+            case "mp3" => mp3Features(bytes)
+            case "mp4" => mp4Features(bytes)
             case _ => fallbackFeatures(bytes)
           }
         } catch { case scala.util.control.NonFatal(_) => fallbackFeatures(bytes) }
