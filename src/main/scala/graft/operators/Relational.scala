@@ -232,7 +232,16 @@ object Relational {
     * interpolated median of 2-decimal prices often lands EXACTLY on
     * .xx5, where cross-engine rounding of last-ulp-different doubles
     * diverges (observed 1 row at sf0.001); floor of the identical
-    * interpolation double is engine-exact (same fix as q20). */
+    * interpolation double is engine-exact (same fix as q20).
+    *
+    * SCALE PATH: this is the documented EXACT FACE of q26 (the d03/d08
+    * standard) — `percentile(…)` buffers each group's values on its
+    * reducer, O(n/groups) memory, which is the right tool at gate SFs
+    * and the wrong one at 100 TB. q26 gates the identical three
+    * quantiles (price p50/p90, quantity p25) through
+    * percentile_approx's mergeable constant-size GK summaries with
+    * within-ε invariants; a deployment swaps this query for q26's
+    * sketch form above its memory comfort point. */
   def q18(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -323,17 +332,34 @@ object Relational {
     * estimate must land within 0.5% of the exact rank's value range —
     * asserted here as value-relative ≤ 1% against the exact median,
     * which holds with wide margin on this data (deterministic per
-    * dataset) and is pinned in OperatorSpec. */
+    * dataset) and is pinned in OperatorSpec.
+    *
+    * This query is the COMPLETE scale twin of q18: every quantile q18
+    * publishes (price p50, price p90, quantity p25) is gated here
+    * against its sketch. The p25-of-quantity invariant is an ABSOLUTE
+    * one-value-step bound, not a relative one: l_quantity is a dense
+    * small-integer column, where the sketch returns an actual element
+    * while the exact form interpolates — a 1e-4 rank error can
+    * legitimately land one value step away, which is up to ~8%
+    * relative on values near 13 but exactly ≤ 1.0 absolute. */
   def q26(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+        percentile_approx(col("l_quantity"), lit(0.25), lit(10000)).as("approx_q1"),
+        expr("percentile(l_quantity, 0.25)").as("exact_q1"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"), col("n"),
         (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.01)
-          .as("within_1pct"))
+          .as("within_1pct"),
+        (abs(col("approx_p90") - col("exact_p90")) / col("exact_p90") <= 0.01)
+          .as("p90_within_1pct"),
+        (abs(col("approx_q1") - col("exact_q1")) <= 1.0)
+          .as("q1_within_step"))
       .orderBy(col("l_returnflag"))
 
   /** q27: MERGEABLE sketch pipeline — Datasketches HLL built per
@@ -413,7 +439,8 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_6pct FROM events GROUP BY event_type ORDER BY event_type"),
     "q26_approx_percentile" ->
-      ("SELECT l_returnflag, count(*) AS n, true AS within_1pct " +
+      ("SELECT l_returnflag, count(*) AS n, true AS within_1pct, " +
+        "true AS p90_within_1pct, true AS q1_within_step " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q25_moving_window" ->
       ("SELECT month, rev_cents, n_orders, " +

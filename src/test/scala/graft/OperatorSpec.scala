@@ -101,12 +101,14 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("q26 percentile sketch stays within 1% of the exact median") {
+  test("q26 percentile sketch stays within bounds of every q18 quantile") {
     val rows = Relational.q26(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(1) > 0)
-      assert(r.getBoolean(2), s"${r.getString(0)}: sketch estimate off by > 1%")
+      assert(r.getBoolean(2), s"${r.getString(0)}: median sketch off by > 1%")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p90 sketch off by > 1%")
+      assert(r.getBoolean(4), s"${r.getString(0)}: q1-of-quantity sketch off by > one value step")
     }
   }
 

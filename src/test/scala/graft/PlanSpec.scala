@@ -142,8 +142,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q26(spark, sf))
     assert(p.contains("partial_percentile_approx"),
       s"sketch must combine map-side:\n$p")
-    assert(p.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"),
-      s"scan should read only the two needed columns:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      s"scan should read only the three needed columns:\n$p")
   }
 
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
