@@ -209,22 +209,49 @@ object TextOps {
     * the uniform share. The threshold is corpus-RELATIVE
     * (total_tokens / vocab / 10), never absolute — the 100 TB rule.
     * Two-phase shape: token counts partial-aggregate into a vocab-sized
-    * table that joins back BROADCAST (vocabularies are small relative
-    * to corpora); the only row-level shuffle is the per-doc aggregate.
-    * Outputs are exact integers or floors of IEEE divisions of
-    * integers, identical in any engine and under any partitioning.
+    * table that joins back — BROADCAST when the measured vocabulary
+    * fits a broadcast comfortably, SHUFFLED HASH when it does not (a
+    * whitespace vocabulary over 100 TB of web text — URLs, numbers,
+    * typos — is NOT driver-sized, and a forced broadcast would hit
+    * Spark's 8 GB hard limit with no fallback; round-7 ADVICE). The
+    * regime is decided per-corpus by one narrow routing aggregate over
+    * the count table (the d09-router pattern), which also yields the
+    * corpus threshold; both join forms produce identical output
+    * (OperatorSpec pins the invariance). The only row-level shuffle is
+    * the per-doc aggregate (plus the join shuffle in the large-vocab
+    * regime). Outputs are exact integers or floors of IEEE divisions
+    * of integers, identical in any engine and under any partitioning.
     */
-  def t10RareTokens(spark: SparkSession, dir: String): DataFrame = {
+  def t10RareTokens(spark: SparkSession, dir: String): DataFrame =
+    t10WithVocabMax(spark, dir, BroadcastVocabMax)
+
+  /** ~24 bytes/entry ⇒ ≈100 MB broadcast at the cap — an order of
+    * magnitude under the 8 GB hard limit, and past the point where a
+    * shuffled hash join is cheap anyway. */
+  private[graft] val BroadcastVocabMax = 4000000L
+
+  private[graft] def t10WithVocabMax(
+      spark: SparkSession, dir: String, maxVocab: Long): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val cf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
-    val thr = cf.agg((sum(col("cf")) / count(lit(1)) / 10.0).as("thr"))
-    tok.join(broadcast(cf), "t")
-      .crossJoin(broadcast(thr)) // 1-row corpus threshold
+    // one narrow routing aggregate: corpus-relative rarity threshold +
+    // the vocab size that picks the join regime. The threshold reaches
+    // the main query as a literal — same double the old 1-row
+    // crossJoin carried, one fewer join in the plan.
+    val route = cf.agg((sum(col("cf")) / count(lit(1)) / 10.0).as("thr"),
+      count(lit(1)).as("n_vocab")).head()
+    val (thr, nVocab) = (route.getDouble(0), route.getLong(1))
+    val joined =
+      if (nVocab <= maxVocab) tok.join(broadcast(cf), "t")
+      // high-NDV token keys with bounded per-key build rows: hash
+      // beats sort-merge (the d03 rationale); AQE handles skew
+      else tok.hint("shuffle_hash").join(cf, "t")
+    joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         min(col("cf")).as("min_cf"),
-        sum(when(col("cf") < col("thr"), 1L).otherwise(0L)).as("n_rare"))
+        sum(when(col("cf") < thr, 1L).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tokens"), col("min_cf"), col("n_rare"),
         floor(col("n_rare") * 10000 / col("n_tokens")).cast("long").as("rare_bp"))
       .orderBy("doc_id")

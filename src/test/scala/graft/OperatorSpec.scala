@@ -204,6 +204,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == planted, s"expected exactly the planted pairs, got $out")
   }
 
+  test("t10 join regimes (broadcast vs shuffled hash) produce identical output") {
+    val broad = TextOps.t10RareTokens(spark, sf).collect().map(_.toSeq).toSet
+    val shuffled = TextOps.t10WithVocabMax(spark, sf, 1L).collect().map(_.toSeq).toSet
+    assert(broad == shuffled, "the vocab-size router must not change results")
+  }
+
   test("gate invariant queries certify true (s02 recall, d05 catch rate)") {
     val s02 = Similarity.s02AnnLshRecall(spark, sf).collect().head
     assert(s02.getLong(0) == 10 && s02.getLong(1) == 50)

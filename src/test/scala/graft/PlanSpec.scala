@@ -191,13 +191,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashjoin") || p.contains("HashJoin"), s"no hash join:\n$p")
   }
 
-  test("t10 rare tokens: vocab and threshold join back broadcast, never shuffled") {
+  test("t10 rare tokens: small-vocab regime broadcasts, large-vocab regime hash-shuffles") {
+    // gate corpora are far under the vocab cap → broadcast regime
     val p = plan(TextOps.t10RareTokens(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "1-row threshold must broadcast")
-    // the row-level tokens must never sort-merge against the vocab
     assert(!p.contains("SortMergeJoin"), s"token join degraded to sort-merge:\n$p")
+    // forced large-vocab regime: the router must fall back to a
+    // SHUFFLED hash join — no broadcast of an un-broadcastable vocab,
+    // and still never a sort-merge of the row-level tokens
+    val pf = plan(TextOps.t10WithVocabMax(spark, sf, 1L))
+    assert(pf.contains("ShuffledHashJoin"), s"fallback must hash-shuffle:\n$pf")
+    assert(!pf.contains("SortMergeJoin"), s"fallback degraded to sort-merge:\n$pf")
   }
 
   test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {

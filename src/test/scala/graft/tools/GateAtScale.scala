@@ -5,22 +5,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only sf1-scale gate run (test scope — never ships): builds a
-  * 10×-sf0.1 corpus by KEY-SHIFTED REPLICATION — every table becomes
-  * ten copies with primary/foreign keys shifted consistently per copy,
-  * so join cardinalities scale exactly ×10 and every relational result
-  * stays well-defined — then executes the driver-gate queries against
-  * it and prints per-query wall times. This is the tier ScaleCheck does
-  * NOT cover (it validates the dedup/similarity caps on a planted
-  * corpus): the relational/codec/text/multimodal/sink/streaming
-  * queries' plans at 10× the driver's largest SF (round-4 verdict
-  * item 6).
+  * 10×-sf0.1 corpus and executes EVERY driver-gate query against it —
+  * one command, all 80 queries, 0 failures expected (round-7 verdict
+  * item 6) — printing per-query wall times.
   *
-  * The document-pair dedup tier (d03-d09) is SKIPPED here: replicated
-  * documents make every doc a 10-way exact duplicate, which sends the
-  * Jaccard pair space quadratic (and the d09 gate embeds an exact
-  * all-pairs truth side) — that tier's 10× behavior is ScaleCheck's
-  * job, with a properly planted corpus. The linear exact tiers
-  * (d01/d02) and every other family run as-is.
+  * Corpus construction is per-table-family:
+  *  - relational/events tables: KEY-SHIFTED REPLICATION — ten copies
+  *    with primary/foreign keys shifted consistently per copy, so join
+  *    cardinalities scale exactly ×10 and every relational result
+  *    stays well-defined;
+  *  - documents/embeddings: [[PlantedCorpus]] (ScaleCheck's planted
+  *    generators, full production schema) at ~10× the sf0.1 row
+  *    counts. Replication would make every doc a 10-way exact
+  *    duplicate and send the Jaccard pair space quadratic; the planted
+  *    corpus instead carries known clusters, boilerplate degenerate
+  *    keys and near-dup embedding pairs, so the d03-d09 tier runs
+  *    with non-degenerate semantics and its caps/recall exercised.
   *
   * Run: sbt "Test/runMain graft.tools.GateAtScale"; results in NOTES.md.
   */
@@ -55,7 +55,7 @@ object GateAtScale {
     // both layouts identically (`ts div 1000` on a long)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "events")
     for (t <- tables) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       // one offset per key domain (pk table's max key + 1), applied to
@@ -91,12 +91,11 @@ object GateAtScale {
         graft.core.IO.deleteRecursively(java.nio.file.Paths.get(tmp))
       } else out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    // the document-pair tier gets a PLANTED corpus at ~10× sf0.1 rows
+    // (5000 docs / 2000 vectors): replication would degenerate it
+    PlantedCorpus.buildDocs(spark, dst) // 51 000 docs
+    PlantedCorpus.buildEmbeddings(spark, dst, 20000L, 200L) // 20 400 vecs
   }
-
-  // quadratic-by-replication tier — covered by ScaleCheck instead
-  private val Skip = Set("d03_ngram_jaccard", "d04_minhash_lsh", "d05_simhash",
-    "d06_embedding_neardup", "d07_dedup_clusters", "d08_ngram_jaccard_capped",
-    "d09_lsh_cosine_neardup")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach(a => Copies = a.toInt)
@@ -116,7 +115,7 @@ object GateAtScale {
 
     var total = 0.0
     var failed = 0
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !Skip.contains(name)) {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val (_, sec) = time(force(fn(spark, dst)))
         total += sec
@@ -127,7 +126,7 @@ object GateAtScale {
           println(s"SF1GATE $name FAILED: ${e.getMessage.take(200)}")
       }
     }
-    println(f"SF1GATE total=$total%.1fs failed=$failed skipped=${Skip.size}")
+    println(f"SF1GATE total=$total%.1fs failed=$failed skipped=0")
 
     // plan spot-checks at 10×: the star join must still broadcast its
     // dims, the salted join must stay free of single-key hotspots

@@ -39,55 +39,17 @@ object ScaleCheck {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  private val Background = 48000L
-  private val Clusters = 250
-  private val ClusterSize = 8
-  private val Boilerplate = 1000L
-  private val WordsPerDoc = 120
-  private val Vocab = 30000L
-
-  /** word k of doc `id` — three regimes by id range (see scaladoc). */
-  private def wordExpr(id: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) = {
-    val planted = id >= Background && id < Background + Clusters.toLong * ClusterSize
-    val boiler = id >= Background + Clusters.toLong * ClusterSize
-    val c = ((id - Background) / ClusterSize).cast("long")
-    val j = pmod(id - Background, lit(ClusterSize.toLong))
-    val base = concat(lit("w"), pmod(xxhash64(lit(7L), c, k), lit(Vocab)))
-    val mutated = concat(lit("w"), pmod(xxhash64(lit(13L), c, k, j), lit(Vocab)))
-    when(boiler, concat(lit("w"), pmod(xxhash64(lit(4242L), k), lit(Vocab))))
-      .when(planted, when(pmod(k, lit(41)) === j, mutated).otherwise(base))
-      .otherwise(concat(lit("w"), pmod(xxhash64(id, k), lit(Vocab))))
-  }
-
-  private def buildDocs(spark: SparkSession, dir: String): Unit = {
-    val n = Background + Clusters.toLong * ClusterSize + Boilerplate
-    spark.range(n).toDF("doc_id")
-      .select(col("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(WordsPerDoc - 1)),
-          k => wordExpr(col("doc_id"), k))).as("text"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
-
+  private val Background = PlantedCorpus.Background
+  private val Clusters = PlantedCorpus.Clusters
+  private val ClusterSize = PlantedCorpus.ClusterSize
   private val EmbBackground = 50000L
   private val EmbDups = 500L
 
-  private def buildEmbeddings(spark: SparkSession, dir: String): Unit = {
-    // centered uniform components in [-1, 1); dup of vec p gets a
-    // ~1e-3 per-component perturbation (cosine ≈ 0.9999)
-    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
-    val base = spark.range(EmbBackground).toDF("vec_id")
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
-    val dups = spark.range(EmbDups).toDF("src")
-      .select((col("src") + 1000000L).as("vec_id"),
-        transform(sequence(lit(0), lit(63)), i =>
-          comp(col("src"), i) +
-            (pmod(xxhash64(lit(99L), col("src"), i), lit(2001L)).cast("double") / 1e6 - lit(0.001))
-        ).as("embedding"))
-    base.unionAll(dups)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
+  private def buildDocs(spark: SparkSession, dir: String): Unit =
+    PlantedCorpus.buildDocs(spark, dir)
+
+  private def buildEmbeddings(spark: SparkSession, dir: String): Unit =
+    PlantedCorpus.buildEmbeddings(spark, dir, EmbBackground, EmbDups)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
