@@ -207,7 +207,11 @@ object Similarity {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
   }
 
-  private[graft] val LloydRounds = 2
+  // 3 rounds: the r8 S04Sweep measured recall@5 per round count at all
+  // three SFs — rounds=3 is the max at every SF (0.66/0.64/0.62 vs
+  // 0.58/0.54/0.60 at 2, 0.62/0.60/0.60 at 4) for ~0.5 s extra wall;
+  // the OperatorSpec floor (0.5) sits 0.12 under the measured minimum.
+  private[graft] val LloydRounds = 3
 
   /** s04: IVF with a TRAINED quantizer — [[LloydRounds]] Lloyd rounds
     * over the s03 seed centroids, expressed entirely as DataFrame

@@ -131,7 +131,10 @@ class OperatorSpec extends AnyFunSuite {
     val ivf = pairs(Similarity.s04AnnIvfKmeans(spark, sf))
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     info(s"k-means IVF recall@5 = $recall")
-    assert(recall >= 0.4, s"recall too low: $recall")
+    // floor from the r8 S04Sweep: measured 0.62-0.66 at LloydRounds=3
+    // across all SFs — 0.5 keeps a 0.12 margin (recall granularity is
+    // 0.02 on the 50-pair query set)
+    assert(recall >= 0.5, s"recall under the measured floor: $recall")
   }
 
   test("minhash-LSH output equals exact ngram-jaccard output (recall holds)") {
