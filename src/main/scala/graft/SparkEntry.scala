@@ -76,6 +76,9 @@ object SparkEntry {
     "t09_repetition" -> (TextOps.t09Repetition _),
     // t10 rare-token census — corpus-relative frequency quality signal
     "t10_rare_tokens" -> (TextOps.t10RareTokens _),
+    // t11 PII census/redaction — gated face carries a deterministic
+    // canary (the corpus itself has no PII; d10-canary pattern)
+    "t11_pii_census" -> (TextOps.t11PiiCensusGated _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),

@@ -257,6 +257,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- t11: PII detection / redaction ------------------------------
+  //
+  // The scrub every serious training pipeline runs before training.
+  // Patterns are deliberately RE2-safe (no backrefs, no lookaround) so
+  // Java regex (Spark) and RE2 (DuckDB) match identically; counts are
+  // non-overlapping leftmost matches in both engines.
+  private[graft] val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRx = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+
+  /** t11: PII census + redaction — per document, match counts for
+    * emails / IPv4 addresses / phone-shaped numbers, the total matched
+    * chars (length delta after replace-with-empty: exact, and safe
+    * against placeholder-longer-than-match underflow), and a prefix of
+    * the redacted text proving the replacement semantics. Redaction
+    * order is fixed (email, ip, phone) so both engines transform
+    * identical intermediates. Map-only until the gate sort — the same
+    * single-scan shape as t01/t02. */
+  def t11PiiCensus(spark: SparkSession, dir: String): DataFrame =
+    piiCensus(docs(spark, dir))
+
+  private[graft] def piiCensus(corpus: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRx, "<EMAIL>"), Ipv4Rx, "<IP>"), PhoneRx, "<PHONE>")
+    val stripped =
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRx, ""), Ipv4Rx, ""), PhoneRx, "")
+    corpus.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRx)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Rx)).cast("long").as("n_ipv4"),
+        regexp_count(col("text"), lit(PhoneRx)).cast("long").as("n_phones"),
+        (length(col("text")) - length(stripped)).cast("long").as("pii_chars"),
+        substring(redacted, 1, 40).as("redacted_prefix"))
+      .orderBy("doc_id")
+  }
+
+  /** The canary document [[t11PiiCensusGated]] appends — one of each
+    * PII class, so the gate always carries a true positive row (the
+    * d10-canary pattern: the synthetic corpus itself contains no PII,
+    * and an all-zero census cannot distinguish "correct" from "matches
+    * nothing"). */
+  private[graft] val PiiCanaryText =
+    "contact alice.smith@example.org or 192.168.1.77 call 555-123-4567 end"
+
+  /** The driver-gate face of t11: the corpus plus one deterministic
+    * PII canary (doc_id = max+1 — a pure function of the corpus, so
+    * the DuckDB oracle rebuilds it identically). */
+  def t11PiiCensusGated(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val canary = base.agg((max(col("doc_id")) + 1).as("doc_id"))
+      .select(col("doc_id"), lit(PiiCanaryText).as("text"))
+    piiCensus(base.unionAll(canary))
+  }
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -297,6 +353,20 @@ object TextOps {
       ("SELECT count(*) AS n_docs, " +
         "count(DISTINCT regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n_distinct_fp " +
         "FROM documents"),
+    "t11_pii_census" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT (SELECT max(doc_id) + 1 FROM documents), '$PiiCanaryText') " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '$EmailRx')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '$Ipv4Rx')) AS BIGINT) AS n_ipv4, " +
+        s"CAST(len(regexp_extract_all(text, '$PhoneRx')) AS BIGINT) AS n_phones, " +
+        "CAST(length(text) - length(" +
+        s"regexp_replace(regexp_replace(regexp_replace(text, '$EmailRx', '', 'g'), " +
+        s"'$Ipv4Rx', '', 'g'), '$PhoneRx', '', 'g')) AS BIGINT) AS pii_chars, " +
+        "substring(" +
+        s"regexp_replace(regexp_replace(regexp_replace(text, '$EmailRx', '<EMAIL>', 'g'), " +
+        s"'$Ipv4Rx', '<IP>', 'g'), '$PhoneRx', '<PHONE>', 'g'), 1, 40) AS redacted_prefix " +
+        "FROM corpus ORDER BY doc_id"),
     "t01_tokens" ->
       ("SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, " +

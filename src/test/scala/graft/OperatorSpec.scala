@@ -207,6 +207,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == planted, s"expected exactly the planted pairs, got $out")
   }
 
+  test("t11 PII census: counts, redaction, boundary behavior on planted fixtures") {
+    val spark2 = spark
+    import spark2.implicits._
+    val fixture = Seq(
+      (1L, TextOps.PiiCanaryText),
+      // a phone-shaped run EMBEDDED in an email local part must count
+      // as email chars, not as a phone (word-boundary guard)
+      (2L, "two mails a@b.co c.d@e-f.org and embedded a555-123-4567b@x.co"),
+      (3L, "no pii here at all"),
+      // ip-shaped matching is syntactic (no octet range check, documented)
+      (4L, "999.999.999.999 5551234567")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiCensus(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 47L,
+      "contact <EMAIL> or <IP> call <PHONE> end")), s"canary row: ${got(1L)}")
+    assert(got(2L)._1 == 3 && got(2L)._3 == 0,
+      s"embedded phone must stay inside the email match: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L, "no pii here at all")), s"${got(3L)}")
+    assert(got(4L)._2 == 1 && got(4L)._3 == 0 && got(4L)._4 == 15, s"${got(4L)}")
+  }
+
   test("t10 join regimes (broadcast vs shuffled hash) produce identical output") {
     val broad = TextOps.t10RareTokens(spark, sf).collect().map(_.toSeq).toSet
     val shuffled = TextOps.t10WithVocabMax(spark, sf, 1L).collect().map(_.toSeq).toSet
