@@ -34,7 +34,11 @@ class DeterminismSpec extends AnyFunSuite {
     // micro-unit quantization census (fold order must not show), and
     // one EP3 literal lookup (single-row corpus through the codecs)
     "p06_size_bins", "s05_quantize_census", "c12_ep3_twitter_max_id",
-    "t10_rare_tokens")
+    "t10_rare_tokens",
+    // round-8 additions: the canary-gated faces (the canary derivation
+    // — max id, orderBy/limit source pick, routing aggregates — must
+    // not depend on partitioning) and the PII regex census
+    "d10_decontamination", "t11_pii_census")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
