@@ -92,6 +92,9 @@ object SparkEntry {
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_ngram_jaccard_capped" -> (Dedup.d08NgramJaccardCapped _),
     "d09_lsh_cosine_neardup" -> (Dedup.d09LshCosineNearDup _),
+    // d11 SemDeDup — k-means cells + within-cell cosine census (the
+    // n²/K scale answer to d06's exact quadratic tier)
+    "d11_semantic_dedup" -> (Similarity.d11SemanticDedup _),
     // d10 decontamination — train×holdout long-n-gram overlap; the
     // gated face injects a deterministic canary pair so the gate is
     // non-vacuous at every SF (r7 verdict item 3)

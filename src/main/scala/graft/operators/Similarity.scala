@@ -240,7 +240,10 @@ object Similarity {
   def s04AnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     s04WithRounds(spark, dir, LloydRounds)
 
-  private[graft] def s04WithRounds(
+  /** The trained coarse quantizer — stride seeds refined by `rounds`
+    * Lloyd rounds (mean member vector per cell, element-wise, rounded
+    * 1e-6 in both engines) — shared by s04 and d11. */
+  private[graft] def trainedCentroids(
       spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
@@ -260,7 +263,14 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x("v")).as("ce"))
         .withColumn("cnrm", sqrt(array_dot(col("ce"), col("ce"))))
-    val refined = cents
+    cents
+  }
+
+  private[graft] def s04WithRounds(
+      spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val refined = trainedCentroids(spark, dir, rounds)
     val assigned = assignCells(all, refined)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
@@ -291,15 +301,18 @@ object Similarity {
     * the final assignment is the inverted file, probes = nProbe=4
     * cells per query. Mechanical generation keeps the oracle in
     * lockstep with [[LloydRounds]] by construction. */
-  private[graft] def s04OracleSql(rounds: Int): String = {
-    def assignCte(name: String, cents: String, alias: String) =
-      s"$name AS (SELECT vec_id, emb, cid FROM (" +
-        "SELECT e.vec_id, e.emb, " + s"$alias.cid, " +
-        "row_number() OVER (PARTITION BY e.vec_id " +
-        s"ORDER BY round(list_cosine_similarity(e.emb, $alias.ce), 6) DESC, $alias.cid) AS rk " +
-        s"FROM e CROSS JOIN $cents $alias) WHERE rk = 1), "
+  private def assignCteSql(name: String, cents: String, alias: String) =
+    s"$name AS (SELECT vec_id, emb, cid FROM (" +
+      "SELECT e.vec_id, e.emb, " + s"$alias.cid, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY round(list_cosine_similarity(e.emb, $alias.ce), 6) DESC, $alias.cid) AS rk " +
+      s"FROM e CROSS JOIN $cents $alias) WHERE rk = 1), "
+
+  /** The shared train-CTE prefix (e, stride params, cent0..centR) —
+    * generated per Lloyd round, used by the s04 and d11 oracles. */
+  private[graft] def trainCtesSql(rounds: Int): String = {
     val train = (1 to rounds).map { r =>
-      assignCte(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}") +
+      assignCteSql(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}") +
         s"dims$r AS (SELECT cid, i, round(avg(emb[i]), 6) AS v " +
         s"FROM a${r - 1} CROSS JOIN range(1, 65) t(i) GROUP BY cid, i), " +
         s"cent$r AS (SELECT cid, list(v ORDER BY i) AS ce FROM dims$r GROUP BY cid), "
@@ -308,8 +321,12 @@ object Similarity {
       "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // 16) AS stride), " +
       "cent0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM e, params " +
       "WHERE vec_id % stride = 0 AND vec_id // stride < 16), " +
-      train +
-      assignCte("afin", s"cent$rounds", "cf") +
+      train
+  }
+
+  private[graft] def s04OracleSql(rounds: Int): String = {
+    trainCtesSql(rounds) +
+      assignCteSql("afin", s"cent$rounds", "cf") +
       "probes AS (SELECT qid, qe, cid FROM (" +
       "SELECT e.vec_id AS qid, e.emb AS qe, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
       s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
@@ -320,6 +337,52 @@ object Similarity {
       "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
       "FROM probes p JOIN afin a USING (cid) WHERE a.vec_id <> p.qid) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
+  }
+
+  private[graft] val D11Tau = 0.8
+
+  /** d11: SEMANTIC dedup — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540, public): cluster the embedding space with the
+    * trained coarse quantizer ([[trainedCentroids]], the s04 k-means),
+    * then compare pairs ONLY within a cell and drop every vector that
+    * has a lower-id near-neighbor (cos ≥ τ) in its cell — the
+    * keep-one-representative rule. Output is the per-cell census
+    * (n_vecs, n_pairs, n_dropped): small, deterministic, and the
+    * actionable artifact (which cells are redundancy-heavy).
+    *
+    * This is the SCALE answer to d06's exact quadratic tier: the
+    * within-cell self-join does n²/K work instead of n² (K=16 here —
+    * a production run raises the cell count with the corpus, keeping
+    * per-cell populations bounded, and shards cells across executors;
+    * the cell id is the shuffle key). Near-dup pairs straddling a cell
+    * boundary are missed by construction — the documented SemDeDup
+    * approximation, accepted in exchange for the K-fold reduction
+    * (d09's LSH tier is the recall-floor-gated alternative).
+    *
+    * Cross-engine exactness: cell assignment reuses the s04
+    * train/assign pipeline (rounded 1e-6 centroid means, rank-1
+    * argmax); the pair threshold compares the raw cosine double
+    * exactly like d06 — both engines fold the 64 components
+    * left-to-right, so the doubles are bit-identical. */
+  def d11SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val assigned = assignCells(all, trainedCentroids(spark, dir, LloydRounds))
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
+    // within-cell pairs only: the equi-join on cid IS the blocking;
+    // shuffle_hash because K cells ⇒ K hot build sides, never a sort
+    val pairs = a.hint("shuffle_hash").join(b, Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        Dedup.cosine(col("ea"), col("eb")) >= D11Tau)
+    val dropped = pairs.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("idb")).as("n_dropped"))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dropped"))
+      .select(col("cid").cast("long").as("cell"), col("n_vecs"),
+        col("n_pairs"), col("n_dropped"))
+      .orderBy("cell")
   }
 
   /** s05: int8 scalar-quantization census — the storage-compression
@@ -387,6 +450,20 @@ object Similarity {
         "FROM (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn FROM sc) " +
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
+    "d11_semantic_dedup" ->
+      // same generated train/assign CTEs as s04, then within-cell
+      // pairs at the raw-cosine threshold and the per-cell census
+      (trainCtesSql(LloydRounds) +
+        assignCteSql("afin", s"cent$LloydRounds", "cf") +
+        "pairs AS (SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb " +
+        "FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        s"AND list_cosine_similarity(a.emb, b.emb) >= $D11Tau), " +
+        "census AS (SELECT cid, count(*) AS n_pairs, count(DISTINCT idb) AS n_dropped " +
+        "FROM pairs GROUP BY cid) " +
+        "SELECT CAST(v.cid AS BIGINT) AS cell, v.n_vecs, " +
+        "coalesce(c.n_pairs, 0) AS n_pairs, coalesce(c.n_dropped, 0) AS n_dropped " +
+        "FROM (SELECT cid, count(*) AS n_vecs FROM afin GROUP BY cid) v " +
+        "LEFT JOIN census c USING (cid) ORDER BY cell"),
     "s03_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
         "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // 16) AS stride), " +

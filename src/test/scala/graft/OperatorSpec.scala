@@ -207,6 +207,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == planted, s"expected exactly the planted pairs, got $out")
   }
 
+  test("d11 SemDeDup census counts exactly the planted within-cell near-dups") {
+    import org.apache.spark.sql.functions._
+    // 200 seeded uniform vectors + 5 near-copies of vectors 0-4 at
+    // cos≈0.9999: each copy must land in its source's cell and be the
+    // dropped side of exactly one pair; uniform 64-dim background
+    // pairs sit ~8 sigma below the 0.8 threshold, so nothing else fires
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val spark2 = spark
+    val base = spark2.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val dups = spark2.range(5).toDF("src")
+      .select((col("src") + 1000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(col("src"), i) + lit(0.0005)).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("d11fix").toString
+    base.unionAll(dups).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val rows = Similarity.d11SemanticDedup(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == 205, s"census must cover every vector: ${rows.toSeq}")
+    assert(rows.map(_._3).sum == 5, s"exactly the 5 planted pairs: ${rows.toSeq}")
+    assert(rows.map(_._4).sum == 5, s"exactly the 5 copies dropped: ${rows.toSeq}")
+    assert(rows.forall(r => r._4 <= r._3 && r._4 < r._2), "drops bounded by pairs and population")
+  }
+
   test("t11 PII census: counts, redaction, boundary behavior on planted fixtures") {
     val spark2 = spark
     import spark2.implicits._
