@@ -37,8 +37,10 @@ class DeterminismSpec extends AnyFunSuite {
     "t10_rare_tokens",
     // round-8 additions: the canary-gated faces (the canary derivation
     // — max id, orderBy/limit source pick, routing aggregates — must
-    // not depend on partitioning) and the PII regex census
-    "d10_decontamination", "t11_pii_census")
+    // not depend on partitioning), the PII regex census, and SemDeDup
+    // (float-mean training + within-cell census must not show
+    // partition boundaries)
+    "d10_decontamination", "t11_pii_census", "d11_semantic_dedup")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
