@@ -204,6 +204,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!pf.contains("SortMergeJoin"), s"fallback degraded to sort-merge:\n$pf")
   }
 
+  test("d11 SemDeDup: within-cell pairs hash-join on the cell id, never cartesian") {
+    val p = plan(Similarity.d11SemanticDedup(spark, sf))
+    // the 16-row centroid attach is a deliberate broadcast nested loop
+    // (assignCells crossJoin(broadcast)); the PAIR join must be the
+    // shuffled hash join on cid — an unkeyed product over the corpus
+    // would be the n² disaster d11 exists to avoid
+    assert(!p.contains("CartesianProduct"), s"pair join degraded to a product:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"within-cell join must hash on cid:\n$p")
+  }
+
   test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {
     val p = plan(operators.Sinks.p05StratifiedSample(spark, sf))
     // filter on the modular bucket is not scan-pushable (expression on
