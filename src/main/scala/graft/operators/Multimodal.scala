@@ -429,6 +429,74 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** 64-bit difference hash (dHash — public perceptual-hash family):
+    * 9×8 luma grid, each cell averaged over ≤16 sampled pixels
+    * (bounded cost at any resolution, and box averaging keeps
+    * single-pixel noise from flipping gradient bits), bit = left-to-
+    * right luma gradient sign. Perceptually-similar images land within
+    * a small Hamming distance; MultimodalSpec pins noise-invariance
+    * and gradient-inversion sensitivity. */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Double](8, 9)
+    for (gy <- 0 until 8; gx <- 0 until 9) {
+      val (x0, x1) = (gx * w / 9, math.max(gx * w / 9 + 1, (gx + 1) * w / 9))
+      val (y0, y1) = (gy * h / 8, math.max(gy * h / 8 + 1, (gy + 1) * h / 8))
+      val (sx, sy) = (math.max(1, (x1 - x0) / 4), math.max(1, (y1 - y0) / 4))
+      var (s, n) = (0.0, 0)
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      lum(gy)(gx) = s / n
+    }
+    var bits = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (lum(gy)(gx + 1) > lum(gy)(gx)) bits |= 1L << (gy * 8 + gx)
+    bits
+  }
+
+  /** Perceptual hashes through the decode seam — the key enabling a
+    * NEAR-dup media tier on top of m04's exact content census: images
+    * hash with [[dHash64]] (method "dhash"; similar images → small
+    * Hamming distance, so downstream dedup buckets on hash bands the
+    * d05 way), everything else falls back to a content-hash prefix
+    * (method "content" — exact-dup-only semantics for payloads no
+    * decoder can see into; deterministic, never throws). Partition-
+    * parallel like [[decodePayloads]]; hashes shuffle, payloads don't.
+    */
+  def perceptualHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hashed =
+          try {
+            magicOf(bytes) match {
+              case "png" | "jpeg" | "gif" | "bmp" =>
+                val img = readImageBounded(bytes)
+                if (img == null) None else Some(dHash64(img))
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        hashed match {
+          case Some(hs) => (id, hs, "dhash")
+          case None =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            val prefix = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL))
+            (id, prefix, "content")
+        }
+      })
+      .toDF("media_id", "phash", "method")
+  }
+
   private val FrameBytes = 16
   private val SampleEvery = 4
 
