@@ -258,11 +258,18 @@ object Multimodal {
       var ts = 0L; var dur = 0L; var ver = 0; var nTrak = 0; var found = false
       boxes(b, e).foreach {
         case ("mvhd", mb, me) if me - mb >= 20 =>
-          found = true
           ver = bytes(mb.toInt) & 0xff
-          if (ver == 1 && me - mb >= 28) { // 8-byte times
-            ts = beU32(bytes, mb.toInt + 20); dur = beU64(bytes, mb.toInt + 24)
+          if (ver == 1) {
+            // v1 has 8-byte times: beU64 at mb+24 reads through mb+31,
+            // so the body must span 32 bytes. A shorter v1 body is
+            // malformed — skip it (don't fall back to v0 offsets, which
+            // would read mid-field garbage) per the walk's contract.
+            if (me - mb >= 32) {
+              found = true
+              ts = beU32(bytes, mb.toInt + 20); dur = beU64(bytes, mb.toInt + 24)
+            }
           } else {
+            found = true
             ts = beU32(bytes, mb.toInt + 12); dur = beU32(bytes, mb.toInt + 16)
           }
         case ("trak", _, _) => nTrak += 1

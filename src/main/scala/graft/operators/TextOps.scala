@@ -241,7 +241,10 @@ object TextOps {
     // crossJoin carried, one fewer join in the plan.
     val route = cf.agg((sum(col("cf")) / count(lit(1)) / 10.0).as("thr"),
       count(lit(1)).as("n_vocab")).head()
-    val (thr, nVocab) = (route.getDouble(0), route.getLong(1))
+    // empty corpus: sum(cf) aggregates to NULL over zero rows — degrade
+    // to thr=0 (the joined result below is empty anyway) instead of NPE
+    val thr = if (route.isNullAt(0)) 0.0 else route.getDouble(0)
+    val nVocab = route.getLong(1)
     val joined =
       if (nVocab <= maxVocab) tok.join(broadcast(cf), "t")
       // high-NDV token keys with bounded per-key build rows: hash

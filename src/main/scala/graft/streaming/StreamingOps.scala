@@ -442,6 +442,14 @@ object StreamingOps {
   def runToSnapshotFiles(spark: SparkSession, agg: DataFrame, prefix: String): DataFrame = {
     val root = graft.core.IO.scratchDir(prefix)
     val out = s"$root/out"
+    // Pre-seed the snapshot with an empty frame in the aggregate's
+    // schema: a bounded source that commits zero micro-batches never
+    // invokes foreachBatch, and the read after stop() must still find a
+    // valid (empty) parquet dir — same empty-result contract as the
+    // memory-sink path this replaced.
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+      .write.mode("overwrite").parquet(out)
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .option("checkpointLocation", s"$root/chk")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>

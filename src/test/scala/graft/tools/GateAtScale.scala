@@ -94,7 +94,7 @@ object GateAtScale {
     // the document-pair tier gets a PLANTED corpus at ~10× sf0.1 rows
     // (5000 docs / 2000 vectors): replication would degenerate it
     PlantedCorpus.buildDocs(spark, dst) // 51 000 docs
-    PlantedCorpus.buildEmbeddings(spark, dst, 20000L, 200L) // 20 400 vecs
+    PlantedCorpus.buildEmbeddings(spark, dst, 20000L, 200L) // 20 200 vecs
   }
 
   def main(args: Array[String]): Unit = {
