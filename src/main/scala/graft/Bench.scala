@@ -93,6 +93,42 @@ object Bench {
     val BenchReps = 2
     val SpreadEscalate = 2.0
     val MaxExtraReps = 2
+    // Absolute cross-round regression gate (round-8 verdict #1): rep
+    // spread is blind to a contention window that covers EVERY rep
+    // equally — r8 published p01 at 20.35 s (vs 0.65 s steady state in
+    // the same round) with spread 1.41 and nothing flagged. The defense
+    // is the archived prior round: a query whose min rep exceeds
+    // RegressFactor × its prior-round min first earns extra reps (the
+    // burst may simply have covered the pair), and if the excess
+    // SURVIVES the reps it is published in a machine-readable
+    // "regressions" field instead of silently inflating the headline.
+    // The absolute floor keeps sub-second jitter (0.05 → 0.2 s is 4×
+    // but noise) from flagging.
+    val RegressFactor = 3.0
+    val RegressAbsFloor = 0.5
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val existing = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        .collect { case rx(n) => n.toInt }
+      if (existing.isEmpty) 1 else existing.max + 1
+    }
+    // prior-round per-query min reps, from the committed archive; an
+    // absent/unreadable archive degrades to no regression checking
+    val priorMins: Map[String, Double] = try {
+      val f = new java.io.File(f"BENCH_DETAIL_r${round - 1}%02d.json")
+      if (!f.exists()) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        Seq("query_reps", "operator_reps").flatMap { section =>
+          Option(root.get(section)).toSeq.flatMap(_.fields().asScala.flatMap { e =>
+            val reps = Option(e.getValue.get("reps")).toSeq
+              .flatMap(_.elements().asScala.map(_.asDouble()).filter(_ > 0))
+            reps.minOption.map(e.getKey -> _)
+          })
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     // Measurement record per query: published min, the warmup second
     // (-1 if the warmup itself failed — the rep list shape is invariant
     // so cross-round comparisons are unambiguous), the TIMED reps, the
@@ -106,7 +142,8 @@ object Bench {
     // spread, but cannot own the headline reproducibility metric.
     case class Measured(best: Double, warm: Double, reps: Seq[Double],
         spread: Double, steadySpread: Double)
-    def measure(fn: (SparkSession, String) => DataFrame): Measured = {
+    def measure(fn: (SparkSession, String) => DataFrame,
+        prior: Option[Double] = None): Measured = {
       // each rep in its own try: a transient failure on rep 2 must not
       // discard rep 1's valid measurement (min of the successes; -1
       // only when every rep failed)
@@ -133,6 +170,18 @@ object Bench {
         reps = reps ++ rep()
         extra += 1
       }
+      // cross-round escalation: reps agree with each other but ALL sit
+      // far above the prior round's min — either a burst covered the
+      // whole pair (extra reps recover the true min) or the plan
+      // genuinely regressed (extra reps confirm, and the regressions
+      // field below reports it)
+      var rextra = 0
+      while (rextra < MaxExtraReps && prior.exists(p =>
+          reps.nonEmpty && reps.min > RegressFactor * p &&
+            reps.min - p > RegressAbsFloor)) {
+        reps = reps ++ rep()
+        rextra += 1
+      }
       val spread = if (reps.size >= 2) reps.max / reps.min else 1.0
       val steady = reps.sorted.take(2) match {
         case Seq(a, b) => b / a
@@ -154,7 +203,7 @@ object Bench {
     val queryMeasures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val quiet = name == "q25_moving_window"
       if (quiet) windowExecLevel(org.apache.logging.log4j.Level.ERROR)
-      try name -> measure(fn)
+      try name -> measure(fn, priorMins.get(name))
       finally if (quiet) windowExecLevel(org.apache.logging.log4j.Level.WARN)
     }
     val queryTimes = queryMeasures.map { case (name, m) => name -> m.best }
@@ -177,7 +226,7 @@ object Bench {
             .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
           graft.operators.Dedup.D09Tau, graft.operators.Dedup.D09Bits,
           graft.operators.Dedup.D09Bands))
-    ).map { case (name, fn) => name -> measure(fn) }
+    ).map { case (name, fn) => name -> measure(fn, priorMins.get(name)) }
 
     // ---- containment cross-checks ----
     // d07 computes d03's pairs as its input, and the d05/d09 gates run
@@ -345,18 +394,26 @@ object Bench {
           m("shredded")("ratio") < m("jsonc")("ratio")
       },
       // compression degrades monotonically along the full 4-point NDV
-      // curve (same points as benchmark_results.csv:18-33)
+      // curve at BOTH the mid and at-scale line counts (same points as
+      // benchmark_results.csv:18-49)
       "ratio_degrades_with_ndv" ->
         Seq("plain_json", "variant", "jsonc", "shredded").forall(c =>
-          ndvCurve.sliding(2).forall { case Seq(a, b) =>
-            ratio(s"events_ndv${a}_8192", c) < ratio(s"events_ndv${b}_8192", c)
-          }),
+          Seq(8192L, 100000L).forall(l =>
+            ndvCurve.sliding(2).forall { case Seq(a, b) =>
+              ratio(s"events_ndv${a}_$l", c) < ratio(s"events_ndv${b}_$l", c)
+            })),
       // jsonc beats plain at low NDV...
       "jsonc_wins_low_ndv" ->
         (ratio("events_ndv0.1_8192", "jsonc") < ratio("events_ndv0.1_8192", "plain_json")),
       // ...and loses at full NDV (the reference's crossover)
       "jsonc_loses_full_ndv" ->
-        (ratio("events_ndv1.0_8192", "jsonc") > ratio("events_ndv1.0_8192", "plain_json")))
+        (ratio("events_ndv1.0_8192", "jsonc") > ratio("events_ndv1.0_8192", "plain_json")),
+      // the reference's AT-SCALE headline (README.md:25, csv:37): at
+      // 100k lines / ndv 0.1 its variant binary holds 0.0747 while the
+      // textual formats converge near 0.35 — the repo's variant must
+      // beat that published absolute number on the same corpus shape
+      "variant_at_scale_headline" ->
+        (ratio("events_ndv0.1_100000", "variant") < 0.0747))
 
     // ---- emit ----
     val qs = queryTimes.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
@@ -373,6 +430,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val cont = containments.map { case (k, v) => s""""$k":${jd(v)}""" }
       .mkString("{", ",", "}")
+    // queries whose published min SURVIVED the extra reps above the
+    // prior-round archive — machine-readable, empty on a clean run
+    val regressions = (queryMeasures ++ operatorMeasures).collect {
+      case (name, m) if m.best > 0 && priorMins.get(name).exists(p =>
+          p > 0 && m.best > RegressFactor * p && m.best - p > RegressAbsFloor) =>
+        (name, m.best, priorMins(name))
+    }
+    val regJson = regressions.map { case (k, now, prior) =>
+      s""""$k":{"sec":${jd(now)},"prior_sec":${jd(prior)}}"""
+    }.mkString("{", ",", "}")
     val st = storage.map { case (key, original, perCodec) =>
       val inner = perCodec.map { case (c, m) =>
         s""""$c":{${m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jd(v)}""" }.mkString(",")}}"""
@@ -390,7 +457,7 @@ object Bench {
     val bsj = blockSweep.map { case (b, ratio) => s""""$b":${jd(ratio)}""" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
-    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"query_reps":$qreps,"operators":$ops,"operator_reps":$opreps,"containment_ratios":$cont,"lsh_bucket_caps":$lsh,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"query_reps":$qreps,"operators":$ops,"operator_reps":$opreps,"containment_ratios":$cont,"regressions":$regJson,"lsh_bucket_caps":$lsh,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
     // Driver contract, third time's the charm: rounds 1-2 printed the
     // FULL json line (5.9 KB) and the driver's captured stdout tail
     // truncated it mid-record → "parsed": null two rounds running. The
@@ -414,12 +481,6 @@ object Bench {
     // the max on disk during a round-N run is N-1). Re-runs within a
     // round overwrite — latest detail wins.
     try {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        val existing = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-          .collect { case rx(n) => n.toInt }
-        if (existing.isEmpty) 1 else existing.max + 1
-      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"BENCH_DETAIL_r$round%02d.json"), full + "\n")
     } catch { case e: Throwable =>
@@ -437,7 +498,8 @@ object Bench {
     val maxSpread = (queryMeasures ++ operatorMeasures)
       .map(_._2.steadySpread).maxOption.getOrElse(1.0)
     val summary = summaryLine(total, queryTimes.size,
-      queryTimes.count(_._2 < 0), maxSpread, inv, sfDir, outFile)
+      queryTimes.count(_._2 < 0), maxSpread, regressions.map(_._1), inv,
+      sfDir, outFile)
     IO.deleteRecursively(java.nio.file.Paths.get(tmp)) // scratch gone before exit
     spark.stop() // stop BEFORE the JSON line so no shutdown logs trail it
     println(summary)
@@ -449,6 +511,12 @@ object Bench {
     * mid-record ("parsed": null two rounds running). ContractSpec pins
     * the size bound and JSON shape. */
   private[graft] def summaryLine(total: Double, nQueries: Int, nFailed: Int,
-      maxSpread: Double, invJson: String, sfDir: String, outFile: String): String =
-    s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"max_rep_spread":${jd(maxSpread)},"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
+      maxSpread: Double, regressed: Seq[String], invJson: String,
+      sfDir: String, outFile: String): String = {
+    // names capped at 5 so a pathological run can't blow the <1 KB
+    // stdout budget; the count is always exact and the full per-query
+    // detail lives in the archived file
+    val regNames = regressed.take(5).map(n => s""""$n"""").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries_n":$nQueries,"queries_failed":$nFailed,"max_rep_spread":${jd(maxSpread)},"regressions_n":${regressed.size},"regressions":$regNames,"baseline_invariants":$invJson,"sf":"$sfDir","detail":"$outFile"}"""
+  }
 }

@@ -114,6 +114,10 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     // m04: exact media dedup — content-hash census per modality
     "m04_media_dedup" -> (Multimodal.m04MediaDedup _),
+    // m05: NEAR-dup media dedup — banded dHash + full-hash content
+    // tiers over perceptualHashes, with a constructed BMP canary pair
+    // (Hamming exactly 1) keeping the dhash tier non-vacuous
+    "m05_media_neardup" -> (Multimodal.m05MediaNeardup _),
     // Codec lifecycle census (SURVEY §2.1 #3-13 as driver-gate queries)
     "c06_roundtrip" -> (CodecLifecycle.c06RoundTrip _),
     "c07_flush_load" -> (CodecLifecycle.c07FlushLoad _),

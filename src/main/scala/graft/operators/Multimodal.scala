@@ -504,6 +504,123 @@ object Multimodal {
       .toDF("media_id", "phash", "method")
   }
 
+  // ---- m05: near-dup media dedup over perceptual hashes ------------
+
+  private[graft] val M05HammingMax = 3
+  private[graft] val M05Bands = 4
+
+  /** Deterministic canary pair for the m05 gate: a 9×8 24-bit BMP
+    * whose pixels map 1:1 onto [[dHash64]]'s 9×8 grid (w=9 ⇒ each
+    * grid cell is exactly one pixel, no sampling), gray value 20·x+10
+    * — strictly increasing left-to-right, so the base hash is all 64
+    * gradient bits set. The perturbed twin darkens pixel (0,4) to 10,
+    * flipping EXACTLY gradient bit (0,3) (30 > 210 is false) while
+    * bit (0,4) still holds (330 > 30) — Hamming distance exactly 1:
+    * a true NEAR-duplicate (not exact), constructed, not sampled.
+    * The corpus carries no real images, so without the canary the
+    * dhash tier would be vacuous at every SF (the t11/d10 pattern).
+    * MultimodalSpec pins the sniff, both hash values and the
+    * distance. */
+  private[graft] def canaryBmp(perturbed: Boolean): Array[Byte] = {
+    val (w, h) = (9, 8)
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val dataSize = stride * h
+    val fileSize = 54 + dataSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    out.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) { // BMP stores rows bottom-up
+      for (x <- 0 until w) {
+        val v = if (perturbed && y == 0 && x == 4) 10 else 20 * x + 10
+        out.put(v.toByte).put(v.toByte).put(v.toByte) // B, G, R
+      }
+      out.put(Array.fill[Byte](stride - rowBytes)(0))
+    }
+    out.array()
+  }
+
+  /** m05: near-dup MEDIA dedup census — the approximate twin of m04's
+    * exact census, built on [[perceptualHashes]]: per hash method, how
+    * many items, candidate pairs, exact dupes (Hamming 0) and true
+    * near-dupes (0 < Hamming ≤ [[M05HammingMax]]).
+    *
+    * Two tiers with different join keys, both linear in shuffle
+    * volume:
+    *  - "dhash" (decodable images): 64-bit dHash banded into
+    *    [[M05Bands]] 16-bit chunks — the d05 pigeonhole, exact for
+    *    Hamming ≤ 3 (4 bands, 3 flipped bits leave ≥1 band intact) —
+    *    candidates verified by bit_count(xor). Band buckets are
+    *    hot-capped ([[Dedup.capBandBuckets]], corpus-relative cap):
+    *    boilerplate imagery (solid-color thumbnails) all hashes to the
+    *    same few values and would otherwise put k² pair events under
+    *    one shuffle key.
+    *  - "content" (everything else): the md5-prefix hash has no
+    *    locality, so near-dup tolerance is meaningless — pairs join on
+    *    the FULL 64-bit hash (exact-dup-only semantics; banding a
+    *    locality-free hash would turn 2⁶⁴ join keys into 2¹⁶ buckets
+    *    of n/65536 members each — a quadratic blowup for zero recall).
+    *    Two distinct payloads within Hamming ≤ 3 of each other's md5
+    *    prefix would diverge from the oracle's string-equality replay;
+    *    at ≤ C(64,3)/2⁶⁴ ≈ 2⁻⁴⁷ per pair that is the same measure-zero
+    *    standard as d03's 64-bit shingle hashes (Dedup.scala note).
+    *
+    * The gate feeds the corpus plus the [[canaryBmp]] pair under
+    * reserved negative ids; the oracle replays the content tier from
+    * md5 strings and carries the canary's dhash row as the known
+    * constant it is. */
+  def m05MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = media(spark, dir).select(col("media_id"), col("payload"))
+    // negative ids: guaranteed fresh against the corpus's non-negative
+    // ids, with no max(id) aggregation needed (cf. d10's canary id)
+    val canary = Seq((-1L, canaryBmp(false)), (-2L, canaryBmp(true)))
+      .toDF("media_id", "payload")
+    m05Census(spark, corpus.unionAll(canary))
+  }
+
+  /** The m05 census over any (media_id, payload) frame. A production
+    * run lands [[perceptualHashes]] output as a table first (hashes
+    * are 17 bytes/row; decode is the expensive pass) — here the
+    * lineage recompute per branch is accepted for gate simplicity. */
+  private[graft] def m05Census(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    val hashed = perceptualHashes(spark, payloads)
+    val n = payloads.count() // cap sizing only — avoids a decode pass
+    val dh = hashed.filter(col("method") === "dhash")
+    val bands = Dedup.capBandBuckets(
+      dh.select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(M05Bands - 1))).as("band"))
+        .withColumn("bh",
+          expr(s"shiftrightunsigned(phash, band * 16) & ${(1 << 16) - 1}")),
+      Seq("band", "bh"), Dedup.bandCap(n))
+    val dhPairs = bands.as("a").hint("shuffle_hash").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .distinct() // a pair can meet under several intact bands
+      .filter(col("hamming") <= M05HammingMax)
+      .withColumn("method", lit("dhash"))
+    val ch = hashed.filter(col("method") === "content")
+      .select(col("media_id"), col("phash"))
+    val chPairs = ch.as("a").hint("shuffle_hash").join(ch.as("b"),
+        col("a.phash") === col("b.phash") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        lit(0L).as("hamming"))
+      .withColumn("method", lit("content"))
+    val pairs = dhPairs.unionByName(chPairs)
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("hamming") > 0, 1L).otherwise(0L)).as("n_near"))
+    hashed.groupBy(col("method")).agg(count(lit(1)).as("n_items"))
+      .join(pairs, Seq("method"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_exact", "n_near"))
+      .orderBy("method")
+  }
+
   private val FrameBytes = 16
   private val SampleEvery = 4
 
@@ -560,6 +677,21 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "m05_media_neardup" ->
+      // content tier replayed from md5 prefixes (string equality on 16
+      // hex chars == equality of the Spark side's 64-bit prefix); the
+      // dhash tier is the canary pair — a fixed constant independent of
+      // the corpus (2 synthetic images, Hamming exactly 1), so its
+      // census row enters as the literals it provably is
+      ("WITH ph AS (SELECT doc_id AS media_id, substring(md5(text), 1, 16) AS h FROM documents), " +
+        "cp AS (SELECT a.media_id AS ida, b.media_id AS idb " +
+        "FROM ph a JOIN ph b ON a.h = b.h AND a.media_id < b.media_id) " +
+        "SELECT method, n_items, n_pairs, n_exact, n_near FROM (" +
+        "SELECT 'content' AS method, (SELECT count(*) FROM ph) AS n_items, " +
+        "(SELECT count(*) FROM cp) AS n_pairs, (SELECT count(*) FROM cp) AS n_exact, " +
+        "CAST(0 AS BIGINT) AS n_near " +
+        "UNION ALL SELECT 'dhash', CAST(2 AS BIGINT), CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST(1 AS BIGINT)) ORDER BY method"),
     "m04_media_dedup" ->
       (s"SELECT $modalitySql AS modality, " +
         "count(*) AS n_media, count(DISTINCT md5(text)) AS n_distinct, " +

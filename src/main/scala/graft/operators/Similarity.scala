@@ -242,14 +242,16 @@ object Similarity {
 
   /** The trained coarse quantizer — stride seeds refined by `rounds`
     * Lloyd rounds (mean member vector per cell, element-wise, rounded
-    * 1e-6 in both engines) — shared by s04 and d11. */
+    * 1e-6 in both engines) — shared by s04 (k = [[IvfCentroids]]) and
+    * d11 (corpus-relative k, see [[d11CellCount]]). */
   private[graft] def trainedCentroids(
-      spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+      spark: SparkSession, dir: String, rounds: Int,
+      k: Int = IvfCentroids): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val n = Tables(spark, dir, "embeddings").count() // metadata count, cheap
-    val stride = math.max(1L, n / IvfCentroids)
-    val seeds = all.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < IvfCentroids)
+    val stride = math.max(1L, n / k)
+    val seeds = all.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < k)
       .select((col("vec_id") / stride).cast("int").as("cid"),
         col("e").as("ce"), col("nrm").as("cnrm"))
     // Lloyd rounds: mean member vector per cell, element-wise
@@ -308,9 +310,13 @@ object Similarity {
       s"ORDER BY round(list_cosine_similarity(e.emb, $alias.ce), 6) DESC, $alias.cid) AS rk " +
       s"FROM e CROSS JOIN $cents $alias) WHERE rk = 1), "
 
-  /** The shared train-CTE prefix (e, stride params, cent0..centR) —
-    * generated per Lloyd round, used by the s04 and d11 oracles. */
-  private[graft] def trainCtesSql(rounds: Int): String = {
+  /** The shared train-CTE prefix (e, cell-count kp, stride params,
+    * cent0..centR) — generated per Lloyd round, used by the s04 and
+    * d11 oracles. `kSelect` is the cell-count expression: a literal
+    * "16" for s04's fixed quantizer, a count-derived expression for
+    * d11 — BOTH engines re-derive k from their own scan of the same
+    * corpus, so the two sides cannot desynchronize. */
+  private[graft] def trainCtesSql(rounds: Int, kSelect: String = "16"): String = {
     val train = (1 to rounds).map { r =>
       assignCteSql(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}") +
         s"dims$r AS (SELECT cid, i, round(avg(emb[i]), 6) AS v " +
@@ -318,9 +324,10 @@ object Similarity {
         s"cent$r AS (SELECT cid, list(v ORDER BY i) AS ce FROM dims$r GROUP BY cid), "
     }.mkString
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-      "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // 16) AS stride), " +
+      s"kp AS (SELECT $kSelect AS k), " +
+      "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // (SELECT k FROM kp)) AS stride), " +
       "cent0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM e, params " +
-      "WHERE vec_id % stride = 0 AND vec_id // stride < 16), " +
+      "WHERE vec_id % stride = 0 AND vec_id // stride < (SELECT k FROM kp)), " +
       train
   }
 
@@ -341,6 +348,26 @@ object Similarity {
 
   private[graft] val D11Tau = 0.8
 
+  /** d11 cell-count policy: K = clamp(n / [[D11CellTarget]], 16,
+    * [[D11MaxCells]]) — per-cell population stays near
+    * [[D11CellTarget]], so the within-cell quadratic is bounded at
+    * ~[[D11CellTarget]]²/2 pairs per cell regardless of corpus size
+    * (the d06 block-count pattern applied to the quantizer). The 4096
+    * cap marks where the flat quantizer stops being the right shape:
+    * past it the n·K assignment cost dominates and a production run
+    * switches to a two-level (coarse-then-fine) quantizer trained on a
+    * sample — documented, not implemented, because the gate corpora
+    * sit far below the cap. */
+  private[graft] val D11CellTarget = 1024L
+  private[graft] val D11MaxCells = 4096
+  private[graft] def d11CellCount(n: Long): Int =
+    math.min(D11MaxCells.toLong, math.max(16L, n / D11CellTarget)).toInt
+
+  /** The [[d11CellCount]] policy as a DuckDB expression over the same
+    * corpus scan — the oracle's k derivation. */
+  private[graft] val D11KSql =
+    s"least(greatest((SELECT count(*) FROM e) // $D11CellTarget, 16), $D11MaxCells)"
+
   /** d11: SEMANTIC dedup — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public): cluster the embedding space with the
     * trained coarse quantizer ([[trainedCentroids]], the s04 k-means),
@@ -351,10 +378,12 @@ object Similarity {
     * actionable artifact (which cells are redundancy-heavy).
     *
     * This is the SCALE answer to d06's exact quadratic tier: the
-    * within-cell self-join does n²/K work instead of n² (K=16 here —
-    * a production run raises the cell count with the corpus, keeping
-    * per-cell populations bounded, and shards cells across executors;
-    * the cell id is the shuffle key). Near-dup pairs straddling a cell
+    * within-cell self-join does n²/K work instead of n², and K is
+    * CORPUS-RELATIVE ([[d11CellCount]]: n/1024 clamped to [16, 4096],
+    * re-derived identically by the oracle via [[D11KSql]]) so per-cell
+    * populations stay bounded near 1024 as the corpus grows; cells
+    * shard across executors with the cell id as the shuffle key.
+    * Near-dup pairs straddling a cell
     * boundary are missed by construction — the documented SemDeDup
     * approximation, accepted in exchange for the K-fold reduction
     * (d09's LSH tier is the recall-floor-gated alternative).
@@ -367,7 +396,8 @@ object Similarity {
   def d11SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
-    val assigned = assignCells(all, trainedCentroids(spark, dir, LloydRounds))
+    val k = d11CellCount(Tables(spark, dir, "embeddings").count())
+    val assigned = assignCells(all, trainedCentroids(spark, dir, LloydRounds, k))
     val a = assigned.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
     // within-cell pairs only: the equi-join on cid IS the blocking;
@@ -451,9 +481,10 @@ object Similarity {
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
-      // same generated train/assign CTEs as s04, then within-cell
-      // pairs at the raw-cosine threshold and the per-cell census
-      (trainCtesSql(LloydRounds) +
+      // same generated train/assign CTEs as s04 but with the
+      // corpus-relative cell count, then within-cell pairs at the
+      // raw-cosine threshold and the per-cell census
+      (trainCtesSql(LloydRounds, D11KSql) +
         assignCteSql("afin", s"cent$LloydRounds", "cf") +
         "pairs AS (SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb " +
         "FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +

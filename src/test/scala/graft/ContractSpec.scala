@@ -19,15 +19,25 @@ class ContractSpec extends AnyFunSuite {
 
   test("bench summary line stays far under the driver's stdout-tail budget") {
     val inv = """{"a":true,"b":true,"c":true,"d":true,"e":false}"""
-    val line = Bench.summaryLine(12345.678901, 63, 0, 1.873421, inv,
+    // worst realistic case: MANY regressed queries with long names —
+    // the name list must cap at 5 so the line can't blow the budget
+    val regressed = (1 to 40).map(i => f"q$i%02d_some_long_query_name_here")
+    val line = Bench.summaryLine(12345.678901, 63, 0, 1.873421, regressed, inv,
       "/root/testdata/sf0.1", "/some/long/output/path/bench.json")
     assert(line.length < 1024, s"summary line too long (${line.length}B): $line")
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(!line.contains("\n"))
     // must carry the driver-contract fields
     Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+      "\"regressions_n\":40", "\"regressions\":[",
       "\"baseline_invariants\":", "\"sf\":").foreach(f =>
       assert(line.contains(f), s"missing $f in $line"))
+    // exactly 5 names survive the cap
+    assert(line.split("some_long_query_name_here").length - 1 == 5)
+    // clean run: empty list, zero count
+    val clean = Bench.summaryLine(60.0, 82, 0, 1.1, Nil, inv, "sf", "out")
+    assert(clean.contains("\"regressions_n\":0") &&
+      clean.contains("\"regressions\":[]"))
   }
 
   test("oracle SQL is single-statement and DuckDB-parameter-free") {

@@ -207,6 +207,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == planted, s"expected exactly the planted pairs, got $out")
   }
 
+  test("d11 cell count: corpus-relative, clamped, non-vacuous at the 10x gate") {
+    // per-cell population bounded near D11CellTarget (1024)
+    assert(Similarity.d11CellCount(0) == 16)
+    assert(Similarity.d11CellCount(500) == 16, "sf0.01 corpus stays at the floor")
+    assert(Similarity.d11CellCount(5000) == 16, "sf0.1 corpus stays at the floor")
+    assert(Similarity.d11CellCount(20200) == 19,
+      "the 10x-gate corpus must actually scale K past the floor")
+    assert(Similarity.d11CellCount(1 << 22) == 4096, "cap")
+    assert(Similarity.d11CellCount(Long.MaxValue) == 4096, "no overflow at any n")
+    // the oracle-side derivation carries the same constants
+    assert(Similarity.D11KSql.contains("// 1024") &&
+      Similarity.D11KSql.contains("16") && Similarity.D11KSql.contains("4096"))
+  }
+
   test("d11 SemDeDup census counts exactly the planted within-cell near-dups") {
     import org.apache.spark.sql.functions._
     // 200 seeded uniform vectors + 5 near-copies of vectors 0-4 at
