@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only sf1-scale gate run (test scope — never ships): builds a
   * 10×-sf0.1 corpus and executes EVERY driver-gate query against it —
-  * one command, all 80 queries, 0 failures expected (round-7 verdict
-  * item 6) — printing per-query wall times.
+  * one command, the full SparkEntry.queries surface, 0 failures
+  * expected (round-7 verdict item 6) — printing per-query wall times.
   *
   * Corpus construction is per-table-family:
   *  - relational/events tables: KEY-SHIFTED REPLICATION — ten copies
