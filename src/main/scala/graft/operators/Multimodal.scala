@@ -49,7 +49,10 @@ object Multimodal {
     * DuckDB oracles derive the identical byte from hex(encode(text)).
     * OperatorSpec pins the non-UTF8 case. */
   private[graft] def modality(payload: Column): Column = {
-    val b0 = conv(substring(hex(payload), 1, 2), 16, 10).cast("int")
+    // slice the BYTE first, then hex the 1-byte slice — hexing the
+    // whole payload to read 2 chars is O(payload) work and a full-size
+    // string allocation per row (megabyte media ⇒ 2 MB strings)
+    val b0 = conv(hex(substring(payload, 1, 1)), 16, 10).cast("int")
     when(b0 % 3 === 0, "image").when(b0 % 3 === 1, "audio").otherwise("video")
   }
 
@@ -71,12 +74,18 @@ object Multimodal {
   def m02Features(spark: SparkSession, dir: String): DataFrame = {
     // >>> DECODE STUB: byte i (1-based) scaled to [0,1); a real decoder
     // >>> would decode pixels/samples here instead of reading raw bytes.
-    // Byte i comes from the hex rendering (like [[modality]]) — NEVER
-    // payload.cast("string"), whose UTF-8 decode collapses real media
-    // bytes onto replacement chars. Missing byte → feature 0, matching
-    // [[fallbackFeatures]].
+    // Byte i comes from hexing a 1-byte binary slice (like
+    // [[modality]]) — NEVER payload.cast("string"), whose UTF-8 decode
+    // collapses real media bytes onto replacement chars. Missing byte →
+    // feature 0, matching [[fallbackFeatures]].
     def fakeFeature(i: Int) = {
-      val b = conv(substring(hex(col("payload")), 2 * i - 1, 2), 16, 10).cast("int")
+      // byte-slice THEN hex: the old substring(hex(payload), 2i-1, 2)
+      // hexed the ENTIRE payload once per feature — 8 full-payload
+      // string renders per row inside the Generate node (which gets no
+      // subexpression elimination); hex of a 1-byte slice is O(1).
+      // Missing byte → empty slice → conv(NULL) → coalesce 0, exactly
+      // the old out-of-range-substring behavior.
+      val b = conv(hex(substring(col("payload"), i, 1)), 16, 10).cast("int")
       round(coalesce(b, lit(0)) / 255.0, 4)
     }
     val dims = (1 to 8).map(i => struct(lit(i.toLong).as("dim"), fakeFeature(i).as("val")))
@@ -639,10 +648,16 @@ object Multimodal {
       .select(col("media_id"),
         col("frame_no").cast("long").as("frame_no"),
         (col("frame_no") * FrameBytes).cast("long").as("offset"),
-        // frame prefix sliced from the hex rendering (2 hex chars/byte):
-        // DuckDB 1.0 has no BLOB substring, so both engines slice hex
-        hex(col("payload")).substr(
-          (col("frame_no") * (FrameBytes * 2) + 1).cast("int"), lit(8))
+        // slice 4 payload BYTES at the frame offset, then hex the
+        // slice. The old form hexed the ENTIRE payload once per
+        // exploded frame row — O(n_bytes²/64) string work per document,
+        // a genuine quadratic on megabyte media. Byte-aligned slices
+        // render to the identical hex substring (2 chars/byte),
+        // including the short tail when the payload ends mid-slice, so
+        // the DuckDB oracle (which must slice hex — no BLOB substring
+        // in its dialect) is unchanged.
+        hex(col("payload").substr(
+          (col("frame_no") * FrameBytes + 1).cast("int"), lit(4)))
           .as("frame_hex"))
       .orderBy("media_id", "frame_no")
 
