@@ -214,6 +214,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"within-cell join must hash on cid:\n$p")
   }
 
+  test("m05 media near-dup: both pair tiers join keyed, never cartesian") {
+    val p = plan(operators.Multimodal.m05MediaNeardup(spark, sf))
+    // dhash pairs join on (band, bh), content pairs on the full hash —
+    // an unkeyed product over media items would be the n² shape the
+    // banding exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair join degraded to a product:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"pair joins must hash on their keys:\n$p")
+    // the hot-bucket cap's anti join is present in the dhash tier
+    assert(p.contains("LeftAnti"), s"band cap anti-join missing:\n$p")
+  }
+
   test("p05 stratified sample pushes nothing but a map-side filter before its census agg") {
     val p = plan(operators.Sinks.p05StratifiedSample(spark, sf))
     // filter on the modular bucket is not scan-pushable (expression on
