@@ -99,6 +99,10 @@ object SparkEntry {
     // gated face injects a deterministic canary pair so the gate is
     // non-vacuous at every SF (r7 verdict item 3)
     "d10_decontamination" -> (Dedup.d10DecontaminationGated _),
+    // q28: mergeable per-month quantile-sketch union (fixed-bin
+    // histograms group-summed, rank targets in integer arithmetic —
+    // hash-exact in both engines, no invariant row needed)
+    "q28_quantile_union" -> (Relational.q28 _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     // s02 gate = recall invariant vs the exact top-k (bucket layout is

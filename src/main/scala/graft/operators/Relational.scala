@@ -390,6 +390,62 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** $100 histogram-sketch bin width, in cents. Domain-constant, not
+    * data-derived: the sketch stays mergeable across ANY partition of
+    * the data because every partition bins identically — the property
+    * a data-derived width (min/max per partition) would break. */
+  private[graft] val Q28BinCents = 10000L
+
+  /** q28: mergeable per-day QUANTILE-sketch union — the quantile face
+    * of q27's HLL union, completing the mergeable-sketch family
+    * (q23/q26 inline sketches, q27 count-distinct union, q28 quantile
+    * union). Spark exposes no materialized quantile sketch the way it
+    * exposes Datasketches HLL (percentile_approx merges only inside
+    * one aggregation), so the stored summary here is the oldest
+    * mergeable quantile sketch there is: a FIXED-BIN histogram —
+    * per (returnflag, ship-month), counts by $100 price bin
+    * ([[Q28BinCents]]). That is what lands next to each day's parquet
+    * at ingest; a query over any date range group-sums the bins
+    * (union) and reads quantiles off the merged CDF without touching
+    * raw rows. Error is bounded by construction: the merged histogram
+    * has EXACT counts, so the chosen bin contains the true rank-q
+    * value and the midpoint estimate is within half a bin of it
+    * (OperatorSpec pins the containment against q18's exact
+    * percentiles).
+    *
+    * Everything is integer arithmetic — price cents via the q25
+    * round(x*100) engine-exact form, rank targets via integer div
+    * (lower median (n+1)/2, p90 ceil(9n/10)) — so unlike q26/q27 the
+    * gate needs no invariant row: both engines hash-match the actual
+    * sketch-derived values. Plan shape: two hash aggregations (the
+    * second is the union), one bounded per-flag window over ~1050
+    * bins, no raw-row shuffle after the first aggregate. */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val binned = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("month"),
+        (round(col("l_extendedprice") * 100).cast("long") / Q28BinCents)
+          .cast("long").as("bin"))
+    // the stored per-partition sketch rows: (flag, month, bin) → count
+    val daily = binned.groupBy(col("l_returnflag"), col("month"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    // union across months = group-sum of bin counts
+    val merged = daily.groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val cum = merged.withColumn("cum", sum(col("c")).over(w))
+    val tot = merged.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+    cum.join(broadcast(tot), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))).as("med_bin"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bin"))).as("p90_bin"))
+      .select(col("l_returnflag"), col("n"), col("med_bin"), col("p90_bin"),
+        (col("med_bin") * Q28BinCents + Q28BinCents / 2).as("med_mid_cents"),
+        (col("p90_bin") * Q28BinCents + Q28BinCents / 2).as("p90_mid_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q24: window-function spread — lag/lead/ntile over each customer's
     * order history (one shuffle on the partition key, single sort). */
   def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -438,6 +494,22 @@ object Relational {
     "q27_sketch_union" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_6pct FROM events GROUP BY event_type ORDER BY event_type"),
+    "q28_quantile_union" ->
+      // the full sketch pipeline replayed: identical binning, per-month
+      // sketch rows, group-sum union, rank targets in integer division
+      ("WITH b AS (SELECT l_returnflag AS flag, " +
+        "strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin FROM lineitem), " +
+        "daily AS (SELECT flag, month, bin, count(*) AS c FROM b GROUP BY flag, month, bin), " +
+        "merged AS (SELECT flag, bin, CAST(sum(c) AS BIGINT) AS c FROM daily GROUP BY flag, bin), " +
+        "cum AS (SELECT flag, bin, c, CAST(sum(c) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT) AS cum FROM merged), " +
+        "tot AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM merged GROUP BY flag) " +
+        "SELECT flag AS l_returnflag, min(n) AS n, " +
+        "min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS med_bin, " +
+        "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) AS p90_bin, " +
+        "min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 10000 + 5000 AS med_mid_cents, " +
+        "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * 10000 + 5000 AS p90_mid_cents " +
+        "FROM cum JOIN tot USING (flag) GROUP BY flag ORDER BY l_returnflag"),
     "q26_approx_percentile" ->
       ("SELECT l_returnflag, count(*) AS n, true AS within_1pct, " +
         "true AS p90_within_1pct, true AS q1_within_step " +

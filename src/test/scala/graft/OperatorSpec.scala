@@ -207,6 +207,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == planted, s"expected exactly the planted pairs, got $out")
   }
 
+  test("q28 histogram-union quantiles equal the direct rank statistics") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q28(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // ground truth: the rank-(n+1)/2 and rank-ceil(0.9n) values per
+    // flag, computed by direct sort (test-only collect; tiny SF)
+    val vals = graft.core.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    assert(rows.nonEmpty && rows.keySet == vals.keySet)
+    for ((f, (n, medBin, p90Bin)) <- rows) {
+      val s = vals(f)
+      assert(n == s.length, s"$f count")
+      val med = s(((n + 1) / 2).toInt - 1) // 1-based rank → index
+      val p90 = s(((9 * n + 9) / 10).toInt - 1)
+      // min-bin-with-cum≥target IS the bin of the target-ranked value
+      assert(medBin == med / Relational.Q28BinCents, s"$f median bin")
+      assert(p90Bin == p90 / Relational.Q28BinCents, s"$f p90 bin")
+    }
+  }
+
   test("d11 cell count: corpus-relative, clamped, non-vacuous at the 10x gate") {
     // per-cell population bounded near D11CellTarget (1024)
     assert(Similarity.d11CellCount(0) == 16)
