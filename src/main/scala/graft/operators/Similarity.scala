@@ -115,7 +115,10 @@ object Similarity {
     * replays the exact-top-k side in SQL and asserts `recall_ok`;
     * Spark computes the ACTUAL aggregate recall of [[s02AnnLsh]] and
     * compares against the floor. The floor is set from MEASURED values
-    * (0.22 at sf0.01, 0.36 at sf0.1 — graft.tools.Measure): these
+    * (0.22 at sf0.01, 0.36 at sf0.1 — graft.tools.Measure; re-measured
+    * identical in round 9, so 0.15 already sits 0.07 under the measured
+    * minimum — TIGHTER than the 0.12-margin d05/s04 standard, hence not
+    * raised): these
     * uniform-random vectors are the ANN worst case (no neighbor
     * structure for the sign-bit buckets to exploit), so the invariant
     * certifies "multi-probe LSH beats its probe fraction", not parity —

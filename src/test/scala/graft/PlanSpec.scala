@@ -146,6 +146,19 @@ class PlanSpec extends AnyFunSuite {
       s"scan should read only the three needed columns:\n$p")
   }
 
+  test("q28 histogram union: partial aggs, broadcast totals, pruned scan") {
+    val p = plan(Relational.q28(spark, sf))
+    // the per-(flag,month,bin) sketch build and the union group-sum must
+    // both combine map-side — the mergeability claim made plan-visible
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"sketch build/union must partial-aggregate:\n$p")
+    // per-flag totals (one row per flag) join the cumulative bins broadcast
+    assert(p.contains("BroadcastHashJoin"), s"totals join should broadcast:\n$p")
+    // scan reads only the three columns the binning needs
+    assert(p.contains("l_extendedprice") && !p.contains("l_quantity") &&
+      !p.contains("l_orderkey"), s"scan should prune to 3 columns:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must
