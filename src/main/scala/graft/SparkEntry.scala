@@ -103,6 +103,11 @@ object SparkEntry {
     // histograms group-summed, rank targets in integer arithmetic —
     // hash-exact in both engines, no invariant row needed)
     "q28_quantile_union" -> (Relational.q28 _),
+    // q29: pure range (interval) join via the bucketing rewrite — the
+    // non-equi join Spark would otherwise plan as a nested loop
+    "q29_range_join" -> (Relational.q29 _),
+    // q30: pivot with an explicit value list (no distinct-values job)
+    "q30_pivot" -> (Relational.q30 _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     // s02 gate = recall invariant vs the exact top-k (bucket layout is

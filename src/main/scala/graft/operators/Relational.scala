@@ -446,6 +446,74 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Fixed 10-minute interval width for [[q29]], in microseconds.
+    * Bucket width == interval width, so every interval overlaps at most
+    * two buckets — the exploded side is bounded at 2× regardless of
+    * data volume. */
+  private val Q29WinUs = 600000000L
+
+  /** q29: range (interval) join, Spark-first. Every `error` event opens
+    * a 10-minute incident window; the query counts and sums (in exact
+    * cents) ALL events falling inside each window — a pure non-equi
+    * join, the shape Spark's planner can only execute as a broadcast
+    * nested-loop (O(n·m) compared pairs, and a hard failure once the
+    * window side outgrows the broadcast limit).
+    *
+    * The scale path is the classic interval-bucketing rewrite: quantize
+    * time into fixed buckets the width of the interval, explode each
+    * window onto the (≤2) buckets it overlaps, tag each event with the
+    * single bucket containing it, equi-join on the bucket id, and keep
+    * the exact range predicate as the join residual. The plan becomes
+    * an ordinary shuffled hash/sort-merge join on `bucket` — both sides
+    * partition-parallel, no broadcast requirement, no quadratic pair
+    * enumeration (PlanSpec pins the absence of nested-loop/cartesian
+    * nodes). An event pairs with a window through exactly ONE bucket
+    * (the event's bucket matches at most one of the window's two
+    * distinct exploded rows), so no post-join dedup is needed.
+    *
+    * All boundary comparisons run on `unix_micros` longs — the events
+    * feed is microsecond-precision in both engines (core.Tables keeps
+    * micros; DuckDB's epoch_us is exact), so the gate hash-matches on
+    * raw counts and integer cents with no invariant row. */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"),
+        unix_micros(col("ts")).as("ws"))
+      .withColumn("we", col("ws") + Q29WinUs)
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"ws div $Q29WinUs"), expr(s"(we - 1) div $Q29WinUs")))))
+    val points = ev.select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"us div $Q29WinUs"))
+    windows.join(points,
+        windows("bucket") === points("bucket") &&
+          col("us") >= col("ws") && col("us") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_in_window"), sum(col("cents")).as("cents"))
+      .orderBy(col("window_id"))
+  }
+
+  /** q30: pivot — per order priority, order counts and exact revenue
+    * cents pivoted across the three order statuses. Spark's
+    * `RelationalGroupedDataset.pivot` with an EXPLICIT value list keeps
+    * the plan a single two-phase hash aggregate (5 × 3 cells); omitting
+    * the list would add a driver-side distinct-values job, which is the
+    * pivot anti-pattern at scale. Missing cells are coalesced to 0 so
+    * the output schema is dense and deterministic. */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val pivoted = t(spark, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val renamed = col("o_orderpriority") +: statuses.flatMap(s => Seq(
+      coalesce(col(s"${s}_n"), lit(0L)).as(s"${s.toLowerCase}_n"),
+      coalesce(col(s"${s}_cents"), lit(0L)).as(s"${s.toLowerCase}_cents")))
+    pivoted.select(renamed: _*).orderBy(col("o_orderpriority"))
+  }
+
   /** q24: window-function spread — lag/lead/ntile over each customer's
     * order history (one shuffle on the partition key, single sort). */
   def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -488,6 +556,24 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q29_range_join" ->
+      // the oracle states the range join DIRECTLY as a non-equi join —
+      // the bucketed rewrite must be semantically invisible
+      ("WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS ws, " +
+        "epoch_us(ts) + 600000000 AS we FROM events WHERE event_type = 'error') " +
+        "SELECT w.window_id, count(*) AS n_in_window, " +
+        "CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM w JOIN events e ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we " +
+        "GROUP BY w.window_id ORDER BY w.window_id"),
+    "q30_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n, " +
+        "CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n, " +
+        "CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n, " +
+        "CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_cents " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q23_approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_3sigma FROM events GROUP BY event_type ORDER BY event_type"),

@@ -229,6 +229,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 bucketed range join equals the direct non-equi join") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q29(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ground truth: the unbucketed quadratic join, tolerable at sf0.001
+    val ev = graft.core.Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+    val truth = ev.filter(_.getString(1) == "error").map { w =>
+      val ws = w.getLong(2); val inWin = ev.filter(e => e.getLong(2) >= ws && e.getLong(2) < ws + 600000000L)
+      w.getLong(0) -> ((inWin.length.toLong, inWin.map(_.getLong(3)).sum))
+    }.toMap
+    assert(got == truth, "bucketing rewrite must be semantically invisible")
+    // every window contains at least its own defining event
+    assert(got.values.forall(_._1 >= 1L))
+  }
+
+  test("q30 pivot cells are dense and sum back to the row counts") {
+    val rows = Relational.q30(spark, sf).collect()
+    assert(rows.length == 5, "one row per order priority")
+    val total = rows.map(r => r.getLong(1) + r.getLong(3) + r.getLong(5)).sum
+    assert(total == graft.core.Tables(spark, sf, "orders").count(),
+      "status counts partition the order count")
+    // dense schema: no null cells even if a (priority, status) combo is empty
+    assert(rows.forall(r => !(1 to 6).exists(r.isNullAt)))
+  }
+
   test("d11 cell count: corpus-relative, clamped, non-vacuous at the 10x gate") {
     // per-cell population bounded near D11CellTarget (1024)
     assert(Similarity.d11CellCount(0) == 16)

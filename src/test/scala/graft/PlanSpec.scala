@@ -159,6 +159,35 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("l_orderkey"), s"scan should prune to 3 columns:\n$p")
   }
 
+  test("q29 range join: equi join on the bucket key, never a nested loop") {
+    val p = plan(Relational.q29(spark, sf))
+    // the whole point of the bucketing rewrite — a naive non-equi join
+    // plans as BroadcastNestedLoopJoin and dies at scale
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join must not fall back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"bucket equality must be the join key:\n$p")
+    // range predicate survives as the join residual
+    assert(p.contains(">= ws") && p.contains("< we"),
+      s"range bounds must be the join residual:\n$p")
+    // window side prunes to the error events at the scan
+    assert(p.contains("EqualTo(event_type,error)"),
+      s"window-side filter should reach the scan:\n$p")
+  }
+
+  test("q30 pivot: stacked map-side-combining aggregates, statuses inlined") {
+    val p = plan(Relational.q30(spark, sf))
+    // Spark plans pivot as (priority,status) agg → pivotfirst agg; both
+    // levels must combine map-side, and the explicit value list shows up
+    // inlined in pivotfirst (no separate distinct-values job ran)
+    assert(p.contains("partial_count") && p.contains("partial_pivotfirst"),
+      s"both aggregate levels must have partial phases:\n$p")
+    assert(p.contains("pivotfirst(o_orderstatus") && p.contains("F, O, P"),
+      s"explicit status list should be inlined in the aggregate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"exactly the two aggregate exchanges:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must
