@@ -110,5 +110,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litNum(exprs(2), "cosine_band_keys").toInt,
             litNum(exprs(3), "cosine_band_keys").toInt)
         }))
+    // Runtime-filter primitives: Spark's engine-internal bloom pair
+    // (used by its own InjectRuntimeFilter rewrite) surfaced as SQL
+    // functions, so a query can state the semi-join reduction
+    // declaratively — build the filter in a scalar subquery, probe with
+    // might_contain BEFORE the shuffle (Sinks.p07 is the worked form).
+    // bloom_agg sizes from the session's runtime-bloom confs.
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "bloom_agg"),
+        one("bloom_agg",
+          (e: Expression) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(e)) _))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "might_contain"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "might_contain expects (bloom, value)")
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+        }))
   }
 }

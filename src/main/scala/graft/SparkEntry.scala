@@ -79,6 +79,9 @@ object SparkEntry {
     // t11 PII census/redaction — gated face carries a deterministic
     // canary (the corpus itself has no PII; d10-canary pattern)
     "t11_pii_census" -> (TextOps.t11PiiCensusGated _),
+    // t12 duplicated-span coverage — per-doc exact-substring dup signal
+    // (the census face of the d03/d08 inverted index)
+    "t12_dup_spans" -> (TextOps.t12DupSpans _),
     // Deduplication (north-star; documents + embeddings)
     "d01_exact_dedup" -> (Dedup.d01Exact _),
     "d02_norm_dedup" -> (Dedup.d02Normalized _),
@@ -139,6 +142,9 @@ object SparkEntry {
     "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
     // p06 target-size binning — scalable two-phase prefix sum
     "p06_size_bins" -> (Sinks.p06SizeBins _),
+    // p07 runtime bloom-filter semi-join reduction — probe rows pruned
+    // before the shuffle with the engine's own bloom primitives
+    "p07_bloom_semijoin" -> (Sinks.p07BloomSemiJoin _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // st02 runs the STREAMING runtime to completion inside the query

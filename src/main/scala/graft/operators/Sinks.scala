@@ -203,7 +203,53 @@ object Sinks {
       .orderBy(col("bin_id"))
   }
 
+  /** p07: runtime bloom-filter semi-join reduction — the regime where
+    * the build side is too big to broadcast (so the join must shuffle)
+    * but its KEY SET fits a bloom filter. This is exactly what Spark's
+    * own `InjectRuntimeFilter` rewrite does when its size thresholds
+    * fire; here the same shape is stated declaratively with the
+    * engine's own primitives (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, surfaced as SQL functions by
+    * [[graft.GraftExtensions]]) so it does not depend on
+    * threshold tuning: the filter build is a scalar subquery over the
+    * ~20%-selective build side, and `might_contain` prunes probe rows
+    * BEFORE the probe-side shuffle. At 100 TB that is the difference
+    * between shuffling the whole fact table and shuffling ~the matching
+    * fifth of it — for the price of one 1 MB bloom broadcast.
+    *
+    * Correctness does not depend on the bloom: it has no false
+    * negatives, and the semi join afterwards removes the false
+    * positives, so the result is byte-identical to the plain semi join
+    * (the oracle states it with a plain IN-subquery; OperatorSpec pins
+    * equality against the unfiltered form). The join is hinted
+    * shuffle_hash to pin the non-broadcast regime the operator exists
+    * for; both sides hash the key with the same xxhash64. */
+  def p07BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    build.createOrReplaceTempView("graft_p07_build")
+    Tables(spark, dir, "lineitem")
+      .filter(expr("might_contain((SELECT bloom_agg(xxhash64(o_orderkey)) " +
+        "FROM graft_p07_build), xxhash64(l_orderkey))"))
+      .join(build.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("ship_month"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "p07_bloom_semijoin" ->
+      // plain semi join — the bloom prefilter must be semantically
+      // invisible (no false negatives; join removes false positives)
+      ("SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month, " +
+        "count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM lineitem WHERE l_orderkey IN (" +
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY 1 ORDER BY ship_month"),
     "p06_size_bins" ->
       // single-window cumsum (DuckDB is the small-scale truth twin; the
       // Spark side carries the scalable two-phase form of the same sum)

@@ -316,6 +316,34 @@ object TextOps {
     piiCensus(base.unionAll(canary))
   }
 
+  // ---- t12: duplicated-span coverage -------------------------------
+
+  /** t12: duplicated-span coverage — per document, how much of its
+    * word-3-gram shingle set also appears in OTHER documents (df > 1
+    * over the corpus-wide inverted index). This is the exact-substring
+    * duplication signal LLM data pipelines threshold on (the per-doc
+    * face of what d03/d08 turn into pairs): a doc with dup_bp near
+    * 10000 is boilerplate or a copy even when no single pair crosses
+    * the Jaccard bar. Shape at scale: one shingle-keyed count
+    * aggregate (partial aggregation absorbs hot shingles — it is a
+    * count, not a pair join, so a stop-shingle costs one combiner
+    * cell, not k² pair events) and one equi join back on the same
+    * key; both stages shuffle on `s`, so AQE coalesces them into one
+    * exchange reuse. Integer basis points (floor ×10000, the t10
+    * idiom) keep the gate float-free. */
+  def t12DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.hint("shuffle_hash").join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        floor(col("n_dup") * 10000 / col("n_shingles")).cast("long").as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
@@ -324,6 +352,17 @@ object TextOps {
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "t12_dup_spans" ->
+      // same tokenization + distinct word-3-gram construction as the
+      // d03 oracle; df over the corpus, floor-bp like t10
+      ("WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), " +
+        "i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+        "dfx AS (SELECT s, count(*) AS df FROM sh GROUP BY s) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST(floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS dup_bp " +
+        "FROM sh JOIN dfx USING (s) GROUP BY doc_id ORDER BY doc_id"),
     "t10_rare_tokens" ->
       ("WITH w AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS t FROM documents), " +
         "cf AS (SELECT t, count(*) AS cf FROM w GROUP BY t), " +

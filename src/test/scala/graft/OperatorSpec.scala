@@ -256,6 +256,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => !(1 to 6).exists(r.isNullAt)))
   }
 
+  test("p07 bloom prefilter is semantically invisible vs the plain semi join") {
+    import org.apache.spark.sql.functions._
+    val got = Sinks.p07BloomSemiJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // plain semi join, no bloom anywhere — the truth the bloom form
+    // must match exactly (no false negatives; join removes the FPs)
+    val build = graft.core.Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val truth = graft.core.Tables(spark, sf, "lineitem")
+      .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"), sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .orderBy(col("m")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(got.nonEmpty && got.sameElements(truth))
+  }
+
+  test("t12 dup-span coverage matches a brute-force shingle df census") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.t12DupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force over the same native shingle arrays
+    val sh = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.nonEmpty)
+    val dfc = sh.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.length }
+    val truth = sh.map { case (id, ss) =>
+      val dup = ss.count(s => dfc(s) > 1)
+      (id, ss.length.toLong, dup.toLong, dup.toLong * 10000 / ss.length)
+    }.sortBy(_._1)
+    assert(rows.sameElements(truth))
+    assert(rows.exists(_._3 > 0), "corpus must carry at least one shared span")
+  }
+
   test("d11 cell count: corpus-relative, clamped, non-vacuous at the 10x gate") {
     // per-cell population bounded near D11CellTarget (1024)
     assert(Similarity.d11CellCount(0) == 16)

@@ -188,6 +188,34 @@ class PlanSpec extends AnyFunSuite {
       s"exactly the two aggregate exchanges:\n$p")
   }
 
+  test("p07: bloom prefilter sits on the probe side; the semi join shuffles") {
+    val p = plan(Sinks.p07BloomSemiJoin(spark, sf))
+    // the bloom probe must survive into the physical plan as a filter
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    // pinned non-broadcast regime: this operator exists for the build
+    // side too big to broadcast, so the join itself must be shuffled
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      s"semi join must be shuffled, not broadcast:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"no broadcast join expected:\n$p")
+    // the filter is BELOW the probe-side exchange: in the tree the
+    // might_contain Filter must appear after (deeper than) the last
+    // Exchange feeding the join — cheap structural proxy: the filter
+    // line is attached directly to the lineitem scan stage
+    val filterIdx = p.indexOf("might_contain")
+    val scanIdx = p.indexOf("Scan parquet", filterIdx)
+    assert(scanIdx > 0 && scanIdx - filterIdx < 2000,
+      s"bloom filter should sit on the scan side of the exchange:\n$p")
+  }
+
+  test("t12: shingle df census joins shuffled-hash, no pair blowup shape") {
+    val p = plan(graft.operators.TextOps.t12DupSpans(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"df join should hash-join on s:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"census must stay an equi join:\n$p")
+    // both aggregates combine map-side
+    assert(p.contains("partial_count"), s"df count must have a partial phase:\n$p")
+  }
+
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
     val p = plan(TextOps.t01Tokens(spark, sf))
     // orderBy adds an exchange for the final sort; before it there must

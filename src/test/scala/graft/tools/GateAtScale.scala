@@ -101,6 +101,7 @@ object GateAtScale {
     args.headOption.foreach(a => Copies = a.toInt)
     println(s"SF1GATE copies=$Copies")
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
