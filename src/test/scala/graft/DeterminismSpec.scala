@@ -40,7 +40,11 @@ class DeterminismSpec extends AnyFunSuite {
     // not depend on partitioning), the PII regex census, and SemDeDup
     // (float-mean training + within-cell census must not show
     // partition boundaries)
-    "d10_decontamination", "t11_pii_census", "d11_semantic_dedup")
+    "d10_decontamination", "t11_pii_census", "d11_semantic_dedup",
+    // round-9 additions: the bucketed range join (bucket boundaries
+    // must not show), the distributed-built bloom (partial-merge order
+    // must not change the final result), and the shingle df census
+    "q29_range_join", "p07_bloom_semijoin", "t12_dup_spans")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

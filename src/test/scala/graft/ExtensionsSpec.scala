@@ -58,5 +58,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(lsh.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(lsh.getInt(1) == 16) // 32 perms / 2 rows per band
     assert(lsh.getInt(2) == 12)
+
+    // the runtime-filter bloom pair: build in a scalar subquery over a
+    // keyed view, probe with might_contain — present keys always hit
+    // (no false negatives), and a disjoint probe set mostly misses
+    ext.range(0, 1000).createOrReplaceTempView("graft_ext_bloom")
+    val bloom = ext.sql(
+      """SELECT
+        |  sum(CASE WHEN might_contain(
+        |    (SELECT bloom_agg(xxhash64(id)) FROM graft_ext_bloom), xxhash64(id))
+        |    THEN 1 ELSE 0 END) AS hits_present,
+        |  sum(CASE WHEN might_contain(
+        |    (SELECT bloom_agg(xxhash64(id)) FROM graft_ext_bloom), xxhash64(id + 1000000))
+        |    THEN 1 ELSE 0 END) AS hits_absent
+        |FROM graft_ext_bloom""".stripMargin).collect().head
+    assert(bloom.getLong(0) == 1000L, s"bloom must have no false negatives: $bloom")
+    assert(bloom.getLong(1) < 100L, s"disjoint keys should mostly miss: $bloom")
   }
 }
