@@ -335,7 +335,10 @@ object TextOps {
     val sh = docs(spark, dir)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.hint("shuffle_hash").join(df, "s")
+    // hint sits on the AGGREGATED side: it is the smaller of the two
+    // (distinct shingles ≤ doc×shingle pairs), so it is the hash-table
+    // build side; hinting sh instead would build the exploded side
+    sh.join(df.hint("shuffle_hash"), "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup"))
