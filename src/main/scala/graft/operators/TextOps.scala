@@ -248,8 +248,11 @@ object TextOps {
     val joined =
       if (nVocab <= maxVocab) tok.join(broadcast(cf), "t")
       // high-NDV token keys with bounded per-key build rows: hash
-      // beats sort-merge (the d03 rationale); AQE handles skew
-      else tok.hint("shuffle_hash").join(cf, "t")
+      // beats sort-merge (the d03 rationale); AQE handles skew. The
+      // hint sits on cf so the hash table is built from the DISTINCT
+      // token counts (vocabulary-bounded), not the doc-token pairs
+      // (corpus-bounded) — the t12 build-side lesson
+      else tok.join(cf.hint("shuffle_hash"), "t")
     joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

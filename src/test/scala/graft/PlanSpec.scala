@@ -214,6 +214,9 @@ class PlanSpec extends AnyFunSuite {
       s"census must stay an equi join:\n$p")
     // both aggregates combine map-side
     assert(p.contains("partial_count"), s"df count must have a partial phase:\n$p")
+    // hash table built from the distinct-shingle counts (vocabulary-
+    // bounded), not the exploded doc-shingle pairs (corpus-bounded)
+    assert(p.contains("BuildRight"), s"build side must be the df aggregate:\n$p")
   }
 
   test("t01 text pipeline is a single codegen'd map stage — no shuffle") {
@@ -272,6 +275,9 @@ class PlanSpec extends AnyFunSuite {
     val pf = plan(TextOps.t10WithVocabMax(spark, sf, 1L))
     assert(pf.contains("ShuffledHashJoin"), s"fallback must hash-shuffle:\n$pf")
     assert(!pf.contains("SortMergeJoin"), s"fallback degraded to sort-merge:\n$pf")
+    // hash table built from the vocabulary-bounded count side, never
+    // the corpus-bounded doc-token side
+    assert(pf.contains("BuildRight"), s"build side must be the cf aggregate:\n$pf")
   }
 
   test("d11 SemDeDup: within-cell pairs hash-join on the cell id, never cartesian") {
