@@ -475,8 +475,13 @@ object Relational {
     * feed is microsecond-precision in both engines (core.Tables keeps
     * micros; DuckDB's epoch_us is exact), so the gate hash-matches on
     * raw counts and integer cents with no invariant row. */
-  def q29(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    q29Over(t(spark, dir, "events"))
+
+  /** The q29 join over any (event_id, event_type, ts, value) frame —
+    * split out so the boundary property test can plant timestamps
+    * exactly at ws, we-1µs and we (OperatorSpec). */
+  private[graft] def q29Over(ev: DataFrame): DataFrame = {
     val windows = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("window_id"),
         unix_micros(col("ts")).as("ws"))

@@ -273,6 +273,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(truth))
   }
 
+  test("q29 bucket rewrite: seeded boundary property — edges land exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = 600000000L
+    // seeded corpus biased to the exact boundaries where an off-by-one
+    // in the bucket math would hide: points at ws, ws±1µs, we-1µs, we,
+    // we±1µs for every window, plus uniform noise — including windows
+    // that straddle a bucket edge (ws just under a multiple of W)
+    val rnd = new scala.util.Random(4242)
+    val base = 1700000000000000L
+    val errTs = Seq.tabulate(40) { i =>
+      // half the windows start within 2µs of a bucket boundary
+      if (i % 2 == 0) (base / W + i) * W - 1 + rnd.nextInt(3)
+      else base + rnd.nextLong(100L * W)
+    }
+    val edges = errTs.flatMap(ws => Seq(ws - 1, ws, ws + 1, ws + W - 1, ws + W, ws + W + 1))
+    val noise = Seq.fill(500)(base + rnd.nextLong(100L * W))
+    val rows =
+      errTs.zipWithIndex.map { case (ts, i) => (i.toLong, "error", ts, 1.0) } ++
+        (edges ++ noise).zipWithIndex.map { case (ts, i) => (10000L + i, "view", ts, 1.0) }
+    val ev = rows.toDF("event_id", "event_type", "us", "value")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Relational.q29Over(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = rows.filter(_._2 == "error").map { case (id, _, ws, _) =>
+      id -> rows.count { case (_, _, us, _) => us >= ws && us < ws + W }.toLong
+    }.toMap
+    assert(got == truth, "boundary timestamps must land in exactly the right windows")
+    // the planted edges guarantee both inclusive-start and
+    // exclusive-end are actually exercised
+    assert(truth.values.sum > truth.size, "edge points must hit some windows")
+  }
+
   test("t12 dup-span coverage matches a brute-force shingle df census") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.t12DupSpans(spark, sf).collect()
