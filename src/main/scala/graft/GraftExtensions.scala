@@ -115,14 +115,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // functions, so a query can state the semi-join reduction
     // declaratively — build the filter in a scalar subquery, probe with
     // might_contain BEFORE the shuffle (Sinks.p07 is the worked form).
-    // bloom_agg sizes from the session's runtime-bloom confs.
+    // bloom_agg(v) sizes from the session's runtime-bloom confs (~1M
+    // items / 8M bits) — fine for tests, but a 100 TB build side
+    // saturates it and might_contain stops pruning (correctness holds,
+    // the semi join removes false positives; the WIN is lost). For the
+    // at-scale regime pass the sizing explicitly:
+    // bloom_agg(v, estimatedNumItems[, numBits]).
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
           "bloom_agg"),
-        one("bloom_agg",
-          (e: Expression) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(e)) _))
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(v) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(v)
+          case Seq(v, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(v, n)
+          case Seq(v, n, b) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(v, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_agg expects (value[, estimatedNumItems[, numBits]])")
+        }))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -223,21 +223,39 @@ object Sinks {
     * (the oracle states it with a plain IN-subquery; OperatorSpec pins
     * equality against the unfiltered form). The join is hinted
     * shuffle_hash to pin the non-broadcast regime the operator exists
-    * for; both sides hash the key with the same xxhash64. */
+    * for; both sides hash the key with the same xxhash64.
+    *
+    * Bloom sizing is EXPLICIT (4M items / 32M bits ≈ 4 MiB, ~2% fpp at
+    * capacity) rather than the session default (~1M items): an
+    * undersized bloom saturates on a large build side and
+    * `might_contain` passes nearly every probe row — correct but
+    * useless. Both values sit inside Spark's default runtime-bloom
+    * ceilings (maxNumItems 4M, maxNumBits 64M); a deployment whose
+    * urgent-key set exceeds ~4M keys must raise
+    * `spark.sql.optimizer.runtime.bloomFilter.max{NumItems,NumBits}`
+    * and these two literals together, or the pruning degrades to a
+    * no-op (never to a wrong answer). */
   def p07BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val build = Tables(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    build.createOrReplaceTempView("graft_p07_build")
-    Tables(spark, dir, "lineitem")
-      .filter(expr("might_contain((SELECT bloom_agg(xxhash64(o_orderkey)) " +
-        "FROM graft_p07_build), xxhash64(l_orderkey))"))
-      .join(build.hint("shuffle_hash"),
-        col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("ship_month"))
-      .agg(count(lit(1)).as("n_items"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-      .orderBy(col("ship_month"))
+    // per-invocation view name: building the filter via a named scalar
+    // subquery mutates the session catalog, so a shared name would race
+    // under concurrent invocations; the view is dropped right after the
+    // (eagerly analyzed) plan has resolved it
+    val viewName = s"graft_p07_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    build.createOrReplaceTempView(viewName)
+    try {
+      Tables(spark, dir, "lineitem")
+        .filter(expr("might_contain((SELECT bloom_agg(xxhash64(o_orderkey), " +
+          s"4000000L, 33554432L) FROM $viewName), xxhash64(l_orderkey))"))
+        .join(build.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("ship_month"))
+    } finally spark.catalog.dropTempView(viewName)
   }
 
   val oracles: Map[String, String] = Map(

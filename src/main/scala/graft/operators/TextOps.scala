@@ -332,8 +332,9 @@ object TextOps {
     * count, not a pair join, so a stop-shingle costs one combiner
     * cell, not k² pair events) and one equi join back on the same
     * key; both stages shuffle on `s`, so AQE coalesces them into one
-    * exchange reuse. Integer basis points (floor ×10000, the t10
-    * idiom) keep the gate float-free. */
+    * exchange reuse. Basis points via TRUE integer division (`div`
+    * here, `//` in the oracle — not floor of an IEEE quotient), so the
+    * gate column is exact integer arithmetic in both engines. */
   def t12DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
@@ -346,7 +347,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
-        floor(col("n_dup") * 10000 / col("n_shingles")).cast("long").as("dup_bp"))
+        expr("n_dup * 10000 div n_shingles").as("dup_bp"))
       .orderBy("doc_id")
   }
 
@@ -367,7 +368,7 @@ object TextOps {
         "dfx AS (SELECT s, count(*) AS df FROM sh GROUP BY s) " +
         "SELECT doc_id, count(*) AS n_shingles, " +
         "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
-        "CAST(floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS dup_bp " +
+        "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_bp " +
         "FROM sh JOIN dfx USING (s) GROUP BY doc_id ORDER BY doc_id"),
     "t10_rare_tokens" ->
       ("WITH w AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS t FROM documents), " +

@@ -197,14 +197,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
       s"semi join must be shuffled, not broadcast:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"no broadcast join expected:\n$p")
-    // the filter is BELOW the probe-side exchange: in the tree the
-    // might_contain Filter must appear after (deeper than) the last
-    // Exchange feeding the join — cheap structural proxy: the filter
-    // line is attached directly to the lineitem scan stage
-    val filterIdx = p.indexOf("might_contain")
-    val scanIdx = p.indexOf("Scan parquet", filterIdx)
-    assert(scanIdx > 0 && scanIdx - filterIdx < 2000,
-      s"bloom filter should sit on the scan side of the exchange:\n$p")
+    // the filter is BELOW the probe-side exchange — walked structurally,
+    // not via string distance: find the Filter node carrying
+    // BloomFilterMightContain and assert its subtree reaches the
+    // lineitem scan with NO shuffle exchange in between (i.e. probe
+    // rows are pruned before they are ever shuffled)
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val root = Sinks.p07BloomSemiJoin(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val bloomFilters = root.collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, s"no Filter node carries might_contain:\n$root")
+    val sub = bloomFilters.head
+    assert(sub.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"a shuffle exchange sits below the bloom filter — pruning happens too late:\n$sub")
+    assert(sub.collectLeaves().exists(_.toString.contains("lineitem")),
+      s"bloom filter's subtree should bottom out at the lineitem scan:\n$sub")
   }
 
   test("t12: shingle df census joins shuffled-hash, no pair blowup shape") {
