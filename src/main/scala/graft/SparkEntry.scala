@@ -160,6 +160,10 @@ object SparkEntry {
     // st05: the foreachBatch partitioned sink — streamed files must
     // census identically to the batch sink (p01's oracle, verbatim)
     "st05_streaming_sink" -> (graft.streaming.StreamingOps.st05StreamingSink _),
+    // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
+    // machine) run as a real streaming query and oracled against the
+    // lag-based SQL sessionization — the stateful face of st01
+    "st06_streaming_sessionize" -> (graft.streaming.StreamingOps.st06StreamingSessionize _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

@@ -339,7 +339,75 @@ object StreamingOps {
       .orderBy("hour")
   }
 
+  /** st06: the UNBOUNDED-FEED sessionizer under the driver gate —
+    * [[sessionizeStreaming]] (EventTimeTimeout state machine: timeout
+    * eviction, late-event bound-widening) run as an actual streaming
+    * query over the events feed, landed through [[runToFiles]], and
+    * oracled against the same lag-based SQL sessionization as st01.
+    * st01 gates the declarative face (session_window); this gates the
+    * production state machine itself — previously the only streaming
+    * op with ScalaTest-only coverage.
+    *
+    * Two gate-shaped choices:
+    *  - Sessions close by TIMEOUT, so a bounded run would hold the tail
+    *    sessions (end + gap inside the final watermark horizon) in
+    *    state forever. One far-future sentinel event (user_id -1, a key
+    *    that cannot occur in the data) is unioned in from a scratch
+    *    file source: it pushes the final watermark past every real
+    *    session's end + gap, every real session times out and emits,
+    *    and only the sentinel's own session stays open (filtered out).
+    *    This is the bounded-gate equivalent of the feed going quiet.
+    *  - Event values are scaled to integer CENTS before the stateful
+    *    fold: the state total then only ever adds integer-valued
+    *    doubles (exact in IEEE up to 2^53), so the session total is
+    *    independent of fold order and the gate compares exact integers
+    *    — the q20/st02 double-summation-order lesson applied to
+    *    arbitrary stateful aggregation.
+    *
+    * All files (events + sentinel) arrive in the first micro-batch, so
+    * nothing is watermark-dropped (the watermark only advances AFTER
+    * that batch); the timeout-firing no-data batch runs before
+    * processAllAvailable returns. */
+  def st06StreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxTs = graft.core.Tables.events(spark, dir)
+      .agg(max(col("ts"))).head().getTimestamp(0) // scalar routing read
+    val tailRoot = graft.core.IO.scratchDir("graft-st06-tail")
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(tailRoot)
+    val real = readEvents(spark, dir)
+      .select(col("user_id"), col("ts"), round(col("value") * 100).as("value"))
+    val sentinel = spark.readStream
+      .schema(StructType.fromDDL("user_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .parquet(tailRoot)
+    val sessions = sessionizeStreaming(real.unionAll(sentinel).as[Ev])
+    runToFiles(spark, sessions.toDF(), "graft-st06")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events").cast("long").as("n_events"),
+        col("total_value").cast("long").as("value_cents"))
+      .orderBy("user_id", "session_start")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st06_streaming_sessionize" ->
+      // st01's lag-based SQL sessionization, totals in exact cents —
+      // the streaming state machine must reproduce the batch
+      // sessionization of the same feed row-for-row
+      ("WITH m AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "st05_streaming_sink" ->
       // identical to p01's oracle: the streamed partitioned table must
       // census exactly like the batch-written one

@@ -187,6 +187,21 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-cleared sessions missing: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("st06 gate: timeout sessionizer reproduces st01's sessions on the real feed") {
+    // the gate form (sentinel-closed EventTimeTimeout run over the
+    // events file) must agree with the declarative session_window
+    // surface on (user, bounds, count); totals are gated in exact cents
+    // by the DuckDB oracle, not compared against st01's rounded dollars
+    val st06 = StreamingOps.st06StreamingSessionize(spark, sf).collect()
+    assert(st06.nonEmpty && !st06.exists(_.getLong(0) < 0),
+      "sentinel user must never reach the gate output")
+    val k06 = st06.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val k01 = StreamingOps.st01SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(k06 == k01,
+      s"st06 vs st01 session sets differ: ${(k06 diff k01).take(3)} / ${(k01 diff k06).take(3)}")
+  }
+
   test("session_window SQL surface agrees with the stateful sessionizer") {
     import spark.implicits._
     val sql = StreamingOps.st01SessionWindow(spark, sf)
