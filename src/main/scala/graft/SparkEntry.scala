@@ -17,6 +17,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03(spark, "/root/testdata/sf0.001")
 
+  /** Exact "truth twin" → scale-path deploy form(s). These three gate
+    * queries exist as oracle-exact twins of approximate/capped
+    * production operators and are documented `weak` at 100× BY DESIGN:
+    * q18's exact percentile buffers O(n/group) per reducer (deploy path:
+    * q26 GK sketches / q28 mergeable histogram union), d03's uncapped
+    * n-gram Jaccard is the truth side of the df-capped d08, and d06's
+    * exact quadratic cosine tier is the truth side of d09 (LSH+verify)
+    * and d11 (SemDeDup cells). Published machine-readably by Verify and
+    * Bench so an artifact consumer can never mistake a truth twin for
+    * the deploy path (round-9 verdict item 7). */
+  val exactTwins: Map[String, Seq[String]] = Map(
+    "q18_percentiles" -> Seq("q26_approx_percentile", "q28_quantile_union"),
+    "d03_ngram_jaccard" -> Seq("d08_ngram_jaccard_capped"),
+    "d06_embedding_neardup" -> Seq("d09_lsh_cosine_neardup", "d11_semantic_dedup"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Relational surface (north-star extensions; SURVEY §2.2)
@@ -98,6 +113,9 @@ object SparkEntry {
     // d11 SemDeDup — k-means cells + within-cell cosine census (the
     // n²/K scale answer to d06's exact quadratic tier)
     "d11_semantic_dedup" -> (Similarity.d11SemanticDedup _),
+    // d12: SemDeDup over the two-level (coarse×fine) quantizer — the
+    // production form past d11's flat K=4096 ceiling
+    "d12_semdedup_2level" -> (Similarity.d12SemanticDedup2Level _),
     // d10 decontamination — train×holdout long-n-gram overlap; the
     // gated face injects a deterministic canary pair so the gate is
     // non-vacuous at every SF (r7 verdict item 3)

@@ -38,6 +38,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable truth-twin manifest (SparkEntry.exactTwins): maps
+    // each oracle-exact `weak`-at-scale query to its deploy-path twins
+    // so artifact consumers can't mistake a truth twin for the scale form
+    val twins = SparkEntry.exactTwins.toSeq.sortBy(_._1)
+      .map { case (k, vs) => s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/exact_twins.json"), twins)
     spark.stop()
   }
 }

@@ -400,11 +400,93 @@ object Similarity {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val k = d11CellCount(Tables(spark, dir, "embeddings").count())
-    val assigned = assignCells(all, trainedCentroids(spark, dir, LloydRounds, k))
-    val a = assigned.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
-    val b = assigned.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
     // within-cell pairs only: the equi-join on cid IS the blocking;
     // shuffle_hash because K cells ⇒ K hot build sides, never a sort
+    // (see semdedupCensus)
+    semdedupCensus(assignCells(all, trainedCentroids(spark, dir, LloydRounds, k)))
+  }
+
+  /** d12 cell policy — the TWO-LEVEL quantizer's answer to
+    * [[D11MaxCells]]: K = max(16, n / [[D11CellTarget]]) with NO upper
+    * cap, factored K ≈ k1 · k2 with k1 = ⌈√K⌉ coarse cells and
+    * k2 = ⌈K / k1⌉ fine cells per coarse cell. Assignment cost is
+    * n·(k1+k2) ≈ 2n√K instead of the flat quantizer's n·K — at the
+    * 100 TB regime (n ≈ 10⁹, K ≈ 10⁶) that is ~2000 dot products per
+    * vector instead of 10⁶, which is exactly why IVF indexes at that
+    * scale are hierarchical. Both factors are re-derived by the oracle
+    * from its own scan (IEEE sqrt is correctly rounded in both engines,
+    * so ⌈√K⌉ cannot desynchronize; the k2 ceiling uses the integer
+    * (K + k1 - 1) div k1 form in both). */
+  private[graft] def d12Factors(n: Long): (Int, Int) = {
+    val k = math.max(16L, n / D11CellTarget)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = ((k + k1 - 1) / k1).toInt
+    (k1, k2)
+  }
+
+  /** Fine-level argmax-cosine assignment: each vector meets ONLY its own
+    * coarse cell's ≤ k2 fine centroids via the equi-join on ccid — the
+    * n·k2 half of the two-level assignment cost. The centroid table
+    * (k1·k2 rows total) broadcasts: even at K = 10⁶ it is ~0.5 GB of
+    * doubles, the standard "centroids fit in RAM" IVF assumption; the
+    * max_by partial-aggregates so the shuffle carries n rows, not n·k2
+    * (same rationale as [[assignCells]]). */
+  private def assignFine(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    vecs.join(broadcast(cents), Seq("ccid"))
+      .withColumn("cos_c", array_dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("fcid"), struct(round(col("cos_c"), 6).as("c"), (-col("fcid")).as("nc"))).as("fcid"),
+        first(col("ccid")).as("ccid"), first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+  }
+
+  /** Two-level (coarse-then-fine) trained quantizer: k1 coarse cells
+    * from [[trainedCentroids]], then an independent k2-means WITHIN each
+    * coarse cell — fine seeds are the cell's members at deterministic
+    * rank strides (rank by vec_id within cell, every ⌊m/k2⌋-th member,
+    * the [[trainedCentroids]] stride-seed rule applied per cell), Lloyd
+    * refinement is the same posexplode/mean/reassemble aggregation
+    * grouped by (ccid, fcid), and every stage stays declarative so the
+    * DuckDB oracle replays it CTE-for-CTE ([[d12OracleSql]]). Returns
+    * (vec_id, e, nrm, cid) with the composite cid = ccid·k2 + fcid. */
+  private[graft] def twoLevelAssign(spark: SparkSession, dir: String,
+      k1: Int, k2: Int, rounds: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val coarse = assignCells(all, trainedCentroids(spark, dir, rounds, k1))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("ccid"))
+    val wRank = Window.partitionBy(col("ccid")).orderBy(col("vec_id"))
+    val ranked = coarse
+      .withColumn("rk", row_number().over(wRank).cast("long") - 1)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("ccid"))))
+      .withColumn("stride", greatest(lit(1L), expr(s"m div $k2")))
+    val seeds = ranked
+      .filter(col("rk") % col("stride") === 0 && expr("rk div stride") < k2)
+      .select(col("ccid"), expr("rk div stride").cast("int").as("fcid"),
+        col("e").as("ce"), col("nrm").as("cnrm"))
+    var cents = seeds
+    for (_ <- 1 to rounds)
+      cents = assignFine(coarse, cents)
+        .select(col("ccid"), col("fcid"), posexplode(col("e")))
+        .groupBy(col("ccid"), col("fcid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("v"))
+        .groupBy(col("ccid"), col("fcid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x("v")).as("ce"))
+        .withColumn("cnrm", sqrt(array_dot(col("ce"), col("ce"))))
+    assignFine(coarse, cents)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+  }
+
+  /** The SemDeDup within-cell census over an assignment — shared by d11
+    * (flat quantizer) and d12 (two-level): pairs only inside a cell
+    * (the equi-join on cid IS the blocking), drop rule = lower-id
+    * near-neighbor at cos ≥ τ, output the per-cell census. */
+  private def semdedupCensus(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
     val pairs = a.hint("shuffle_hash").join(b, Seq("cid"))
       .filter(col("ida") < col("idb") &&
         Dedup.cosine(col("ea"), col("eb")) >= D11Tau)
@@ -416,6 +498,76 @@ object Similarity {
       .select(col("cid").cast("long").as("cell"), col("n_vecs"),
         col("n_pairs"), col("n_dropped"))
       .orderBy("cell")
+  }
+
+  /** d12: SemDeDup over the TWO-LEVEL quantizer — the production form
+    * past d11's flat-quantizer ceiling (round-9 verdict item 3). Same
+    * census, same τ, same within-cell-only approximation as d11; the
+    * difference is the quantizer: K is corpus-relative and UNCAPPED
+    * ([[d12Factors]]), factored into k1 coarse × k2 fine cells so
+    * assignment costs n·(k1+k2) ≈ 2n√K instead of n·K. At gate corpora
+    * the two policies coincide in total cell count (K < 4096), so d12
+    * certifies the two-level machinery's cross-engine exactness where
+    * the oracle can afford to replay it; the K > 4096 regime — where
+    * only the two-level form is viable — is measured by
+    * graft.tools.TwoLevelSweep (NOTES.md datapoint). */
+  def d12SemanticDedup2Level(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    semdedupCensus(twoLevelAssign(spark, dir, k1, k2, LloydRounds))
+  }
+
+  /** k1 as a DuckDB expression over the oracle's own corpus scan —
+    * the coarse half of [[d12Factors]]. */
+  private val D12K1Sql =
+    s"CAST(ceil(sqrt(greatest((SELECT count(*) FROM e) // $D11CellTarget, 16))) AS BIGINT)"
+
+  /** The d12 pipeline in DuckDB SQL, generated per Lloyd round like
+    * [[s04OracleSql]]: coarse train/assign reuses [[trainCtesSql]] with
+    * k = k1; the fine level adds per-cell rank/stride seeds, `rounds`
+    * fine Lloyd rounds grouped by (ccid, fcid) with assignment joined on
+    * ccid only, and the composite cell id ccid·k2 + fcid; then the same
+    * within-cell pair census as d11. Every constant (k1, k2, stride) is
+    * re-derived from the oracle's own scan so the two engines cannot
+    * desynchronize. */
+  private[graft] def d12OracleSql(rounds: Int): String = {
+    val fine = (1 to rounds).map { r =>
+      s"fa${r - 1} AS (SELECT vec_id, emb, ccid, fcid FROM (" +
+        s"SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
+        "row_number() OVER (PARTITION BY f.vec_id " +
+        s"ORDER BY round(list_cosine_similarity(f.emb, c.ce), 6) DESC, c.fcid) AS rk2 " +
+        s"FROM fr f JOIN fcent${r - 1} c ON f.ccid = c.ccid) WHERE rk2 = 1), " +
+        s"fdims$r AS (SELECT ccid, fcid, i, round(avg(emb[i]), 6) AS v " +
+        s"FROM fa${r - 1} CROSS JOIN range(1, 65) t(i) GROUP BY ccid, fcid, i), " +
+        s"fcent$r AS (SELECT ccid, fcid, list(v ORDER BY i) AS ce FROM fdims$r GROUP BY ccid, fcid), "
+    }.mkString
+    trainCtesSql(rounds, D12K1Sql) +
+      assignCteSql("acoarse", s"cent$rounds", "cc") +
+      // k2 = ceil(K / k1) in the integer (K + k1 - 1) // k1 form
+      s"kf AS (SELECT k1, (kk + k1 - 1) // k1 AS k2 FROM " +
+      s"(SELECT kk, CAST(ceil(sqrt(kk)) AS BIGINT) AS k1 FROM " +
+      s"(SELECT greatest((SELECT count(*) FROM e) // $D11CellTarget, 16) AS kk))), " +
+      // per-coarse-cell member rank + population → deterministic seeds
+      "fr AS (SELECT vec_id, emb, cid AS ccid, " +
+      "row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS rk, " +
+      "count(*) OVER (PARTITION BY cid) AS m FROM acoarse), " +
+      "fs AS (SELECT vec_id, emb, ccid, rk, greatest(1, m // (SELECT k2 FROM kf)) AS stride FROM fr), " +
+      "fcent0 AS (SELECT ccid, CAST(rk // stride AS INT) AS fcid, emb AS ce FROM fs " +
+      "WHERE rk % stride = 0 AND rk // stride < (SELECT k2 FROM kf)), " +
+      fine +
+      "fafin AS (SELECT vec_id, emb, ccid * (SELECT k2 FROM kf) + fcid AS cid FROM (" +
+      "SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
+      "row_number() OVER (PARTITION BY f.vec_id " +
+      s"ORDER BY round(list_cosine_similarity(f.emb, c.ce), 6) DESC, c.fcid) AS rk2 " +
+      s"FROM fr f JOIN fcent$rounds c ON f.ccid = c.ccid) WHERE rk2 = 1), " +
+      "pairs AS (SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb " +
+      "FROM fafin a JOIN fafin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+      s"AND list_cosine_similarity(a.emb, b.emb) >= $D11Tau), " +
+      "census AS (SELECT cid, count(*) AS n_pairs, count(DISTINCT idb) AS n_dropped " +
+      "FROM pairs GROUP BY cid) " +
+      "SELECT CAST(v.cid AS BIGINT) AS cell, v.n_vecs, " +
+      "coalesce(c.n_pairs, 0) AS n_pairs, coalesce(c.n_dropped, 0) AS n_dropped " +
+      "FROM (SELECT cid, count(*) AS n_vecs FROM fafin GROUP BY cid) v " +
+      "LEFT JOIN census c USING (cid) ORDER BY cell"
   }
 
   /** s05: int8 scalar-quantization census — the storage-compression
@@ -483,6 +635,7 @@ object Similarity {
         "FROM (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn FROM sc) " +
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
+    "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the
       // corpus-relative cell count, then within-cell pairs at the
