@@ -632,14 +632,102 @@ object Multimodal {
 
   private val FrameBytes = 16
   private val SampleEvery = 4
+  private val MaxGifFrames = 64
+
+  /** Decode every `step`-th frame of a (possibly animated) GIF via the
+    * JDK's ImageIO GIF reader — the one video-ish container the JDK can
+    * decode multi-frame, making frame sampling PIXEL-REAL for it (mp4
+    * stays byte-fallback: no JDK codec). Returns (frameIndex, image)
+    * pairs; bounded by [[MaxGifFrames]] and the same per-frame
+    * decompression-bomb pixel guard as [[readImageBounded]]. Frames are
+    * decoded standalone (no disposal-method compositing — each frame is
+    * what the reader yields for its index, the public ImageIO
+    * behavior); undecodable or oversized frames are skipped. */
+  private[graft] def gifFrames(bytes: Array[Byte], step: Int = 1,
+      maxFrames: Int = MaxGifFrames): Seq[(Int, java.awt.image.BufferedImage)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = math.min(math.max(r.getNumImages(true), 0), maxFrames)
+          (0 until n by math.max(1, step)).flatMap { i =>
+            try {
+              val (w, h) = (r.getWidth(i).toLong, r.getHeight(i).toLong)
+              if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+              else Some(i -> r.read(i))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** The byte-frame rows of ONE payload, executor-side — the exact
+    * Scala mirror of [[m03FrameSample]]'s columnar formula (same
+    * frame_no stride, offset arithmetic, and 4-byte hex slice incl. the
+    * short tail), used as the in-branch fallback when a GIF-sniffed
+    * payload fails to decode: the row set must be indistinguishable
+    * from the columnar path so a "GIF8"-prefixed non-image can never
+    * desync from the oracle's byte replay. */
+  private def byteFrameRows(id: Long, bytes: Array[Byte]): Seq[(Long, Long, Long, String)] =
+    (0L to math.max(0L, (bytes.length - 1).toLong / FrameBytes) by SampleEvery).map { f =>
+      val off = (f * FrameBytes).toInt
+      val hex = bytes.slice(off, off + 4).map(b => f"${b & 0xff}%02X").mkString
+      (id, f, f * FrameBytes, hex)
+    }
+
+  /** PIXEL-REAL frame rows for GIF payloads through the decode seam:
+    * one row per sampled frame (every [[SampleEvery]]-th index, ≤
+    * [[MaxGifFrames]]), frame_no = the frame INDEX, offset = -1 (frame
+    * byte offsets are sub-stream positions the decoder doesn't expose —
+    * the sentinel keeps the column honest), frame_hex = the frame's
+    * [[dHash64]] as 16 hex chars — the SAME key m05's near-dup tier
+    * bands on, so sampled video frames drop straight into perceptual
+    * dedup. Decode failure (or zero decodable frames) falls back to
+    * [[byteFrameRows]] — never throws, schema invariant. */
+  private[graft] def gifFrameRows(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val frames =
+          try gifFrames(bytes, SampleEvery)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (frames.isEmpty) byteFrameRows(id, bytes)
+        else frames.map { case (i, img) =>
+          (id, i.toLong, -1L, f"${dHash64(img)}%016X")
+        }
+      })
+      .toDF("media_id", "frame_no", "offset", "frame_hex")
+  }
 
   /** m03: frame sampling — every 4th 16-byte "frame" of the payload,
     * with its offset and a hex prefix (the shape a video keyframe
     * sampler produces: one row per sampled frame, partition-parallel).
-    */
-  def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
-    media(spark, dir)
-      .select(col("media_id"), col("payload"),
+    * GIF payloads take the PIXEL-REAL path instead ([[gifFrameRows]]:
+    * decoded frames, dHash fingerprints); the route predicate reads 4
+    * payload bytes (hex of a 1-byte-aligned slice), never the full
+    * payload. The gate corpus carries no GIF payloads (verified: no
+    * 'GIF8' text prefixes at any SF), so the oracle replays the byte
+    * path for every row; the GIF branch is pinned by MultimodalSpec on
+    * a constructed animated GIF. */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    val isGif = hex(substring(col("payload"), 1, 4)) === "47494638"
+    val gifRows = gifFrameRows(spark,
+      m.filter(isGif).select(col("media_id"), col("payload")))
+    byteFrameSample(m.filter(!isGif)).unionByName(gifRows)
+      .orderBy("media_id", "frame_no")
+  }
+
+  /** The columnar byte-frame sampler (all non-GIF payloads). */
+  private def byteFrameSample(m: DataFrame): DataFrame =
+    m.select(col("media_id"), col("payload"),
         // floor() because Column `/` is fractional division in both
         // engines (and DuckDB CAST(double AS BIGINT) ROUNDS, not truncates)
         explode(sequence(lit(0L),
@@ -659,7 +747,6 @@ object Multimodal {
         hex(col("payload").substr(
           (col("frame_no") * FrameBytes + 1).cast("int"), lit(4)))
           .as("frame_hex"))
-      .orderBy("media_id", "frame_no")
 
   /** m04: exact MEDIA dedup census — the multimodal face of d01: blobs
     * are identical iff their content hash is, so the census is one
