@@ -315,12 +315,17 @@ object Multimodal {
       if (!readers.hasNext) null
       else {
         val r = readers.next()
+        // the header probe itself throws on truncated/corrupt streams
+        // (EOF mid-PNG-header — found by the decode-seam fuzz): the
+        // scaladoc's contract is null, not throw, so the probe is
+        // guarded like the size check
         try {
           r.setInput(iis)
           val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
           if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
           else r.read(0)
-        } finally r.dispose()
+        } catch { case scala.util.control.NonFatal(_) => null }
+        finally r.dispose()
       }
     } finally if (iis != null) iis.close()
   }
@@ -654,7 +659,10 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis)
-          val n = math.min(math.max(r.getNumImages(true), 0), maxFrames)
+          // getNumImages walks the stream and throws on truncation
+          // (same fuzz-found class as the readImageBounded header probe)
+          val n = try math.min(math.max(r.getNumImages(true), 0), maxFrames)
+            catch { case scala.util.control.NonFatal(_) => 0 }
           (0 until n by math.max(1, step)).flatMap { i =>
             try {
               val (w, h) = (r.getWidth(i).toLong, r.getHeight(i).toLong)
