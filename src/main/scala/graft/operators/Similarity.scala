@@ -358,9 +358,10 @@ object Similarity {
     * (the d06 block-count pattern applied to the quantizer). The 4096
     * cap marks where the flat quantizer stops being the right shape:
     * past it the n·K assignment cost dominates and a production run
-    * switches to a two-level (coarse-then-fine) quantizer trained on a
-    * sample — documented, not implemented, because the gate corpora
-    * sit far below the cap. */
+    * switches to the two-level (coarse-then-fine) quantizer — d12
+    * ([[d12SemanticDedup2Level]]/[[twoLevelAssign]]), whose K is
+    * corpus-relative and uncapped; the crossover is measured in
+    * NOTES.md (9-11× at K = 4096-16384, graft.tools.TwoLevelSweep). */
   private[graft] val D11CellTarget = 1024L
   private[graft] val D11MaxCells = 4096
   private[graft] def d11CellCount(n: Long): Int =

@@ -304,6 +304,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"within-cell join must hash on cid:\n$p")
   }
 
+  test("d12 two-level SemDeDup: fine assignment broadcasts on ccid, pairs never cartesian") {
+    val p = plan(Similarity.d12SemanticDedup2Level(spark, sf))
+    // coarse centroid attach is the deliberate broadcast nested loop
+    // (assignCells, as in d11); the FINE assignment must be a keyed
+    // BROADCAST join on ccid (each vector meets only its own coarse
+    // cell's k2 centroids — the n·k2 half of the cost claim), and the
+    // within-cell pair join must stay the shuffled hash join on cid
+    assert(!p.contains("CartesianProduct"), s"pair join degraded to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"fine assignment must broadcast on ccid:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"within-cell join must hash on cid:\n$p")
+  }
+
   test("m05 media near-dup: both pair tiers join keyed, never cartesian") {
     val p = plan(operators.Multimodal.m05MediaNeardup(spark, sf))
     // dhash pairs join on (band, bh), content pairs on the full hash —
