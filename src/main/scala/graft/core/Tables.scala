@@ -2,18 +2,31 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central table readers for the driver testdata (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-  * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) — the scan
-  * fails even for queries that prune `ts` away, because schema
-  * conversion covers the whole footer. We read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
-  * timestamp at microsecond precision, which is what Spark computes
-  * with natively. DuckDB keeps full nanos; every oracle-checked output
-  * only ever exposes second-level buckets or formatted strings, so the
-  * sub-microsecond truncation is invisible to the correctness gate.
+  * `events.parquet` has shipped with two `ts` layouts across driver
+  * generations, and readers must accept both:
+  *
+  *  - INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
+  *    outright (PARQUET_TYPE_ILLEGAL) — the scan fails even for queries
+  *    that prune `ts` away, because schema conversion covers the whole
+  *    footer. We read nanos as long
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
+  *    timestamp at microsecond precision. DuckDB keeps full nanos;
+  *    every oracle-checked output only ever exposes second-level
+  *    buckets or formatted strings, so the truncation is invisible to
+  *    the correctness gate.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+  *    TIMESTAMP_NTZ. All graft sessions pin
+  *    `spark.sql.session.timeZone=UTC`, so casting to the instant type
+  *    preserves the wall-clock value DuckDB sees — and keeps every
+  *    downstream operator (watermarks, `window()`, `date_format`) on
+  *    the same TimestampType they were built against.
+  *
+  * Either way the contract out of this reader is the same: `ts` is
+  * TimestampType at microsecond precision.
   */
 object Tables {
 
@@ -23,11 +36,17 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: Spark's `/` is double division and
-    // epoch nanos (~1.7e18) exceed double's 53-bit exact range, so the
-    // truncated quotient can land 1us below floor(ts/1000) — `div` stays
-    // in integer space.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos layout. `ts div 1000`, NOT `ts / 1000`: Spark's `/` is
+        // double division and epoch nanos (~1.7e18) exceed double's
+        // 53-bit exact range, so the truncated quotient can land 1us
+        // below floor(ts/1000) — `div` stays in integer space.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -19,23 +19,34 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingOps {
 
-  /** Events schema as the streaming source sees it (ts read as raw
-    * nanos long — see graft.core.Tables for why). */
-  val eventsSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+  /** Events schema as the streaming source sees it, parameterized on
+    * the on-disk `ts` layout (raw nanos long vs TIMESTAMP_NTZ — see
+    * graft.core.Tables for the two driver generations). */
+  private def eventsSchema(tsDdl: String): StructType = StructType.fromDDL(
+    s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
   /** Streaming source over the events parquet with a proper timestamp.
     * The file-stream source requires a DIRECTORY; the testdata ships one
     * file per table, so glob-filter the sf dir down to events.parquet
-    * (a production events feed would be a directory of files anyway). */
+    * (a production events feed would be a directory of files anyway).
+    * A one-file batch probe picks the on-disk `ts` layout; the contract
+    * out of this reader matches core.Tables.events: TimestampType at
+    * microsecond precision. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    val nanosLayout = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val src = spark.readStream
+      .schema(eventsSchema(if (nanosLayout) "BIGINT" else "TIMESTAMP_NTZ"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    if (nanosLayout)
       // integer `div`, same rationale as core.Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      src.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** 5-minute tumbling window counts per event type with a 10-minute

@@ -50,9 +50,11 @@ object GateAtScale {
     "vec_id" -> Seq("embeddings" -> "vec_id"))
 
   private def buildCorpus(spark: SparkSession, src: String, dst: String): Unit = {
-    // events.parquet carries TIMESTAMP(NANOS): read ts as raw nanos and
-    // write it back as plain BIGINT — core.Tables/StreamingOps handle
-    // both layouts identically (`ts div 1000` on a long)
+    // events.parquet `ts` layout varies by driver generation (raw
+    // TIMESTAMP(NANOS) read as BIGINT under nanosAsLong, or
+    // TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) — the replica inherits
+    // whichever layout the source carries; core.Tables/StreamingOps
+    // probe the column type and handle both.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
