@@ -129,6 +129,10 @@ object SparkEntry {
     "q29_range_join" -> (Relational.q29 _),
     // q30: pivot with an explicit value list (no distinct-values job)
     "q30_pivot" -> (Relational.q30 _),
+    // q31: as-of (temporal) join via the union + ordered-window
+    // rewrite — zero join nodes, one user_id shuffle; oracle is
+    // DuckDB's native ASOF JOIN
+    "q31_asof_join" -> (Relational.q31 _),
     // Similarity search (north-star; embeddings)
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     // s02 gate = recall invariant vs the exact top-k (bucket layout is

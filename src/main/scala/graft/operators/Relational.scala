@@ -560,7 +560,78 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** q31: as-of (temporal) join, Spark-first. For every `purchase`
+    * event, find the MOST RECENT `signup` event of the same user at or
+    * before the purchase time — the canonical point-in-time lookup
+    * (trade-vs-quote, event-vs-dimension-version) that SQL states as a
+    * correlated `max(ts) WHERE ts <= t` per row and DuckDB as a native
+    * `ASOF JOIN`.
+    *
+    * Relationship to [[q12]]: q12 gates the same rewrite against a SQL
+    * restatement of the SAME window formulation — it pins the rewrite
+    * is reproducible, not that it means "as-of". This query's oracle
+    * is DuckDB's native ASOF JOIN operator, an INDEPENDENT statement
+    * of the semantics that would catch a misconception shared by both
+    * sides of q12; it also returns the matched timestamp + lag and
+    * pins deterministic tie handling, which q12's face doesn't cover.
+    *
+    * Spark has no as-of join operator, and the naive formulations are
+    * the two scale traps: an inequality join (planner can only do
+    * broadcast nested-loop, O(n·m) pairs) or a per-row correlated
+    * subquery. The scale path is the union + ordered-window rewrite:
+    * tag both sides, union them into one (user_id, ts)-keyed stream,
+    * and run `last(signup_*, ignoreNulls)` over a window partitioned
+    * by user and ordered by (ts, side) with side=0 sorting signups
+    * before same-instant purchases (making the match inclusive,
+    * `p.ts >= s.ts`). Each purchase row then carries the latest
+    * preceding signup — the running-state form every streaming engine
+    * uses for temporal joins. The plan has ZERO join nodes: one hash
+    * shuffle on user_id + an in-partition sort (PlanSpec pins this),
+    * so it scales exactly like a window aggregate regardless of how
+    * many dimension versions precede each probe.
+    *
+    * The signup side is pre-aggregated to one row per (user_id, ts)
+    * (max event_id wins, matching the oracle's GROUP BY) so the as-of
+    * pick is deterministic under timestamp ties. Comparisons run on
+    * `unix_micros` longs — exact in both engines. Purchases with no
+    * preceding signup are dropped (inner as-of semantics). */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("side", lit(1))
+      .withColumn("sig_id", lit(null).cast("long"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("event_id")).as("sig_id"))
+      .withColumn("side", lit(0))
+      .withColumn("purchase_id", lit(null).cast("long"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("signup_id", last(col("sig_id"), ignoreNulls = true).over(w))
+      .withColumn("s_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("signup_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("us").as("p_us"),
+        col("signup_id"), col("s_us"), (col("us") - col("s_us")).as("lag_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q31_asof_join" ->
+      // the oracle states the as-of join DIRECTLY with DuckDB's native
+      // ASOF JOIN — the window rewrite must be semantically invisible
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "s AS (SELECT user_id, epoch_us(ts) AS s_us, CAST(max(event_id) AS BIGINT) AS signup_id " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)) " +
+        "SELECT p.purchase_id, p.user_id, p.p_us, s.signup_id, s.s_us, " +
+        "p.p_us - s.s_us AS lag_us " +
+        "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.p_us >= s.s_us " +
+        "ORDER BY p.purchase_id"),
     "q29_range_join" ->
       // the oracle states the range join DIRECTLY as a non-equi join —
       // the bucketed rewrite must be semantically invisible

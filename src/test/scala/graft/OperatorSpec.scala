@@ -246,6 +246,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.forall(_._1 >= 1L))
   }
 
+  test("q31 as-of window rewrite equals the direct most-recent-prior lookup") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q31(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // ground truth: per purchase, scan ALL signups of the user and take
+    // the max-ts (max event_id on ties) at or before it — the O(n·m)
+    // form the rewrite exists to avoid, tolerable at sf0.001
+    val ev = graft.core.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val signups = ev.filter(_.getString(2) == "signup")
+      .groupBy(r => (r.getLong(1), r.getLong(3)))
+      .map { case ((u, us), rs) => (u, us, rs.map(_.getLong(0)).max) }.toSeq
+    val truth = ev.filter(_.getString(2) == "purchase").flatMap { p =>
+      val prior = signups.filter(s => s._1 == p.getLong(1) && s._2 <= p.getLong(3))
+      if (prior.isEmpty) None
+      else {
+        val best = prior.maxBy(_._2)
+        Some(p.getLong(0) -> ((best._3, best._2)))
+      }
+    }.toMap
+    assert(got == truth, "window rewrite must be semantically invisible")
+    assert(got.nonEmpty, "sf0.001 must exercise the non-vacuous path")
+  }
+
   test("q30 pivot cells are dense and sum back to the row counts") {
     val rows = Relational.q30(spark, sf).collect()
     assert(rows.length == 5, "one row per order priority")

@@ -175,6 +175,20 @@ class PlanSpec extends AnyFunSuite {
       s"window-side filter should reach the scan:\n$p")
   }
 
+  test("q31 as-of join: zero join nodes — one user_id shuffle + window") {
+    val p = plan(Relational.q31(spark, sf))
+    // the whole point of the union+window rewrite: Spark would plan the
+    // inequality join as BroadcastNestedLoopJoin (O(n·m) at scale)
+    assert(!p.contains("Join") && !p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"as-of must not plan any join node:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must shuffle on the as-of key:\n$p")
+    // both sides prune to their event_type at the scan
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,signup)"),
+      s"side filters should reach the scans:\n$p")
+  }
+
   test("q30 pivot: stacked map-side-combining aggregates, statuses inlined") {
     val p = plan(Relational.q30(spark, sf))
     // Spark plans pivot as (priority,status) agg → pivotfirst agg; both
