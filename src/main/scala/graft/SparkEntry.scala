@@ -182,6 +182,10 @@ object SparkEntry {
     // st05: the foreachBatch partitioned sink — streamed files must
     // census identically to the batch sink (p01's oracle, verbatim)
     "st05_streaming_sink" -> (graft.streaming.StreamingOps.st05StreamingSink _),
+    // t13: Count-Min-sketch heavy hitters — mergeable frequency
+    // sketch (4×1024 cells total); gate = exact top-k + CMS
+    // guarantee invariants (q23 pattern)
+    "t13_cms_heavy_hitters" -> (TextOps.t13CmsHeavyHitters _),
     // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01

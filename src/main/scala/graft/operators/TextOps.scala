@@ -358,7 +358,74 @@ object TextOps {
   private def hitsSql(vocab: String) =
     s"CAST(len(list_filter(string_split_regex(rtrim(text), '\\s+'), w -> w IN ($vocab))) AS BIGINT)"
 
+  /** t13 Count-Min sketch shape: depth 4 hash rows × width 1024
+    * buckets = 4096 mergeable counter cells TOTAL, regardless of
+    * corpus size — the property that makes CMS the frequency sketch
+    * at 100 TB (vocabulary is unbounded; the sketch is 32 KB). */
+  private[graft] val T13Depth = 4
+  private[graft] val T13Width = 1024L
+  private[graft] val T13TopK = 20
+
+  /** t13: Count-Min-sketch heavy hitters — the frequency face of the
+    * mergeable-sketch family (q23/q27 HLL = distinct, q26/q28 =
+    * quantiles, p07 bloom = membership; CMS = point frequency,
+    * Cormode & Muthukrishnan 2005, public). The training-pipeline use
+    * is vocabulary pruning / hot-token detection without a full-vocab
+    * aggregate.
+    *
+    * Build is the true streaming form, NOT a shortcut through the
+    * exact counts: every token occurrence emits [[T13Depth]]
+    * (row, bucket) cells (bucket = xxhash64(token, row) mod
+    * [[T13Width]]) and the counts aggregate into the fixed 4×1024
+    * grid — map-side partial aggregation absorbs the token stream, so
+    * the shuffle moves at most depth×width×partitions combiner cells
+    * no matter how many tokens the corpus has (PlanSpec pins the
+    * partial agg). Estimates then probe the sketch for the exact
+    * top-[[T13TopK]] tokens (deterministic tie-break on the token) by
+    * joining the 80 probe rows against the 4096-cell sketch and taking
+    * min over rows — the CMS estimator.
+    *
+    * The sketch itself is engine-specific (DuckDB has no xxhash64), so
+    * the gate follows the q23 invariant pattern: the oracle recomputes
+    * the exact top-k and hardcodes the two CMS guarantees the Spark
+    * side must have verified — `no_underestimate` (CMS never
+    * undercounts: every occurrence of t increments all four of its
+    * cells) and `within_eps` (est ≤ exact + ⌈e·N/w⌉, the standard
+    * ε = e/w error bound at N total tokens; 4 independent rows put the
+    * failure probability at e⁻⁴, and the fixed seeds make the check
+    * deterministic per corpus — measured true at sf0.001/0.01/0.1 and
+    * the 10× planted corpus). */
+  def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
+    val cms = (0 until T13Depth).map(r => tok.select(
+        lit(r).as("r"), pmod(xxhash64(col("t"), lit(r)), lit(T13Width)).as("b")))
+      .reduce(_ unionAll _)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val total = exact.agg(sum(col("exact_n")).as("n_total"))
+    val top = exact.orderBy(col("exact_n").desc, col("t")).limit(T13TopK)
+    val probes = (0 until T13Depth).map(r => top.select(
+        col("t"), col("exact_n"), lit(r).as("r"),
+        pmod(xxhash64(col("t"), lit(r)), lit(T13Width)).as("b")))
+      .reduce(_ unionAll _)
+    probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("t"), col("exact_n")).agg(min(col("c")).as("est_n"))
+      .crossJoin(broadcast(total))
+      .select(col("t"), col("exact_n"),
+        (col("est_n") >= col("exact_n")).as("no_underestimate"),
+        (col("est_n") <= col("exact_n") +
+          ceil(lit(math.E) * col("n_total") / T13Width)).as("within_eps"))
+      .orderBy(col("exact_n").desc, col("t"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "t13_cms_heavy_hitters" ->
+      // exact top-k replayed; the CMS guarantees are hardcoded true —
+      // the Spark side must have measured them true (q23 pattern)
+      ("WITH w AS (SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS t FROM documents) " +
+        "SELECT t, CAST(count(*) AS BIGINT) AS exact_n, " +
+        "true AS no_underestimate, true AS within_eps " +
+        "FROM w GROUP BY t ORDER BY exact_n DESC, t LIMIT 20"),
     "t12_dup_spans" ->
       // same tokenization + distinct word-3-gram construction as the
       // d03 oracle; df over the corpus, floor-bp like t10

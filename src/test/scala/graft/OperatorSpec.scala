@@ -332,6 +332,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(truth.values.sum > truth.size, "edge points must hit some windows")
   }
 
+  test("t13 CMS heavy hitters: estimates bracket exact counts; top-k matches brute force") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.t13CmsHeavyHitters(spark, sf).collect()
+    assert(rows.length == TextOps.T13TopK)
+    // both CMS guarantees must be MEASURED true (the oracle hardcodes
+    // them — a false here is exactly the desync the gate would catch)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "no_underestimate/within_eps must hold on the real corpus")
+    // the top-k set + counts against a brute-force token census
+    val truth = graft.core.Tables(spark, sf, "documents")
+      .select(explode(split(rtrim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = truth.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextOps.T13TopK)
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq == expected,
+      "exact top-k must match brute force with deterministic ties")
+  }
+
   test("t12 dup-span coverage matches a brute-force shingle df census") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.t12DupSpans(spark, sf).collect()

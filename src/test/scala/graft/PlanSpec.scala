@@ -189,6 +189,20 @@ class PlanSpec extends AnyFunSuite {
       s"side filters should reach the scans:\n$p")
   }
 
+  test("t13 CMS build partial-aggregates the token stream into fixed cells") {
+    val p = plan(graft.operators.TextOps.t13CmsHeavyHitters(spark, sf))
+    // the sketch's scale property: map-side combine collapses the token
+    // stream to ≤ depth×width cells per partition BEFORE the shuffle
+    assert(p.contains("partial_count"),
+      s"CMS build must partial-aggregate map-side:\n$p")
+    // the 4096-cell sketch and the 1-row total attach as broadcasts —
+    // never a shuffled join against the probe rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"sketch probe must broadcast the 4096-cell sketch:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the CMS path should sort-merge:\n$p")
+  }
+
   test("q30 pivot: stacked map-side-combining aggregates, statuses inlined") {
     val p = plan(Relational.q30(spark, sf))
     // Spark plans pivot as (priority,status) agg → pivotfirst agg; both
