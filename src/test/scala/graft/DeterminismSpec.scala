@@ -44,7 +44,14 @@ class DeterminismSpec extends AnyFunSuite {
     // round-9 additions: the bucketed range join (bucket boundaries
     // must not show), the distributed-built bloom (partial-merge order
     // must not change the final result), and the shingle df census
-    "q29_range_join", "p07_bloom_semijoin", "t12_dup_spans")
+    "q29_range_join", "p07_bloom_semijoin", "t12_dup_spans",
+    // round-10 additions: the as-of window rewrite (per-user sort
+    // order must not show partition boundaries), the CMS sketch
+    // (cell counts are sums — combiner order must not show), the
+    // two-level quantizer (coarse+fine float-mean training), and the
+    // timeout sessionizer (micro-batch boundaries must not show)
+    "q31_asof_join", "t13_cms_heavy_hitters", "d12_semdedup_2level",
+    "st06_streaming_sessionize")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()
