@@ -46,7 +46,16 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      // already the contract type — nothing to transform
+      case TimestampType => raw
+      // any third driver-generation layout must fail HERE with the
+      // observed type, not flow downstream untransformed and break 20
+      // tests obscurely (the round-10 NANOS→MICROS drift lesson)
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported type $other — " +
+          "known layouts: INT64 nanos (LongType via nanosAsLong), " +
+          "TIMESTAMP(MICROS) NTZ, TimestampType. Update Tables.events " +
+          "(and StreamingOps.readEvents) for the new driver layout.")
     }
   }
 }

@@ -585,10 +585,12 @@ object Relational {
     * before same-instant purchases (making the match inclusive,
     * `p.ts >= s.ts`). Each purchase row then carries the latest
     * preceding signup — the running-state form every streaming engine
-    * uses for temporal joins. The plan has ZERO join nodes: one hash
-    * shuffle on user_id + an in-partition sort (PlanSpec pins this),
-    * so it scales exactly like a window aggregate regardless of how
-    * many dimension versions precede each probe.
+    * uses for temporal joins. The plan has ZERO join nodes; its
+    * exchanges are the window's hash shuffle on user_id plus the
+    * signup pre-aggregation's exchange on (user_id, us) — two in
+    * total, pinned by PlanSpec — so it scales exactly like a window
+    * aggregate regardless of how many dimension versions precede each
+    * probe.
     *
     * The signup side is pre-aggregated to one row per (user_id, ts)
     * (max event_id wins, matching the oracle's GROUP BY) so the as-of

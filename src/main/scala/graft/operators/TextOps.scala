@@ -397,9 +397,14 @@ object TextOps {
     * the 10× planted corpus). */
   def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
-    val cms = (0 until T13Depth).map(r => tok.select(
-        lit(r).as("r"), pmod(xxhash64(col("t"), lit(r)), lit(T13Width)).as("b")))
-      .reduce(_ unionAll _)
+    // ONE corpus pass emits all depth rows: each token occurrence
+    // explodes a 0..depth-1 sequence, so the scan+tokenize runs once
+    // instead of depth times (a union of per-row selects re-scanned
+    // the corpus 4× — ADVICE round 10). xxhash64 hashes VALUES, so
+    // the column-r form lands in the same cells as the probes' lit(r).
+    val cms = tok
+      .select(col("t"), explode(sequence(lit(0), lit(T13Depth - 1))).as("r"))
+      .select(col("r"), pmod(xxhash64(col("t"), col("r")), lit(T13Width)).as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
     val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
     val total = exact.agg(sum(col("exact_n")).as("n_total"))

@@ -34,14 +34,28 @@ object StreamingOps {
     * out of this reader matches core.Tables.events: TimestampType at
     * microsecond precision. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosLayout = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // explicit 3-way layout match, mirroring core.Tables.events: a
+    // third driver-generation layout must fail HERE with the observed
+    // type, not stream mis-declared schema downstream (round-10 drift
+    // lesson, ADVICE round 10)
+    val tsDdl = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType match {
+      case LongType         => "BIGINT"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case TimestampType    => "TIMESTAMP"
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported type $other — " +
+          "known layouts: INT64 nanos, TIMESTAMP(MICROS) NTZ, " +
+          "TimestampType. Update StreamingOps.readEvents " +
+          "(and core.Tables.events) for the new driver layout.")
+    }
     val src = spark.readStream
-      .schema(eventsSchema(if (nanosLayout) "BIGINT" else "TIMESTAMP_NTZ"))
+      .schema(eventsSchema(tsDdl))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (nanosLayout)
+    if (tsDdl == "BIGINT")
       // integer `div`, same rationale as core.Tables.events
       src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else

@@ -40,6 +40,58 @@ class ContractSpec extends AnyFunSuite {
       clean.contains("\"regressions\":[]"))
   }
 
+  // Pinned PHYSICAL testdata schemas (raw spark.read, BEFORE the
+  // Tables normalization layer): the round-10 driver regeneration
+  // silently moved events.ts from TIMESTAMP(NANOS) to
+  // TIMESTAMP(MICROS) mid-round and broke 20 tests with obscure
+  // downstream errors. This pin makes the NEXT drift fail in exactly
+  // one place with a readable before/after diff. If it fires: update
+  // this snapshot AND audit core.Tables.events +
+  // streaming.StreamingOps.readEvents for the new layout.
+  private val pinnedSchemas: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey:INT", "r_name:STRING"),
+    "nation" -> Seq("n_nationkey:INT", "n_name:STRING", "n_regionkey:INT"),
+    "customer" -> Seq("c_custkey:BIGINT", "c_name:STRING",
+      "c_nationkey:INT", "c_acctbal:DOUBLE", "c_mktsegment:STRING"),
+    "supplier" -> Seq("s_suppkey:BIGINT", "s_name:STRING",
+      "s_nationkey:INT", "s_acctbal:DOUBLE"),
+    "part" -> Seq("p_partkey:BIGINT", "p_name:STRING", "p_brand:STRING",
+      "p_type:STRING", "p_size:INT", "p_retailprice:DOUBLE"),
+    "orders" -> Seq("o_orderkey:BIGINT", "o_custkey:BIGINT",
+      "o_orderstatus:STRING", "o_totalprice:DOUBLE",
+      "o_orderdate:TIMESTAMP_NTZ", "o_orderpriority:STRING"),
+    "lineitem" -> Seq("l_orderkey:BIGINT", "l_partkey:BIGINT",
+      "l_suppkey:BIGINT", "l_linenumber:INT", "l_quantity:DOUBLE",
+      "l_extendedprice:DOUBLE", "l_discount:DOUBLE", "l_tax:DOUBLE",
+      "l_returnflag:STRING", "l_linestatus:STRING",
+      "l_shipdate:TIMESTAMP_NTZ"),
+    "events" -> Seq("event_id:BIGINT", "ts:TIMESTAMP_NTZ",
+      "user_id:BIGINT", "event_type:STRING", "value:DOUBLE",
+      "props:STRING"),
+    "documents" -> Seq("doc_id:BIGINT", "text:STRING", "lang:STRING",
+      "source:STRING", "n_chars:BIGINT"),
+    "embeddings" -> Seq("vec_id:BIGINT", "embedding:ARRAY<FLOAT>",
+      "label:INT"))
+
+  test("TESTDATA physical schemas match the pinned snapshot (drift alarm)") {
+    val spark = TestSpark.session
+    // same footer-read posture as Tables.events: a NANOS ts column
+    // must surface as BIGINT here, not kill the scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deltas = for {
+      sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+      (table, expected) <- pinnedSchemas.toSeq.sortBy(_._1)
+      observed = spark.read.parquet(s"/root/testdata/$sf/$table.parquet")
+        .schema.fields.map(f => s"${f.name}:${f.dataType.sql}").toSeq
+      if observed != expected
+    } yield s"$sf/$table:\n  pinned:   ${expected.mkString(", ")}\n" +
+      s"  observed: ${observed.mkString(", ")}"
+    assert(deltas.isEmpty,
+      "TESTDATA SCHEMA DRIFT — the driver regenerated parquet with a " +
+        "new layout. Audit Tables.events/StreamingOps.readEvents, then " +
+        s"refresh the pin:\n${deltas.mkString("\n")}")
+  }
+
   test("oracle SQL is single-statement and DuckDB-parameter-free") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains(";"), s"$k: multi-statement oracle")

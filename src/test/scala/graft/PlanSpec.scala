@@ -183,6 +183,13 @@ class PlanSpec extends AnyFunSuite {
       s"as-of must not plan any join node:\n$p")
     assert(p.contains("hashpartitioning(user_id"),
       s"window must shuffle on the as-of key:\n$p")
+    // exactly TWO hash exchanges: the signup pre-aggregation on
+    // (user_id, us) and the window shuffle on user_id — the scaladoc's
+    // stated shape, pinned so a third exchange can't creep in silently
+    // (the output orderBy adds a range exchange, not counted here)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"as-of should have exactly 2 hash exchanges (pre-agg + window), got $hashEx:\n$p")
     // both sides prune to their event_type at the scan
     assert(p.contains("EqualTo(event_type,purchase)") &&
       p.contains("EqualTo(event_type,signup)"),
