@@ -120,6 +120,9 @@ object SparkEntry {
     // gated face injects a deterministic canary pair so the gate is
     // non-vacuous at every SF (r7 verdict item 3)
     "d10_decontamination" -> (Dedup.d10DecontaminationGated _),
+    // d13: incremental (delta-vs-index) dedup — new batch against the
+    // persisted bucketed MinHash index, corpus side never re-shuffled
+    "d13_incremental_dedup" -> (Dedup.d13IncrementalDedup _),
     // q28: mergeable per-month quantile-sketch union (fixed-bin
     // histograms group-summed, rank targets in integer arithmetic —
     // hash-exact in both engines, no invariant row needed)
@@ -142,6 +145,10 @@ object SparkEntry {
     "s04_ann_ivf_kmeans" -> (Similarity.s04AnnIvfKmeans _),
     // s05 int8 quantization census — order-free integer micro-units
     "s05_quantize_census" -> (Similarity.s05QuantizeCensus _),
+    // s06: ANN search through the two-level (coarse×fine) IVF — the
+    // search face of the d12 quantizer, hierarchical probe at O(√K)
+    // centroid distances per query
+    "s06_ann_ivf_2level" -> (Similarity.s06AnnIvf2Level _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

@@ -326,17 +326,21 @@ object Dedup {
 
   /** (doc_id, band, bh) band-key rows for d04 — split out so the cap
     * census and the operator share one definition. */
-  private[graft] def minhashBandsDf(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).filter(size(col("sh")) > 0)
-    // Native one-pass band keys (graft.functions.MinHashBandKeys):
-    // each shingle hashed once, permutations are splitmix remixes.
-    // The composable HOF form re-walked the array per permutation
-    // interpreted — this is the same 16×2 banding at codegen speed.
+  private[graft] def minhashBandsDf(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(shingled(spark, dir).filter(size(col("sh")) > 0))
+
+  /** (doc_id, band, bh) MinHash band keys over explicit (doc_id, sh)
+    * rows — shared by the full-corpus d04 path and d13's per-batch
+    * delta banding. Native one-pass band keys
+    * (graft.functions.MinHashBandKeys): each shingle hashed once,
+    * permutations are splitmix remixes. The composable HOF form
+    * re-walked the array per permutation interpreted — this is the
+    * same 16×2 banding at codegen speed. */
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"),
         posexplode(graft.functions.MinHashFunctions.minhash_band_keys(
           col("sh"), MinHashPerms, BandRows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-  }
 
   /** d04: MinHash + LSH banding near-dup detection. Bands hash r
     * consecutive signature slots; docs colliding in any band become
@@ -355,6 +359,155 @@ object Dedup {
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
     verifyJaccard(cands, shingled(spark, dir))
+  }
+
+  private[graft] val D13Buckets = 16
+  private[graft] val D13CanaryResidue = 113L
+
+  /** (doc_id, sh) distinct word-3-gram rows over an explicit corpus —
+    * the shared shingling of the d13 index build and delta banding.
+    * Docs under the 3-word minimum shed no shingles and are dropped
+    * (they can never reach the Jaccard bar). */
+  private def shingledOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Build the PERSISTED dedup index over a corpus — the ingest-time
+    * half of d13. Two catalog tables (UUID-named, p03's
+    * concurrent-caller rationale):
+    *
+    *  - band postings (doc_id, band, bh), BUCKETED by (band, bh) and
+    *    sorted within buckets: the candidate join's corpus side reads
+    *    this layout DIRECTLY — no exchange, no re-shingling, no
+    *    re-hashing of the corpus at dedup time (PlanSpec pins it);
+    *    hot band buckets are capped at write time (capBandBuckets,
+    *    the d04 cap) so a degenerate key never lands in the index;
+    *  - the shingle store (doc_id, sh): the verify side's exact
+    *    Jaccard needs the corpus documents' shingle sets; persisting
+    *    them costs ~text-size once at ingest and saves re-tokenizing
+    *    the corpus on EVERY batch. (A signature-only index would be
+    *    smaller but verifies with estimated Jaccard — different
+    *    semantics than the exact d03/d04 bar.)
+    */
+  private[graft] def d13BuildIndex(
+      spark: SparkSession, corpus: DataFrame): (String, String) = {
+    val wh = graft.core.IO.scratchDir("graft-d13")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bandT = s"graft_d13_bands_$tag"
+    val shT = s"graft_d13_shingles_$tag"
+    val sh = shingledOf(corpus)
+    val bands = capBandBuckets(minhashBandsOf(sh), Seq("band", "bh"),
+      bandCap(corpus.count()))
+    bands.write.mode("overwrite").format("parquet")
+      .bucketBy(D13Buckets, "band", "bh").sortBy("band", "bh")
+      .option("path", s"$wh/bands_$tag").saveAsTable(bandT)
+    sh.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/shingles_$tag").saveAsTable(shT)
+    (bandT, shT)
+  }
+
+  /** The per-batch half of d13: dedup a DELTA batch against the
+    * persisted index WITHOUT touching the corpus text. Only the delta
+    * is shingled and banded (the batch is the small side by
+    * construction); its band keys shuffle INTO the index's bucket
+    * layout (one exchange, delta-sized) and sort-merge against the
+    * bucketed postings scan — the corpus side reads co-located, zero
+    * exchange. Verify = exact Jaccard: candidates pick up the delta's
+    * shingle sets, broadcast (candidates ≪ corpus), and join the
+    * persisted shingle store — the store streams through the
+    * broadcast join, again without an exchange. */
+  private[graft] def d13DeltaVsIndex(spark: SparkSession, delta: DataFrame,
+      bandT: String, shT: String): DataFrame = {
+    val dsh = shingledOf(delta)
+    val cands = minhashBandsOf(dsh).as("d").hint("merge")
+      .join(spark.table(bandT).as("c"),
+        col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val withDelta = cands.join(
+      dsh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
+    broadcast(withDelta)
+      .join(spark.table(shT).select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("delta_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** Fold a deduped delta INTO the persisted index — the tail of the
+    * production ingest cycle (build once → per batch: dedup, then
+    * fold). Appends the delta's band postings with the identical
+    * (band, bh) bucketing (Spark validates the bucket spec against
+    * the catalog) and its shingle sets to the store; the next batch
+    * then dedups against corpus ∪ delta without any recompute of
+    * either. Exercised by ScalaTest; the GATE query deliberately does
+    * not fold — its result must be independent of evaluation order,
+    * and an append racing the lazy result evaluation would let the
+    * delta join itself. */
+  private[graft] def d13FoldIn(spark: SparkSession, delta: DataFrame,
+      bandT: String, shT: String): Unit = {
+    val dsh = shingledOf(delta)
+    minhashBandsOf(dsh).write.mode("append").format("parquet")
+      .bucketBy(D13Buckets, "band", "bh").sortBy("band", "bh").saveAsTable(bandT)
+    dsh.write.mode("append").format("parquet").saveAsTable(shT)
+  }
+
+  /** d13: INCREMENTAL (delta-vs-index) dedup — the production ingest
+    * shape at 100 TB (round-10 verdict item 2). Every other dedup tier
+    * here recomputes over the full corpus; a pipeline that ingests
+    * continuously instead dedups each NEW batch against a PERSISTED
+    * index and folds the batch in, so per-ingest cost is
+    * O(batch + candidates), never O(corpus):
+    *
+    *   1. ingest time ([[d13BuildIndex]], amortized across batches):
+    *      corpus band postings (d04's 16×2 MinHash banding, hot
+    *      buckets capped) land as a (band, bh)-bucketed sorted table;
+    *      shingle sets land beside them for the exact verify;
+    *   2. batch time ([[d13DeltaVsIndex]]): only the delta is
+    *      shingled/banded; candidates come from the band join against
+    *      the bucketed index — corpus side ZERO exchange (bucket
+    *      co-location, PlanSpec-pinned), delta side one batch-sized
+    *      exchange; exact Jaccard verifies candidates only;
+    *   3. fold time ([[d13FoldIn]]): the delta's postings append into
+    *      the same bucket layout (ScalaTest-pinned; not run by the
+    *      gate — see its scaladoc).
+    *
+    * The GATE face: delta = the p04 TEST split (bucket ≥ 990 — the
+    * natural "new batch" standing in the fixed testdata), corpus =
+    * train+val, plus a deterministic delta-side CANARY (a verbatim
+    * copy of the first ≥[[D10CanaryMinChars]]-char corpus doc at id
+    * (max div 1000 + 1)·1000 + [[D13CanaryResidue]], whose bucket
+    * ((113·761) mod 1000 = 993) is test by construction — the d10
+    * pattern) so the gate is non-vacuous at every SF: the natural
+    * cross-split pair set is EMPTY at the driver SFs, and an
+    * empty-vs-empty hash match can't distinguish "correct" from
+    * "returns nothing". The DuckDB oracle rebuilds the same canary
+    * and computes the delta-vs-corpus exact Jaccard join directly;
+    * LSH+verify equals the exact pair set for the same reason d04
+    * shares d03's oracle (16×2 banding misses a j ≥ 0.6 pair w.p.
+    * ≤ 8e-4, and no gate-SF band bucket approaches the cap).
+    *
+    * Within-batch duplicates (delta×delta) are out of scope by
+    * design: a production cycle runs the batch through d01/d04 on its
+    * own ~batch-sized data first, then delta-vs-index, then folds. */
+  def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val src = base
+      .filter(Sinks.splitBucket(col("doc_id")) < 990 &&
+        length(rtrim(col("text"))) >= D10CanaryMinChars)
+      .orderBy(col("doc_id")).limit(1).select(col("text"))
+    val canary = base.agg(max(col("doc_id")).as("mx"))
+      .crossJoin(src) // 1×1
+      .select((expr("mx div 1000") + 1) * 1000 + D13CanaryResidue, col("text"))
+      .toDF("doc_id", "text")
+    val all = base.unionAll(canary)
+    val corpus = all.filter(Sinks.splitBucket(col("doc_id")) < 990)
+    val delta = all.filter(Sinks.splitBucket(col("doc_id")) >= 990)
+    val (bandT, shT) = d13BuildIndex(spark, corpus)
+    d13DeltaVsIndex(spark, delta, bandT, shT)
   }
 
   private val SimHashChunks = 8
@@ -724,6 +877,40 @@ object Dedup {
       .distinct()
   }
 
+  /** The BUCKET-LOCAL twin of [[lshCosineVerifiedPairsFused]] (round-10
+    * verdict item 6): same candidates, same verify, same output — but
+    * the pair events never cross a join. ONE band shuffle collects each
+    * bucket's members into an array (vectors cross the exchange once,
+    * as partial collect_list states — vs the fused self-join shipping
+    * both sides), then the m² pair events are generated INSIDE the
+    * bucket row (two nested explodes — pure map-side work, no hash
+    * build, no join probe), verified inline, and distinct only sees
+    * τ-survivors. Bucket arrays are bounded by the band cap
+    * ([[capBandBuckets]] runs first), so a row is at most cap·(vector
+    * bytes) — the same bound the fused join's per-key build side has.
+    * Measured (DensitySweep, NOTES round 11): on the uniform
+    * dense-candidate corpus this cuts the fused wall further at every
+    * n; on sparse-candidate corpora the unfused default still wins on
+    * shuffle volume (vectors never ride the band shuffle there). */
+  private[graft] def lshCosineVerifiedPairsBucketLocal(
+      emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame =
+    bucketLocalFromKeyed(
+      cappedCosineBands(emb, bitsB, bandsL, emb.count()), emb, tau)
+
+  private def bucketLocalFromKeyed(
+      keyed: DataFrame, emb: DataFrame, tau: Double): DataFrame =
+    keyed.join(emb, "vec_id")
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("m"))
+      .select(explode(col("m")).as("a"), col("m"))
+      .select(col("a"), explode(col("m")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        cosine(col("a.e"), col("b.e")).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
+      .distinct()
+
   /** Candidate-density crossover of the d09 plan router: the fused
     * plan is chosen when expected pair events exceed this multiple of
     * the corpus size. Measured (graft.tools.DensitySweep, NOTES round
@@ -878,7 +1065,29 @@ object Dedup {
       "FROM train JOIN hold USING (s) GROUP BY 1, 2 " +
       s"HAVING count(*) >= $DecontamMinShared ORDER BY train_id, holdout_id"
 
+  /** d13 oracle: the same deterministic delta-side canary as
+    * [[d13IncrementalDedup]] (residue 113 → bucket 993 = test), then
+    * the delta-vs-corpus EXACT Jaccard join stated directly — the
+    * persisted-index candidate generation must be semantically
+    * invisible (the d04-equals-d03 argument, cross-split). */
+  private val d13Sql: String =
+    "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+      s"SELECT (SELECT (max(doc_id) // 1000 + 1) * 1000 + $D13CanaryResidue FROM documents), " +
+      "(SELECT text FROM documents WHERE ((doc_id % 1000) * 761) % 1000 < 990 " +
+      s"AND length(rtrim(text)) >= $D10CanaryMinChars ORDER BY doc_id LIMIT 1)), " +
+      "tok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
+      "string_split_regex(rtrim(text), '\\s+') AS w FROM corpus), " +
+      "sh AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - 1), " +
+      "i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id, count(*) AS i " +
+      "FROM sh d JOIN sh c ON d.s = c.s AND d.b >= 990 AND c.b < 990 GROUP BY 1, 2) " +
+      "SELECT delta_id, corpus_id, round(i / (ca.n + cb.n - i), 4) AS jaccard " +
+      "FROM inter JOIN cnt ca ON ca.doc_id = delta_id JOIN cnt cb ON cb.doc_id = corpus_id " +
+      "WHERE i / (ca.n + cb.n - i) >= 0.6 ORDER BY delta_id, corpus_id"
+
   val oracles: Map[String, String] = Map(
+    "d13_incremental_dedup" -> d13Sql,
     "d10_decontamination" -> decontamSql,
     "d01_exact_dedup" ->
       ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct, " +

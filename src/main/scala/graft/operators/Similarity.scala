@@ -418,11 +418,26 @@ object Similarity {
     * from its own scan (IEEE sqrt is correctly rounded in both engines,
     * so ⌈√K⌉ cannot desynchronize; the k2 ceiling uses the integer
     * (K + k1 - 1) div k1 form in both). */
-  private[graft] def d12Factors(n: Long): (Int, Int) = {
-    val k = math.max(16L, n / D11CellTarget)
+  private[graft] def d12Factors(n: Long): (Int, Int) =
+    d12FactorsAt(n, D11CellTarget)
+
+  /** [[d12Factors]] at an explicit cell target — the sweep seam
+    * (graft.tools.D12CellSweep measures the census-wall-vs-recall
+    * trade at 512/1024/2048 so the [[D11CellTarget]] default is
+    * defended with data, NOTES round 11). */
+  private[graft] def d12FactorsAt(n: Long, cellTarget: Long): (Int, Int) = {
+    val k = math.max(16L, n / cellTarget)
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val k2 = ((k + k1 - 1) / k1).toInt
     (k1, k2)
+  }
+
+  /** The d12 census at an explicit cell target (sweep seam). */
+  private[graft] def d12CensusAt(spark: SparkSession, dir: String,
+      cellTarget: Long, rounds: Int): DataFrame = {
+    val (k1, k2) = d12FactorsAt(
+      Tables(spark, dir, "embeddings").count(), cellTarget)
+    semdedupCensus(twoLevelAssign(spark, dir, k1, k2, rounds))
   }
 
   /** Fine-level argmax-cosine assignment: each vector meets ONLY its own
@@ -452,10 +467,19 @@ object Similarity {
     * DuckDB oracle replays it CTE-for-CTE ([[d12OracleSql]]). Returns
     * (vec_id, e, nrm, cid) with the composite cid = ccid·k2 + fcid. */
   private[graft] def twoLevelAssign(spark: SparkSession, dir: String,
-      k1: Int, k2: Int, rounds: Int): DataFrame = {
+      k1: Int, k2: Int, rounds: Int): DataFrame =
+    twoLevelModel(spark, dir, k1, k2, rounds)._3
+
+  /** The full two-level model — (coarse centroids (cid, ce, cnrm),
+    * fine centroids (ccid, fcid, ce, cnrm), assignment (vec_id, e,
+    * nrm, cid)) — so the SEARCH path (s06) can probe the same
+    * centroids the dedup census (d12) assigns with. */
+  private[graft] def twoLevelModel(spark: SparkSession, dir: String,
+      k1: Int, k2: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
-    val coarse = assignCells(all, trainedCentroids(spark, dir, rounds, k1))
+    val ccents = trainedCentroids(spark, dir, rounds, k1)
+    val coarse = assignCells(all, ccents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("ccid"))
     val wRank = Window.partitionBy(col("ccid")).orderBy(col("vec_id"))
     val ranked = coarse
@@ -476,9 +500,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x("v")).as("ce"))
         .withColumn("cnrm", sqrt(array_dot(col("ce"), col("ce"))))
-    assignFine(coarse, cents)
+    val assigned = assignFine(coarse, cents)
       .select(col("vec_id"), col("e"), col("nrm"),
         (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+    (ccents, cents, assigned)
   }
 
   /** The SemDeDup within-cell census over an assignment — shared by d11
@@ -517,6 +542,71 @@ object Similarity {
     semdedupCensus(twoLevelAssign(spark, dir, k1, k2, LloydRounds))
   }
 
+  private[graft] val S06CoarseProbes = 2
+  private[graft] val S06FineProbes = 4
+
+  /** s06: ANN search over the TWO-LEVEL (coarse×fine) IVF — the search
+    * face of the d12 quantizer, and the form that scales past s03/s04's
+    * flat n·K assignment ceiling (round-10 verdict item 1). The
+    * inverted file is [[twoLevelModel]]'s composite-cell assignment
+    * (K = n/1024 uncapped, factored k1·k2 — [[d12Factors]]); a query
+    * probes hierarchically, exactly how a 10⁹-vector IVF deploys:
+    *
+    *   1. coarse: rank the k1 coarse centroids, keep the top
+    *      [[S06CoarseProbes]] coarse cells — k1 dot products;
+    *   2. fine: rank ONLY the probed coarse cells' fine centroids
+    *      (≤ [[S06CoarseProbes]]·k2 dot products), keep the top
+    *      [[S06FineProbes]] composite cells overall;
+    *   3. exact-rank the candidates in those cells (equi-join on the
+    *      composite cid — the same hash-partitioned layout the corpus
+    *      already has, so a probe touches ~probes/K of the data).
+    *
+    * Query-side cost is k1 + probes·k2 ≈ O(√K) centroid distances per
+    * query instead of the flat quantizer's K — the same 2√K-vs-K win
+    * the d12 dedup census measured at 9-11× for assignment
+    * (TwoLevelSweep, NOTES.md); centroids broadcast (k1·k2 rows, the
+    * "centroids fit in RAM" IVF assumption). Every stage is
+    * deterministic (rounded rank keys, id tie-breaks), so the DuckDB
+    * oracle replays train+index+probe+search CTE-for-CTE
+    * ([[s06OracleSql]] — a full row-for-row gate, stronger than the
+    * s02-style recall invariant). Recall at K > 4096 — the regime the
+    * flat quantizer can't reach — is measured on a planted corpus by
+    * graft.tools.S06AtScale (NOTES.md round 11). */
+  def s06AnnIvf2Level(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
+    val cprobes = queries.crossJoin(broadcast(ccents))
+      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= S06CoarseProbes)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("ccid"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_f"), 6).desc, col("ccid").asc, col("fcid").asc)
+    val fprobes = cprobes.join(broadcast(fcents), Seq("ccid"))
+      .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk2", row_number().over(wF))
+      .filter(col("rk2") <= S06FineProbes)
+      .select(col("qid"), col("qe"), col("qnrm"),
+        (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    fprobes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** k1 as a DuckDB expression over the oracle's own corpus scan —
     * the coarse half of [[d12Factors]]. */
   private val D12K1Sql =
@@ -530,7 +620,12 @@ object Similarity {
     * within-cell pair census as d11. Every constant (k1, k2, stride) is
     * re-derived from the oracle's own scan so the two engines cannot
     * desynchronize. */
-  private[graft] def d12OracleSql(rounds: Int): String = {
+  /** The shared two-level-model CTE prefix (coarse train/assign, fine
+    * seeds + `rounds` fine Lloyd rounds, and `fafin` = the composite-
+    * cell inverted file; `cent{rounds}`/`fcent{rounds}` remain in
+    * scope for probing) — used by BOTH the d12 census oracle and the
+    * s06 search oracle, so the two gates replay one model. */
+  private[graft] def twoLevelCtesSql(rounds: Int): String = {
     val fine = (1 to rounds).map { r =>
       s"fa${r - 1} AS (SELECT vec_id, emb, ccid, fcid FROM (" +
         s"SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
@@ -559,7 +654,36 @@ object Similarity {
       "SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
       "row_number() OVER (PARTITION BY f.vec_id " +
       s"ORDER BY round(list_cosine_similarity(f.emb, c.ce), 6) DESC, c.fcid) AS rk2 " +
-      s"FROM fr f JOIN fcent$rounds c ON f.ccid = c.ccid) WHERE rk2 = 1), " +
+      s"FROM fr f JOIN fcent$rounds c ON f.ccid = c.ccid) WHERE rk2 = 1), "
+  }
+
+  /** s06 oracle: the shared two-level model prefix, then the
+    * hierarchical probe (top-[[S06CoarseProbes]] coarse cells, then
+    * top-[[S06FineProbes]] composite cells among their fine centroids)
+    * and the exact rank within probed cells — the whole
+    * train+index+probe+search pipeline replayed row-for-row. */
+  private[graft] def s06OracleSql(rounds: Int): String = {
+    twoLevelCtesSql(rounds) +
+      "cpr AS (SELECT qid, qe, ccid FROM (" +
+      "SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS ccid, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
+      s"FROM e CROSS JOIN cent$rounds c WHERE e.vec_id < 10) WHERE rk <= $S06CoarseProbes), " +
+      "fpr AS (SELECT qid, qe, ccid * (SELECT k2 FROM kf) + fcid AS cid FROM (" +
+      "SELECT p.qid, p.qe, f.ccid, f.fcid, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
+      s"FROM cpr p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes) " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim FROM (" +
+      "SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qe, a.emb) AS c, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+      "FROM fpr p JOIN fafin a USING (cid) WHERE a.vec_id <> p.qid) " +
+      "WHERE rn <= 5 ORDER BY query_id, rnk"
+  }
+
+  private[graft] def d12OracleSql(rounds: Int): String = {
+    twoLevelCtesSql(rounds) +
       "pairs AS (SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb " +
       "FROM fafin a JOIN fafin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
       s"AND list_cosine_similarity(a.emb, b.emb) >= $D11Tau), " +
@@ -636,6 +760,7 @@ object Similarity {
         "FROM (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn FROM sc) " +
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
+    "s06_ann_ivf_2level" -> s06OracleSql(LloydRounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

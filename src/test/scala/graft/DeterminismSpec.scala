@@ -51,7 +51,12 @@ class DeterminismSpec extends AnyFunSuite {
     // two-level quantizer (coarse+fine float-mean training), and the
     // timeout sessionizer (micro-batch boundaries must not show)
     "q31_asof_join", "t13_cms_heavy_hitters", "d12_semdedup_2level",
-    "st06_streaming_sessionize")
+    "st06_streaming_sessionize",
+    // round-11 additions: the hierarchical-probe ANN search (coarse →
+    // fine rank windows must not depend on partitioning) and the
+    // delta-vs-index incremental dedup (bucketed-index candidate join
+    // + verify must not show bucket or partition boundaries)
+    "s06_ann_ivf_2level", "d13_incremental_dedup")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

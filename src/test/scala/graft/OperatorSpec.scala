@@ -137,6 +137,93 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall under the measured floor: $recall")
   }
 
+  test("s06 two-level IVF recall@5 against s01 exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.s01KnnBrute(spark, sf))
+    val two = pairs(Similarity.s06AnnIvf2Level(spark, sf))
+    val recall = exact.intersect(two).size.toDouble / exact.size
+    info(s"two-level IVF recall@5 = $recall")
+    // floor from measured values (round 11): 0.68 at sf0.001, 0.66 at
+    // sf0.01 on the uniform-vector worst case — 0.5 keeps a 0.16
+    // margin (the s04 floor standard; recall granularity is 0.02 on
+    // the 50-pair query set)
+    assert(recall >= 0.5, s"recall under the measured floor: $recall")
+  }
+
+  test("s06 two-level IVF finds planted near-copies as rank-1 neighbors") {
+    import org.apache.spark.sql.functions._
+    // same planted fixture family as d11/d12: 200 seeded uniform
+    // vectors + near-copies of vectors 0-4 at cos≈0.9999. Queries are
+    // vec_id < 10; for 0-4 the copy (vec_id 1000+i) must be ranked
+    // FIRST — the hierarchical probe must route query and copy into
+    // the same probed composite cell (uniform background sits at
+    // cos ≈ 0.3, far below the copy's 0.9999)
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val spark2 = spark
+    val base = spark2.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val dups = spark2.range(5).toDF("src")
+      .select((col("src") + 1000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(col("src"), i) + lit(0.0005)).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("s06fix").toString
+    base.unionAll(dups).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val top1 = Similarity.s06AnnIvf2Level(spark, fixture)
+      .filter(col("rnk") === 1 && col("query_id") < 5)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(top1.map(t => (t._1, t._2)) ==
+      (0L until 5L).map(i => (i, i + 1000L)),
+      s"each planted copy must be its query's rank-1 neighbor: $top1")
+    assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
+  }
+
+  test("d13 incremental cycle: delta dedups against the index, fold-in makes it visible to the next batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic texts: 120-word docs from disjoint vocab ranges;
+    // near-dups differ in exactly 3 word positions (shingle Jaccard
+    // ≈ 0.86, comfortably over the 0.6 bar — the PlantedCorpus shape)
+    def words(base: Int): Seq[String] = (0 until 120).map(i => s"w${base + i}")
+    def text(ws: Seq[String]): String = ws.mkString(" ")
+    def mutate(ws: Seq[String], tag: String): Seq[String] =
+      ws.zipWithIndex.map { case (w, i) =>
+        if (i == 10 || i == 50 || i == 90) s"x$tag$i" else w }
+    val corpus = Seq(
+      1L -> text(words(0)), 2L -> text(words(1000))).toDF("doc_id", "text")
+    val delta1 = Seq(
+      100L -> text(mutate(words(0), "a")), // near-dup of corpus doc 1
+      101L -> text(words(2000))            // fresh content
+    ).toDF("doc_id", "text")
+    val (bandT, shT) = Dedup.d13BuildIndex(spark, corpus)
+    val idxPostings = spark.table(bandT).count()
+    val pairs1 = Dedup.d13DeltaVsIndex(spark, delta1, bandT, shT)
+      .select("delta_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs1 == Set((100L, 1L)),
+      s"batch 1 must match exactly the planted near-dup: $pairs1")
+    // fold the batch in: postings grow by the delta's postings, and a
+    // SECOND batch now sees batch 1's docs without any corpus rebuild
+    Dedup.d13FoldIn(spark, delta1, bandT, shT)
+    val deltaPostings = Dedup.minhashBandsOf(
+      delta1.select(col("doc_id"), graft.functions.TextFunctions
+        .wordShingles(col("text"), 3).as("sh"))).count()
+    assert(spark.table(bandT).count() == idxPostings + deltaPostings,
+      "fold-in must append exactly the delta's postings")
+    val delta2 = Seq(200L -> text(mutate(words(2000), "b"))).toDF("doc_id", "text")
+    val pairs2 = Dedup.d13DeltaVsIndex(spark, delta2, bandT, shT)
+      .select("delta_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((200L, 101L)),
+      s"batch 2 must match batch 1's folded doc: $pairs2")
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard output (recall holds)") {
     val lsh = Dedup.d04MinHashLsh(spark, sf).collect().map(_.toSeq).toSet
     val exact = Dedup.d03NgramJaccard(spark, sf).collect().map(_.toSeq).toSet
@@ -587,6 +674,12 @@ class OperatorSpec extends AnyFunSuite {
     val fused = pairs(Dedup.lshCosineVerifiedPairsFused(emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))
     assert(unfused.nonEmpty && fused == unfused,
       s"fused=${fused.size} unfused=${unfused.size}")
+    // the bucket-local third form: one band shuffle, pairs generated
+    // inside the bucket arrays — must produce the identical pair set
+    val bucketLocal = pairs(Dedup.lshCosineVerifiedPairsBucketLocal(
+      emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))
+    assert(bucketLocal == unfused,
+      s"bucketLocal=${bucketLocal.size} unfused=${unfused.size}")
   }
 
   test("modality sniff reads the raw first byte, not a UTF-8 decode") {

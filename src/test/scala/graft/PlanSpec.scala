@@ -132,6 +132,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, s"join should not shuffle:\n$p")
   }
 
+  test("d13 incremental dedup: bucketed index feeds the candidate join, corpus side no exchange") {
+    val p = plan(Dedup.d13IncrementalDedup(spark, sf))
+    // the operator's whole point: the candidate join consumes the
+    // persisted index's (band, bh) bucket layout directly — corpus
+    // postings are never re-shuffled at batch time
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge over the bucketed index:\n$p")
+    assert(p.contains("Bucketed: true"), s"index scan should be bucketed:\n$p")
+    // exactly ONE band-key exchange: the DELTA side shuffling into the
+    // index's layout; a second would mean the corpus side re-shuffled
+    val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandEx == 1,
+      s"only the delta may exchange on the band keys, got $bandEx:\n$p")
+    // verify stage: candidates broadcast, the shingle store streams
+    assert(p.contains("BroadcastHashJoin"), s"verify join should broadcast candidates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("st01 session_window aggregates partially before its one data shuffle") {
     val p = plan(graft.streaming.StreamingOps.st01SessionWindow(spark, sf))
     assert(p.contains("MergingSessions"), s"expected session-merge operator:\n$p")
@@ -349,6 +366,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"pair join degraded to a product:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"fine assignment must broadcast on ccid:\n$p")
     assert(p.contains("ShuffledHashJoin"), s"within-cell join must hash on cid:\n$p")
+  }
+
+  test("s06 two-level IVF search: keyed probe joins, centroids broadcast, never cartesian") {
+    val p = plan(Similarity.s06AnnIvf2Level(spark, sf))
+    // the candidate join (probes × inverted file on the composite cid)
+    // must never degrade to a product — that would be scanning the
+    // corpus per query, exactly what the IVF exists to avoid; the only
+    // nested-loop attaches are the deliberate k1-row coarse-centroid
+    // broadcasts (assignCells/coarse probe, as in d12)
+    assert(!p.contains("CartesianProduct"), s"probe join degraded to a product:\n$p")
+    // fine assignment + fine probe + candidate join are keyed
+    // broadcast joins (centroid tables and probe sets are small by
+    // construction — the "centroids fit in RAM" IVF posture)
+    assert(p.contains("BroadcastHashJoin"), s"keyed joins must broadcast:\n$p")
+    // every rank window is partitioned by qid/vec_id — a global window
+    // here would serialize the corpus through one task
+    assert(!p.contains("No Partition Defined"), s"global window crept in:\n$p")
   }
 
   test("m05 media near-dup: both pair tiers join keyed, never cartesian") {

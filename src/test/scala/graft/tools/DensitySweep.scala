@@ -48,8 +48,10 @@ object DensitySweep {
         emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands).count())
       val (nf, tf) = time(Dedup.lshCosineVerifiedPairsFused(
         emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands).count())
+      val (nb, tb) = time(Dedup.lshCosineVerifiedPairsBucketLocal(
+        emb, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands).count())
       println(f"SWEEP n=$n pe=$pe pe_per_n=${pe.toDouble / n}%.1f census=$peSec%.2fs " +
-        f"unfused=$tu%.1fs fused=$tf%.1fs pairs=$nu/$nf")
+        f"unfused=$tu%.1fs fused=$tf%.1fs bucketlocal=$tb%.1fs pairs=$nu/$nf/$nb")
       emb.unpersist()
     }
     spark.stop()
