@@ -149,6 +149,10 @@ object SparkEntry {
     // search face of the d12 quantizer, hierarchical probe at O(√K)
     // centroid distances per query
     "s06_ann_ivf_2level" -> (Similarity.s06AnnIvf2Level _),
+    // s07: product-quantization ADC search — M=8 4-bit codes per
+    // vector (64× compression), query-side distance tables in integer
+    // micro-units, candidates scored by summed table lookups
+    "s07_pq_adc" -> (Similarity.s07PqAdc _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

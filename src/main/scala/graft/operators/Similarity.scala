@@ -727,6 +727,172 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private[graft] val S07Subspaces = 8 // M subquantizers
+  private[graft] val S07SubDim = 8 // dims per subspace (64 / M)
+  private[graft] val S07Codes = 16 // codewords per subspace (4-bit codes)
+  private[graft] val S07Rounds = 2 // per-subspace Lloyd rounds
+
+  /** Squared L2 distance via the inner-product identity
+    * ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — three native codegen'd dot
+    * products, mirrored term-for-term by the oracle's
+    * list_inner_product algebra so both engines evaluate the identical
+    * floating-point expression (same products, same summation order). */
+  private def l2sq(a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions.array_dot
+    array_dot(a, a) - lit(2.0) * array_dot(a, b) + array_dot(b, b)
+  }
+
+  /** (vec_id, sub, v) subvector rows — each 64-dim vector split into
+    * [[S07Subspaces]] contiguous [[S07SubDim]]-dim slices. One narrow
+    * map-side explode; no shuffle. */
+  private def subvecs(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(S07Subspaces - 1))).as("sub"), col("e"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("e"), col("sub") * S07SubDim + 1, lit(S07SubDim)).as("v"))
+
+  /** Argmin-L2 codeword per (vec_id, sub) against a codebook — the PQ
+    * ENCODE step. The codebook ([[S07Subspaces]]·[[S07Codes]] = 128
+    * rows) broadcasts; min_by over the (rounded d², cid) struct is the
+    * deterministic argmin + lowest-cid tie-break the oracle's
+    * row_number window expresses, but as a declarative aggregate it
+    * partial-aggregates map-side: each subvector's [[S07Codes]]
+    * candidate rows collapse before the shuffle, so the exchange
+    * carries n·M rows, not n·M·[[S07Codes]] (the s03 max_by rationale). */
+  private def s07Encode(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", round(l2sq(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+
+  /** Per-subspace PQ codebooks — [[S07Codes]] codewords per subspace,
+    * stride seeds (the s03 data-independent rule, applied to each
+    * subspace's slice of the same seed vectors) refined by `rounds`
+    * Lloyd rounds. A round = encode (argmin-L2, partial-aggregated) +
+    * per-(sub, cid, dim) member mean rounded 1e-6 in both engines —
+    * the [[trainedCentroids]] machinery with `sub` as one more
+    * grouping column, so all M subquantizers train in the SAME two
+    * aggregations per round (one corpus pass each), never M separate
+    * jobs. */
+  private[graft] def s07Codebooks(
+      spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val sv = subvecs(spark, dir)
+    val n = Tables(spark, dir, "embeddings").count() // metadata count, cheap
+    val stride = math.max(1L, n / S07Codes)
+    var cb = sv
+      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < S07Codes)
+      .select(col("sub"), (col("vec_id") / stride).cast("int").as("cid"),
+        col("v").as("cv"))
+    for (_ <- 1 to rounds)
+      cb = s07Encode(sv, cb)
+        .select(col("sub"), col("cid"), posexplode(col("v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("x"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          t => t("x")).as("cv"))
+    cb
+  }
+
+  /** s07: PRODUCT-QUANTIZATION ADC search (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory-compression tier a 10⁹-vector ANN deployment stores its
+    * corpus in. Each vector is encoded as M = [[S07Subspaces]] 4-bit
+    * codes (argmin-L2 against a per-subspace [[S07Codes]]-codeword
+    * codebook — [[s07Codebooks]]): 8 codes ≈ 4 bytes/vector vs 256
+    * bytes of floats, a 64× compression that is what actually lets a
+    * corpus-sized index fit in cluster RAM (s05's int8 census is the
+    * 4× scalar face; this is the vector-quantization face). Search is
+    * ASYMMETRIC distance computation: the query stays un-quantized,
+    * one M·[[S07Codes]] = 128-entry lookup table of exact
+    * query-to-codeword distances is built per query (the only float
+    * math at query time), and each candidate's approximate distance is
+    * M integer table lookups summed — no per-candidate vector
+    * arithmetic at all.
+    *
+    * 100 TB shape: codebooks train in 2·rounds corpus passes (all M
+    * subquantizers per pass), codes are one encode pass, the distance
+    * tables broadcast (queries·128 rows), and the scored scan is
+    * map-side until one (qid, nid)-key partial-aggregated shuffle of
+    * n·queries rows. Per-subspace distances land in integer
+    * MICRO-UNITS (round(d²·1e6) — the s05/t02 rule) BEFORE the
+    * per-candidate sum, so the ADC total is an exact integer in any
+    * fold order and the ranking is invariant to partitioning and
+    * engine; the DuckDB oracle ([[s07OracleSql]], CTE chain generated
+    * per Lloyd round like [[s04OracleSql]]) replays
+    * train+encode+table+scan row-for-row. Real deployments compose
+    * this with the s06 IVF (probe cells first, ADC-scan inside);
+    * standalone ADC is the exhaustive-scan face gateable at driver
+    * SFs. */
+  def s07PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val sv = subvecs(spark, dir)
+    val cb = s07Codebooks(spark, dir, S07Rounds)
+    val codes = s07Encode(sv, cb).select(col("vec_id"), col("sub"), col("cid"))
+    val dtab = sv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(cb, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
+    val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("unit")).as("adc_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("vec_id").as("neighbor_id"), col("adc_units"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** ‖a−b‖² in DuckDB by the identical inner-product identity as
+    * [[l2sq]] — same three dot products, same left-associated sum. */
+  private def s07DistSql(a: String, b: String) =
+    s"(list_inner_product($a, $a) - 2*list_inner_product($a, $b) + list_inner_product($b, $b))"
+
+  /** s07 oracle: subvector split, stride-seeded per-subspace codebooks,
+    * `rounds` Lloyd rounds (CTE chain generated per round — the
+    * [[s04OracleSql]] rule, so changing [[S07Rounds]] cannot
+    * desynchronize engine and oracle), encode, per-query distance
+    * table in integer micro-units, and the summed-lookup ADC ranking. */
+  private[graft] def s07OracleSql(rounds: Int): String = {
+    val train = (1 to rounds).map { r =>
+      s"pa${r - 1} AS (SELECT vec_id, sub, v, cid FROM (" +
+        s"SELECT s.vec_id, s.sub, s.v, c.cid, " +
+        "row_number() OVER (PARTITION BY s.vec_id, s.sub " +
+        s"ORDER BY round(${s07DistSql("s.v", "c.cv")}, 6), c.cid) AS rk " +
+        s"FROM sv s JOIN cb${r - 1} c ON s.sub = c.sub) WHERE rk = 1), " +
+        s"pd$r AS (SELECT sub, cid, i, round(avg(v[i]), 6) AS x " +
+        s"FROM pa${r - 1} CROSS JOIN range(1, ${S07SubDim + 1}) t(i) GROUP BY sub, cid, i), " +
+        s"cb$r AS (SELECT sub, cid, list(x ORDER BY i) AS cv FROM pd$r GROUP BY sub, cid), "
+    }.mkString
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      s"sv AS (SELECT vec_id, s.sub, list_slice(emb, s.sub*$S07SubDim + 1, s.sub*$S07SubDim + $S07SubDim) AS v " +
+      s"FROM e CROSS JOIN range(0, $S07Subspaces) s(sub)), " +
+      s"params AS (SELECT greatest(1, (SELECT count(*) FROM e) // $S07Codes) AS stride), " +
+      s"cb0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, v AS cv FROM sv, params " +
+      s"WHERE vec_id % stride = 0 AND vec_id // stride < $S07Codes), " +
+      train +
+      "codes AS (SELECT vec_id, sub, cid FROM (" +
+      "SELECT s.vec_id, s.sub, c.cid, " +
+      "row_number() OVER (PARTITION BY s.vec_id, s.sub " +
+      s"ORDER BY round(${s07DistSql("s.v", "c.cv")}, 6), c.cid) AS rk " +
+      s"FROM sv s JOIN cb$rounds c ON s.sub = c.sub) WHERE rk = 1), " +
+      "dtab AS (SELECT q.vec_id AS qid, c.sub, c.cid, " +
+      s"CAST(round(${s07DistSql("q.v", "c.cv")} * 1e6, 0) AS BIGINT) AS unit " +
+      s"FROM sv q JOIN cb$rounds c ON q.sub = c.sub WHERE q.vec_id < 10), " +
+      "scored AS (SELECT d.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM codes k JOIN dtab d ON k.sub = d.sub AND k.cid = d.cid " +
+      "WHERE k.vec_id <> d.qid GROUP BY d.qid, k.vec_id) " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, adc_units FROM (" +
+      "SELECT qid, nid, adc_units, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM scored) " +
+      "WHERE rn <= 5 ORDER BY query_id, rnk"
+  }
+
   private val s05ErrSql =
     "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
 
@@ -761,6 +927,7 @@ object Similarity {
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
     "s06_ann_ivf_2level" -> s06OracleSql(LloydRounds),
+    "s07_pq_adc" -> s07OracleSql(S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

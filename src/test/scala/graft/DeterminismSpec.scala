@@ -56,7 +56,12 @@ class DeterminismSpec extends AnyFunSuite {
     // fine rank windows must not depend on partitioning) and the
     // delta-vs-index incremental dedup (bucketed-index candidate join
     // + verify must not show bucket or partition boundaries)
-    "s06_ann_ivf_2level", "d13_incremental_dedup")
+    "s06_ann_ivf_2level", "d13_incremental_dedup",
+    // the PQ ADC pipeline: per-subspace float-mean training, argmin
+    // encode, and the integer table-lookup sum — none of codebook
+    // training, encode tie-breaks, or the ADC fold may show
+    // partition boundaries
+    "s07_pq_adc")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

@@ -184,6 +184,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
   }
 
+  test("s07 PQ ADC ranks planted near-copies first and orders them below background") {
+    import org.apache.spark.sql.functions._
+    // the s06 planted-fixture family: 200 seeded uniform vectors +
+    // near-copies of vectors 0-4 at cos≈0.9999. A near-copy encodes to
+    // the SAME 8 codes as its query's subvectors (per subspace, the
+    // copy's argmin codeword is the query's argmin codeword), so its
+    // ADC distance is the minimum attainable for that query — rank 1
+    // unless a background vector ties on all 8 codes (P ≈ 16⁻⁸ each)
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val base = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val dups = spark.range(5).toDF("src")
+      .select((col("src") + 1000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(col("src"), i) + lit(0.0005)).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("s07fix").toString
+    base.unionAll(dups).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val rows = Similarity.s07PqAdc(spark, fixture)
+      .filter(col("query_id") < 5)
+      .select("query_id", "rnk", "neighbor_id", "adc_units").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val top1 = rows.filter(_._2 == 1L).map(t => (t._1, t._3)).toSeq.sortBy(_._1)
+    assert(top1 == (0L until 5L).map(i => (i, i + 1000L)),
+      s"each planted copy must be its query's rank-1 ADC neighbor: $top1")
+    // the copy's quantized distance must sit strictly below every
+    // background candidate's (not merely tie-break ahead of it)
+    for (q <- 0L until 5L) {
+      val mine = rows.filter(r => r._1 == q)
+      val copyD = mine.find(_._3 == q + 1000L).get._4
+      val bgMin = mine.filter(_._3 < 1000L).map(_._4).min
+      assert(copyD < bgMin,
+        s"query $q: copy ADC $copyD must beat background min $bgMin")
+    }
+  }
+
   test("d13 incremental cycle: delta dedups against the index, fold-in makes it visible to the next batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

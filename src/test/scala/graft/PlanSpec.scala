@@ -385,6 +385,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("No Partition Defined"), s"global window crept in:\n$p")
   }
 
+  test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
+    val p = plan(Similarity.s07PqAdc(spark, sf))
+    // encode joins subvectors to the 128-row codebook on `sub`, the
+    // scored scan joins codes to the broadcast distance table on
+    // (sub, cid) — all keyed broadcast hash joins; an unkeyed product
+    // would re-rank the corpus per query, the shape ADC exists to kill
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"s07 join degraded to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/dtab joins must broadcast:\n$p")
+    // the ADC ranking window is partitioned by qid — never global
+    assert(!p.contains("No Partition Defined"), s"global window crept in:\n$p")
+  }
+
   test("m05 media near-dup: both pair tiers join keyed, never cartesian") {
     val p = plan(operators.Multimodal.m05MediaNeardup(spark, sf))
     // dhash pairs join on (band, bh), content pairs on the full hash —
