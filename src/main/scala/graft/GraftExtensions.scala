@@ -90,6 +90,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litNum(exprs(1), "word_shingles").toInt)
         }))
     ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.WordNgrams].getName, "word_ngrams"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "word_ngrams expects (text, k)")
+          graft.functions.WordNgrams(exprs.head,
+            litNum(exprs(1), "word_ngrams").toInt)
+        }))
+    ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_band_keys"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.MinHashBandKeys].getName, "minhash_band_keys"),

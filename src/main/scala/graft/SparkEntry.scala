@@ -197,6 +197,9 @@ object SparkEntry {
     // sketch (4×1024 cells total); gate = exact top-k + CMS
     // guarantee invariants (q23 pattern)
     "t13_cms_heavy_hitters" -> (TextOps.t13CmsHeavyHitters _),
+    // t14: bigram LM quality score — Laplace-smoothed self-perplexity
+    // in integer 1e-4-nat units (the CCNet-style LM fluency filter)
+    "t14_lm_score" -> (TextOps.t14LmScore _),
     // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01

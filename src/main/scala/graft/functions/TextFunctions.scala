@@ -23,6 +23,12 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     ShingleFunctions.word_shingles(rtrim(text), k)
 
+  /** ALL word k-grams in order WITH multiplicity — the counting twin
+    * of [[wordShingles]] (same native single-pass tokenizer; the t14
+    * bigram LM needs every occurrence, not the distinct set). */
+  def wordNgrams(text: Column, k: Int): Column =
+    ShingleFunctions.word_ngrams(rtrim(text), k)
+
   /** Occurrence count of tokens drawn from a fixed vocabulary. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(vocab.map(x => x: Any): _*))).cast("long")

@@ -395,6 +395,65 @@ object TextOps {
     * failure probability at e⁻⁴, and the fixed seeds make the check
     * deterministic per corpus — measured true at sf0.001/0.01/0.1 and
     * the 10× planted corpus). */
+  private[graft] val T14Unit = 10000L // ln grid: 1e-4 nats per unit
+
+  /** t14: bigram language-model quality score — the perplexity-style
+    * fluency signal (CCNet's LM filter, the standard third leg next to
+    * the t02 heuristic blend and the t10 frequency census). A bigram
+    * model is trained ON THE CORPUS ITSELF (self-perplexity: template
+    * spam and gibberish score far from the corpus average; a
+    * production pipeline swapping in an EXTERNAL model changes only
+    * where the count tables come from — the operator shape, a token
+    * stream joined to probability tables, is identical), with Laplace
+    * smoothing so every bigram has positive mass:
+    *
+    *   nll(a b) = ln((C1(a) + V) / (C2(a,b) + 1))
+    *
+    * where C2 = corpus count of the bigram, C1 = corpus count of the
+    * prefix token (as a bigram prefix, so C2 ≤ C1 holds exactly and
+    * nll > 0 always), and V = distinct prefix types. Laplace is chosen
+    * over Kneser-Ney BECAUSE it is exactly replayable cross-engine —
+    * the count tables are integers and the single ln per distinct
+    * (C1, C2) pair reuses the proven t05 ln seam.
+    *
+    * 100 TB shape: bigrams come from one codegen'd pass (native
+    * word_ngrams — the counting twin of the dedup tier's
+    * word_shingles); C2/C1 are map-side partial-aggregated counts over
+    * bigram/prefix TYPES (vocabulary-sized, NOT corpus-sized); the
+    * scoring joins shuffle on their keys — bigram types over 100 TB of
+    * web text are not driver-sized, so no broadcast is assumed (AQE
+    * broadcasts at gate SFs where they do fit); V attaches as a 1-row
+    * broadcast. Each bigram's nll lands in integer 1e-4-nat units
+    * (floor — the s05/t02 grid rule) BEFORE the per-doc sum, so doc
+    * totals are exact integers in any fold order, and the per-doc mean
+    * is a TRUE integer division (the t12 rule). Docs with no bigram
+    * (< 2 tokens) surface with zeros via the left join — a quality
+    * score that silently drops short docs would pass them unfiltered. */
+  def t14LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bg = d.select(col("doc_id"),
+      explode(wordNgrams(col("text"), 2)).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.select(substring_index(col("bg"), " ", 1).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val scored = bg
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(c2, "bg")
+      .join(c1, "a")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(log((col("c1") + col("v")).cast("double") / (col("c2") + lit(1)))
+          * T14Unit).cast("long").as("nll"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum_e4"))
+      .withColumn("avg_nll_e4", expr("nll_sum_e4 div n_bigrams"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "nll_sum_e4", "avg_nll_e4"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e4"), col("avg_nll_e4"))
+      .orderBy("doc_id")
+  }
+
   def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
     // ONE corpus pass emits all depth rows: each token occurrence
@@ -424,6 +483,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "t14_lm_score" ->
+      // same tokenization as t01/t12; bigrams with multiplicity via
+      // list_transform over 1-based positions (the t12 slice idiom);
+      // Laplace-smoothed nll per bigram floored onto the 1e-4-nat
+      // integer grid BEFORE the per-doc sum, true integer division
+      // for the mean, left join so bigram-less docs carry zeros
+      ("WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> array_to_string(w[i:i+1], ' '))) AS bg FROM tok), " +
+        "c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg), " +
+        "c1 AS (SELECT split_part(bg, ' ', 1) AS a, count(*) AS c1 FROM bg GROUP BY a), " +
+        "v AS (SELECT count(*) AS v FROM c1), " +
+        "scored AS (SELECT b.doc_id, CAST(floor(ln((c1.c1 + v.v) / CAST(c2.c2 + 1 AS DOUBLE)) " +
+        s"* $T14Unit) AS BIGINT) AS nll " +
+        "FROM bg b JOIN c2 ON b.bg = c2.bg " +
+        "JOIN c1 ON split_part(b.bg, ' ', 1) = c1.a CROSS JOIN v), " +
+        "per_doc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_sum_e4, " +
+        "CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_e4 FROM scored GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(p.nll_sum_e4, 0) AS nll_sum_e4, coalesce(p.avg_nll_e4, 0) AS avg_nll_e4 " +
+        "FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id"),
     "t13_cms_heavy_hitters" ->
       // exact top-k replayed; the CMS guarantees are hardcoded true —
       // the Spark side must have measured them true (q23 pattern)

@@ -61,7 +61,11 @@ class DeterminismSpec extends AnyFunSuite {
     // encode, and the integer table-lookup sum — none of codebook
     // training, encode tie-breaks, or the ADC fold may show
     // partition boundaries
-    "s07_pq_adc")
+    "s07_pq_adc",
+    // the bigram LM: corpus count tables + the integer nll fold —
+    // neither count-join order nor the per-doc sum may show
+    // partition boundaries
+    "t14_lm_score")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

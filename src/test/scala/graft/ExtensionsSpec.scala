@@ -59,6 +59,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(lsh.getInt(1) == 16) // 32 perms / 2 rows per band
     assert(lsh.getInt(2) == 12)
 
+    // word_ngrams: the counting twin — multiplicity preserved, in
+    // document order (word_shingles would collapse the repeat)
+    val ng = ext.sql("SELECT word_ngrams('a b a b', 2) AS ng").collect().head
+    assert(ng.getSeq[String](0) == Seq("a b", "b a", "a b"))
+
     // the runtime-filter bloom pair: build in a scalar subquery over a
     // keyed view, probe with might_contain — present keys always hit
     // (no false negatives), and a disjoint probe set mostly misses

@@ -184,6 +184,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
   }
 
+  test("t14 bigram LM score matches hand-computed Laplace nll on a fixed corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus: C2("a b")=3, C2("b a")=1, C2("z z")=1; prefixes
+    // C1(a)=3, C1(b)=1, C1(z)=1; V=3 prefix types. So
+    // nll("a b") = floor(ln(6/4)*1e4) = 4054,
+    // nll("b a") = nll("z z") = floor(ln(4/2)*1e4) = 6931.
+    // doc 4 has one token -> no bigram -> zeros via the left join.
+    val fixture = java.nio.file.Files.createTempDirectory("t14fix").toString
+    Seq(1L -> "a b a b", 2L -> "a b", 3L -> "z z", 4L -> "solo")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t14LmScore(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 4054L + 6931L + 4054L, (4054L + 6931L + 4054L) / 3L),
+      (2L, 1L, 4054L, 4054L),
+      (3L, 1L, 6931L, 6931L),
+      (4L, 0L, 0L, 0L)), s"unexpected t14 rows: $rows")
+    // the fluency ordering the score exists for: the doc made of the
+    // corpus-frequent bigram reads as MORE predictable (lower mean
+    // nll) than the doc with the singleton bigram
+    assert(rows(1)._4 < rows(2)._4)
+  }
+
   test("s07 PQ ADC ranks planted near-copies first and orders them below background") {
     import org.apache.spark.sql.functions._
     // the s06 planted-fixture family: 200 seeded uniform vectors +

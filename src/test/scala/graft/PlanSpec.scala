@@ -385,6 +385,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("No Partition Defined"), s"global window crept in:\n$p")
   }
 
+  test("t14 bigram LM: keyed count joins, only the 1-row V attach nested-loops") {
+    val p = plan(operators.TextOps.t14LmScore(spark, sf))
+    // the C2/C1 scoring joins and the per-doc left join are keyed hash
+    // joins (bigram types at 100 TB are not driver-sized; AQE may
+    // broadcast at gate SFs) — never a product over the token stream
+    assert(!p.contains("CartesianProduct"), s"scoring join degraded to a product:\n$p")
+    // exactly one nested-loop attach: the deliberate 1-row V broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the V attach may nested-loop:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
