@@ -204,6 +204,10 @@ object SparkEntry {
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01
     "st06_streaming_sessionize" -> (graft.streaming.StreamingOps.st06StreamingSessionize _),
+    // st07: the incremental-dedup ingest cycle under the streaming
+    // runtime — delta files stream against the persisted d13 index
+    // (stream-static band join + static shingle-store verify)
+    "st07_streaming_delta_dedup" -> (graft.streaming.StreamingOps.st07StreamingDeltaDedup _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

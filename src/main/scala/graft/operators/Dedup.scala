@@ -494,6 +494,17 @@ object Dedup {
     * design: a production cycle runs the batch through d01/d04 on its
     * own ~batch-sized data first, then delta-vs-index, then folds. */
   def d13IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, delta) = d13GateSplit(spark, dir)
+    val (bandT, shT) = d13BuildIndex(spark, corpus)
+    d13DeltaVsIndex(spark, delta, bandT, shT)
+  }
+
+  /** The d13 gate's (corpus, delta) construction — p04 split buckets
+    * plus the deterministic delta-side canary — shared with the
+    * STREAMING face of the same cycle (st07), so both gates dedup the
+    * identical delta against the identical corpus. */
+  private[graft] def d13GateSplit(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = docs(spark, dir).select(col("doc_id"), col("text"))
     val src = base
       .filter(Sinks.splitBucket(col("doc_id")) < 990 &&
@@ -504,11 +515,56 @@ object Dedup {
       .select((expr("mx div 1000") + 1) * 1000 + D13CanaryResidue, col("text"))
       .toDF("doc_id", "text")
     val all = base.unionAll(canary)
-    val corpus = all.filter(Sinks.splitBucket(col("doc_id")) < 990)
-    val delta = all.filter(Sinks.splitBucket(col("doc_id")) >= 990)
-    val (bandT, shT) = d13BuildIndex(spark, corpus)
-    d13DeltaVsIndex(spark, delta, bandT, shT)
+    (all.filter(Sinks.splitBucket(col("doc_id")) < 990),
+      all.filter(Sinks.splitBucket(col("doc_id")) >= 990))
   }
+
+  /** The STREAMING twin of [[d13DeltaVsIndex]] — the delta arrives as a
+    * stream (file source over the landed batch), the index tables stay
+    * static; candidates come from the same stream-static band join
+    * against the bucketed postings. Two forced differences from the
+    * batch form, neither changing the result set:
+    *
+    *  - the delta's shingle sets RIDE WITH the band keys (the fused-d09
+    *    shape) because the candidate set can't re-join a second
+    *    streaming read of the delta (stream-stream joins need
+    *    watermarks the docs don't carry) — the delta is the small side
+    *    by construction, so bandsL× its shingle volume is bounded;
+    *  - candidate dedup is dropDuplicates keyed state instead of
+    *    distinct() (a streaming aggregate would force Update mode; the
+    *    kept row's `sha` is functionally determined by delta_id, so
+    *    first-row-wins is deterministic), and the output is unsorted
+    *    (append sinks cannot sort — the gate compares as a multiset).
+    *
+    * State is bounded by the batch's candidate count on the bounded
+    * gate; a continuous deploy adds an arrival-time watermark on the
+    * file source so per-batch dedup state ages out. */
+  private[graft] def d13DeltaVsIndexStream(spark: SparkSession,
+      deltaStream: DataFrame, bandT: String, shT: String): DataFrame = {
+    val dsh = shingledOf(deltaStream)
+    val cands = minhashBandsOf2(dsh).as("d")
+      .join(spark.table(bandT).as("c"),
+        col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+      .select(col("d.doc_id").as("delta_id"), col("d.sh").as("sha"),
+        col("c.doc_id").as("corpus_id"))
+      .dropDuplicates("delta_id", "corpus_id")
+    cands
+      .join(spark.table(shT).select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("delta_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** [[minhashBandsOf]] but KEEPING the shingle column alongside the
+    * band keys — the fused shape the streaming delta join needs. */
+  private def minhashBandsOf2(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sh"),
+        posexplode(graft.functions.MinHashFunctions.minhash_band_keys(
+          col("sh"), MinHashPerms, BandRows)))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bh"))
 
   private val SimHashChunks = 8
   private val HammingMax = 6
@@ -1070,7 +1126,7 @@ object Dedup {
     * the delta-vs-corpus EXACT Jaccard join stated directly — the
     * persisted-index candidate generation must be semantically
     * invisible (the d04-equals-d03 argument, cross-split). */
-  private val d13Sql: String =
+  private[graft] val d13Sql: String =
     "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
       s"SELECT (SELECT (max(doc_id) // 1000 + 1) * 1000 + $D13CanaryResidue FROM documents), " +
       "(SELECT text FROM documents WHERE ((doc_id % 1000) * 761) % 1000 < 990 " +

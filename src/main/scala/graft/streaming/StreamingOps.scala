@@ -417,7 +417,50 @@ object StreamingOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** st07: the INCREMENTAL-DEDUP INGEST CYCLE under the streaming
+    * runtime — the continuous face of d13. The batch gate proves
+    * delta-vs-index dedup works when someone RUNS it; a production
+    * 100 TB pipeline wants it to happen AS data lands: documents
+    * arrive as files, each micro-batch is shingled/banded and joined
+    * STREAM-STATIC against the persisted bucketed MinHash index
+    * ([[graft.operators.Dedup.d13DeltaVsIndexStream]]), verified by
+    * exact Jaccard against the static shingle store, and flagged
+    * duplicates land in an append file sink. Only the delta ever
+    * enters the streaming state; the corpus index is the static side
+    * of both joins and is never re-shuffled per batch.
+    *
+    * Gate shape: the same (corpus, delta + canary) split as d13
+    * ([[graft.operators.Dedup.d13GateSplit]]), the delta landed to a
+    * scratch dir and streamed back (the file-ingest shape), and the
+    * invariant row compares the streamed pair multiset against the
+    * batch [[graft.operators.Dedup.d13DeltaVsIndex]] over the SAME
+    * index tables — st03's equivalence pattern applied to the ingest
+    * cycle. The canary guarantees n_pairs ≥ 1 at every SF, so the
+    * equivalence is never vacuous. */
+  def st07StreamingDeltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val (corpus, delta) = Dedup.d13GateSplit(spark, dir)
+    val (bandT, shT) = Dedup.d13BuildIndex(spark, corpus)
+    val deltaRoot = graft.core.IO.scratchDir("graft-st07-delta")
+    delta.write.mode("overwrite").parquet(deltaRoot)
+    val deltaStream = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .parquet(deltaRoot)
+    val streamed = runToFiles(spark,
+      Dedup.d13DeltaVsIndexStream(spark, deltaStream, bandT, shT), "graft-st07")
+    val batch = Dedup.d13DeltaVsIndex(spark, delta, bandT, shT)
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st07_streaming_delta_dedup" ->
+      // the d13 oracle (delta-vs-corpus exact Jaccard join, canary
+      // included) reduced to the st03-style invariant row: the
+      // streaming ingest cycle must reproduce the batch pair multiset
+      ("SELECT count(*) AS n_pairs, true AS stream_matches_batch FROM (" +
+        graft.operators.Dedup.d13Sql + ")"),
     "st06_streaming_sessionize" ->
       // st01's lag-based SQL sessionization, totals in exact cents —
       // the streaming state machine must reproduce the batch

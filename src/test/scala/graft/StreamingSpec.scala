@@ -187,6 +187,40 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-cleared sessions missing: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the d13 OperatorSpec fixture: 120-word docs, near-dup differs in
+    // 3 positions (Jaccard ≈ 0.86 > 0.6)
+    def words(base: Int): Seq[String] = (0 until 120).map(i => s"w${base + i}")
+    def mutate(ws: Seq[String], tag: String): Seq[String] =
+      ws.zipWithIndex.map { case (w, i) =>
+        if (i == 10 || i == 50 || i == 90) s"x$tag$i" else w }
+    val corpus = Seq(
+      1L -> words(0).mkString(" "), 2L -> words(1000).mkString(" "))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      100L -> mutate(words(0), "a").mkString(" "), // near-dup of doc 1
+      101L -> words(2000).mkString(" ")            // fresh content
+    ).toDF("doc_id", "text")
+    val (bandT, shT) = Dedup.d13BuildIndex(spark, corpus)
+    val deltaRoot = graft.core.IO.scratchDir("graft-st07-test")
+    delta.write.mode("overwrite").parquet(deltaRoot)
+    val deltaStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .parquet(deltaRoot)
+    val streamed = StreamingOps.runToFiles(spark,
+      Dedup.d13DeltaVsIndexStream(spark, deltaStream, bandT, shT), "graft-st07-t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.map(p => (p._1, p._2)) == Seq((100L, 1L)),
+      s"stream must flag exactly the planted near-dup: $streamed")
+    val batch = Dedup.d13DeltaVsIndex(spark, delta, bandT, shT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.sorted == batch.sorted,
+      s"stream/batch divergence: $streamed vs $batch")
+  }
+
   test("st06 gate: timeout sessionizer reproduces st01's sessions on the real feed") {
     // the gate form (sentinel-closed EventTimeTimeout run over the
     // events file) must agree with the declarative session_window
