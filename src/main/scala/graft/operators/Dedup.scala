@@ -871,7 +871,8 @@ object Dedup {
   /** LSH candidates + exact cosine verify — the reusable core of d09
     * (the planted-fixture test runs the same pipeline).
     *
-    * Two physically different plans compute the IDENTICAL pair set;
+    * THREE physically different plans compute the IDENTICAL pair set
+    * (this unfused form, the fused join, and the bucket-local form);
     * which wins depends on the candidate-to-corpus ratio, and
     * [[lshCosineVerifiedPairsAuto]] picks per corpus from the
     * band-occupancy census — callers should go through it:
@@ -944,10 +945,12 @@ object Dedup {
     * τ-survivors. Bucket arrays are bounded by the band cap
     * ([[capBandBuckets]] runs first), so a row is at most cap·(vector
     * bytes) — the same bound the fused join's per-key build side has.
-    * Measured (DensitySweep, NOTES round 11): on the uniform
-    * dense-candidate corpus this cuts the fused wall further at every
-    * n; on sparse-candidate corpora the unfused default still wins on
-    * shuffle volume (vectors never ride the band shuffle there). */
+    * Measured (DensitySweep, NOTES round 11): bucket-local ≤ fused at
+    * EVERY density and the gap widens with it — 1.4 vs 3.1 s at
+    * pe/n ≈ 548 (n=20k), 1.7 vs 3.2 s at pe/n ≈ 1090 (n=40k, where
+    * unfused reads 23.9 s) — so the router's dense branch picks THIS
+    * form. On sparse-candidate corpora the unfused default still wins
+    * on shuffle volume (vectors never ride the band shuffle there). */
   private[graft] def lshCosineVerifiedPairsBucketLocal(
       emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame =
     bucketLocalFromKeyed(
@@ -967,13 +970,15 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos_sim"))
       .distinct()
 
-  /** Candidate-density crossover of the d09 plan router: the fused
-    * plan is chosen when expected pair events exceed this multiple of
-    * the corpus size. Measured (graft.tools.DensitySweep, NOTES round
-    * 7): on uniform 64-dim corpora the fused plan wins at every
-    * measured density — 1.5× at pe/n ≈ 55 widening to 5.4× at
-    * pe/n ≈ 1090 (and 10-50× at ScaleCheck's 50.5k vectors) — so the
-    * local walls alone would route everything fused. The unfused plan
+  /** Candidate-density crossover of the d09 plan router: the dense
+    * family (bucket-local since round 11; previously fused) is chosen
+    * when expected pair events exceed this multiple of the corpus
+    * size. Measured (graft.tools.DensitySweep, NOTES rounds 7/11): on
+    * uniform 64-dim corpora the dense plans win at every measured
+    * density — fused 1.5× at pe/n ≈ 55 widening to 5.4× at
+    * pe/n ≈ 1090 (10-50× at ScaleCheck's 50.5k vectors), bucket-local
+    * another ~2× past fused at the dense end — so the
+    * local walls alone would route everything dense. The unfused plan
     * earns its keep on what local benches cannot show: SHUFFLE VOLUME
     * at production scale — on a sparse-candidate corpus (real near-dup
     * data, background cos ≈ 0) candidates are O(n) and pe/n ≈
@@ -992,15 +997,20 @@ object Dedup {
     * band keys (a single codegen'd pass over the vectors; caching the
     * keyed rows across census and join would trade that for
     * executor-storage lifecycle management inside a lazy plan, a bad
-    * deal at this cost). Both plans produce the identical pair set
-    * (OperatorSpec pins set equality), so routing never changes
-    * results — only which regime pays its natural cost. */
+    * deal at this cost). The DENSE branch routes BUCKET-LOCAL
+    * ([[lshCosineVerifiedPairsBucketLocal]]) since round 11 — it won
+    * the DensitySweep at every measured density over the fused join
+    * it replaced (same vectors-ride-the-shuffle volume profile, but
+    * pair events never cross a join). All three plans produce the
+    * identical pair set (OperatorSpec pins set equality), so routing
+    * never changes results — only which regime pays its natural
+    * cost. */
   private[graft] def lshCosineVerifiedPairsAuto(
       emb: DataFrame, tau: Double, bitsB: Int, bandsL: Int): DataFrame = {
     val n = emb.count()
     val keyed = cappedCosineBands(emb, bitsB, bandsL, n)
     if (expectedPairEvents(keyed) > D09FusedCrossover * n)
-      fusedFromKeyed(keyed, emb, tau)
+      bucketLocalFromKeyed(keyed, emb, tau)
     else unfusedFromKeyed(keyed, emb, tau)
   }
 

@@ -184,6 +184,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
   }
 
+  test("p08 z-order layout: user-dim skipping wins, ts-sort keeps its own dimension") {
+    val rows = Sinks.p08ZorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, zr, zt, zu) = rows("zorder")
+    val (_, tr, tt, tu) = rows("ts_only")
+    assert(zr == tr, "both layouts must census every row")
+    // ts-only layout: every file's user box spans ~the whole domain
+    // (min/max skipping blind on user predicates); z-order partitions
+    // user bits across files — the defining win, with margin
+    assert(zu * 2 <= tu, s"z-order must tighten user boxes ≥2×: $zu vs $tu")
+    // the price z-order pays: time boxes widen — the ts-sorted layout
+    // must still win its own dimension
+    assert(tt <= zt, s"ts-sort must win the time dimension: $tt vs $zt")
+  }
+
   test("t14 bigram LM score matches hand-computed Laplace nll on a fixed corpus") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -773,12 +789,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.expectedPairEvents(keyed.limit(0)) == 0L)
   }
 
-  test("d09 router: sparse routes unfused, dense routes fused, output invariant") {
+  test("d09 router: sparse routes unfused, dense routes bucket-local, output invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // the router's plan choice is visible at the plan root: the fused
-    // form ends in distinct() (logical Deduplicate), the unfused form
-    // in a Project over the verify
+    // the router's plan choice is visible at the plan root: the dense
+    // family (fused / bucket-local) ends in distinct() (logical
+    // Deduplicate), the unfused form in a Project over the verify
     def rootIsDistinct(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.logical
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Deduplicate]
@@ -820,7 +836,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(peD > Dedup.D09FusedCrossover * 500, s"fixture not dense: pe=$peD")
     val autoD = Dedup.lshCosineVerifiedPairsAuto(
       dense, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands)
-    assert(rootIsDistinct(autoD), "dense corpus must route fused")
+    assert(rootIsDistinct(autoD), "dense corpus must route bucket-local")
     val got = pairs(autoD)
     val viaUnfused = pairs(Dedup.lshCosineVerifiedPairs(
       dense, Dedup.D09Tau, Dedup.D09Bits, Dedup.D09Bands))

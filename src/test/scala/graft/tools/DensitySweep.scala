@@ -22,14 +22,29 @@ object DensitySweep {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private val Planted = 500L
+
   /** Seeded centered-uniform corpus, fully columnar (ScaleCheck's
-    * embedding construction at parameterized size). */
-  private def uniform(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).toDF("vec_id")
+    * embedding construction at parameterized size) PLUS [[Planted]]
+    * near-dup pairs at cos ≈ 0.9999 (the D12AtScale construction) so
+    * the three plans' pair counts are compared on a NON-EMPTY truth
+    * set at every n — uniform background alone sheds zero pairs at
+    * τ = 0.8 and an empty-vs-empty equality can't distinguish
+    * "identical" from "both broken". */
+  private def uniform(spark: SparkSession, n: Long): DataFrame = {
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val base = spark.range(n).toDF("vec_id")
       .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("e"))
+    val dups = spark.range(Planted).toDF("src")
+      .select((col("src") + 10000000L).as("vec_id"),
         transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(col("vec_id"), i), lit(2000001L)).cast("double") / 1e6) - lit(1.0))
-          .as("e"))
+          comp(col("src"), i) +
+            (pmod(xxhash64(lit(99L), col("src"), i), lit(2001L)).cast("double") / 1e6 - lit(0.001))
+        ).as("e"))
+    base.unionAll(dups)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
