@@ -178,6 +178,10 @@ object SparkEntry {
     // p07 runtime bloom-filter semi-join reduction — probe rows pruned
     // before the shuffle with the engine's own bloom primitives
     "p07_bloom_semijoin" -> (Sinks.p07BloomSemiJoin _),
+    // p08 Z-order layout census — Morton-interleaved multi-dim
+    // clustering (the OPTIMIZE ZORDER shape) with per-file bounding
+    // boxes as the expected-scan-cost metric vs the ts-only layout
+    "p08_zorder_layout" -> (Sinks.p08ZorderLayout _),
     // SQL-surface sessionization (batch face of the streaming op)
     "st01_session_window" -> (graft.streaming.StreamingOps.st01SessionWindow _),
     // st02 runs the STREAMING runtime to completion inside the query

@@ -65,7 +65,11 @@ class DeterminismSpec extends AnyFunSuite {
     // the bigram LM: corpus count tables + the integer nll fold —
     // neither count-join order nor the per-doc sum may show
     // partition boundaries
-    "t14_lm_score")
+    "t14_lm_score",
+    // the z-order census: normalization maxes, interleave, and box
+    // min/max aggs are pure integer arithmetic — file assignment must
+    // not show partitioning
+    "p08_zorder_layout")
 
   private def runWith(partitions: String, aqe: String): Map[String, Seq[Seq[Any]]] = {
     val s = base.newSession()

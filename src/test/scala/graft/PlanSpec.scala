@@ -385,6 +385,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("No Partition Defined"), s"global window crept in:\n$p")
   }
 
+  test("p08 z-order census: map-side interleave, only the two 1-row attaches nested-loop") {
+    val p = plan(operators.Sinks.p08ZorderLayout(spark, sf))
+    // z-values and file ids are pure map-side integer expressions; the
+    // only joins in the plan are the two deliberate 1-row broadcast
+    // attaches (corpus start, dimension maxes) — no keyed join, no
+    // product over the events
+    assert(!p.contains("CartesianProduct"), s"census degraded to a product:\n$p")
+    // 3 one-row attaches per union branch (t0 under the grid, t0 again
+    // inside the maxes' own lineage, the maxes) × 2 layout branches
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
+      s"only the 1-row attaches may nested-loop:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no keyed join belongs in a map-side census:\n$p")
+  }
+
   test("t14 bigram LM: keyed count joins, only the 1-row V attach nested-loops") {
     val p = plan(operators.TextOps.t14LmScore(spark, sf))
     // the C2/C1 scoring joins and the per-doc left join are keyed hash
