@@ -204,6 +204,10 @@ object SparkEntry {
     // t14: bigram LM quality score — Laplace-smoothed self-perplexity
     // in integer 1e-4-nat units (the CCNet-style LM fluency filter)
     "t14_lm_score" -> (TextOps.t14LmScore _),
+    // t15: DSIR importance weights + top-⌈n/5⌉ selection — the
+    // data-selection step (target = the en slice) after the quality
+    // tier; integer log-weights, TakeOrderedAndProject top-k
+    "t15_dsir_weights" -> (TextOps.t15DsirWeights _),
     // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01

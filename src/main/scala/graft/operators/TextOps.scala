@@ -454,6 +454,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t15: DSIR importance weights + selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023) — the data-SELECTION step that sits after the
+    * quality tier (t02/t14) in a training pipeline: score every raw
+    * doc by how target-like its token distribution is, then keep the
+    * top slice. Target here = the `lang = 'en'` slice of the corpus
+    * (the dominant-language selection a multilingual crawl actually
+    * runs); raw = the whole corpus. Per-feature log-likelihood ratio
+    * under Laplace-smoothed unigram bag models:
+    *
+    *   lr(t) = ln( ((ct+1)·(Nr+V)) / ((cr+1)·(Nt+V)) )
+    *
+    * with ct/cr the target/raw occurrence counts of token t, Nt/Nr the
+    * total token counts, V the raw vocabulary size. A doc's importance
+    * log-weight is the sum of lr over its token OCCURRENCES; the gate
+    * keeps the top ⌈n/5⌉ docs by weight (tie: doc_id) — DSIR's k-of-n
+    * resample with the Gumbel noise term dropped so the oracle replays
+    * the selection exactly (a production run adds seeded Gumbel noise
+    * to `logw`; the plan shape is identical).
+    *
+    * Cross-engine exactness: the paper's hashed n-gram buckets exist
+    * here as `pmod(xxhash64(t), B)` but DuckDB has no xxhash64, so the
+    * gate uses token TYPES as the feature space (count tables are
+    * vocabulary-sized either way; hashing only caps V at scale). Both
+    * count products are exact int64, one IEEE-double ln per distinct
+    * token floored onto the t14 1e-4-nat integer grid BEFORE the
+    * per-doc sum — integer doc weights, any fold order.
+    *
+    * 100 TB shape: count tables are vocabulary-sized partial-agg
+    * outputs (swap in the hashed-bucket form to cap V); the scoring
+    * join shuffles on the token key exactly like t14 (AQE broadcasts
+    * at gate SFs); totals attach as a 1-row broadcast; the top-k is
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort or window. k comes from one narrow
+    * routing count (the t10 routing-scalar precedent). */
+  def t15DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("t"))
+    val raw = tok.groupBy("t").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val feat = raw.join(tgt, Seq("t"), "left").na.fill(0L, Seq("ct"))
+    val tot = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val lr = feat.crossJoin(broadcast(tot)).select(col("t"),
+      floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
+        ((col("cr") + 1) * (col("nt") + col("v")))) * T14Unit)
+        .cast("long").as("lr_e4"))
+    val perDoc = tok.join(lr, "t").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e4")).as("logw_e4"))
+    val n = d.count() // narrow routing scalar: k for the resample
+    val k = ((n + 4L) / 5L).toInt
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "logw_e4"))
+      .orderBy(col("logw_e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
     // ONE corpus pass emits all depth rows: each token occurrence
@@ -483,6 +542,25 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "t15_dsir_weights" ->
+      // same tokenization as t01/t14; Laplace unigram target/raw
+      // models with exact-integer count products (DuckDB's HUGEINT
+      // sums stay exact), one ln per token type floored onto the
+      // 1e-4-nat grid before the per-doc occurrence sum; top ⌈n/5⌉
+      // selection replayed with the identical (logw, doc_id) order
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(rtrim(text), '\\s+')) AS t FROM documents), " +
+        "rawc AS (SELECT t, count(*) AS cr FROM tok GROUP BY t), " +
+        "tgt AS (SELECT t, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t), " +
+        "feat AS (SELECT r.t, r.cr, coalesce(g.ct, 0) AS ct FROM rawc r LEFT JOIN tgt g USING (t)), " +
+        "tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM feat), " +
+        "lr AS (SELECT t, CAST(floor(ln(CAST((ct + 1) * (nr + v) AS DOUBLE) / ((cr + 1) * (nt + v))) " +
+        s"* $T14Unit) AS BIGINT) AS lr_e4 FROM feat CROSS JOIN tot), " +
+        "per_doc AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lr_e4) AS BIGINT) AS logw_e4 " +
+        "FROM tok JOIN lr USING (t) GROUP BY doc_id), " +
+        "allx AS (SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, " +
+        "coalesce(p.logw_e4, 0) AS logw_e4 FROM documents d LEFT JOIN per_doc p USING (doc_id)) " +
+        "SELECT doc_id, n_tokens, logw_e4 FROM allx ORDER BY logw_e4 DESC, doc_id " +
+        "LIMIT (SELECT (count(*) + 4) // 5 FROM documents)"),
     "t14_lm_score" ->
       // same tokenization as t01/t12; bigrams with multiplicity via
       // list_transform over 1-based positions (the t12 slice idiom);

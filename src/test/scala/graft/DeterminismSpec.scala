@@ -66,6 +66,9 @@ class DeterminismSpec extends AnyFunSuite {
     // neither count-join order nor the per-doc sum may show
     // partition boundaries
     "t14_lm_score",
+    // the DSIR selection: count tables, the integer log-weight fold
+    // and the top-k cutoff may not show partition boundaries
+    "t15_dsir_weights",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

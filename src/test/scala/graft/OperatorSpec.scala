@@ -225,6 +225,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(1)._4 < rows(2)._4)
   }
 
+  test("t15 DSIR weights match hand-computed Laplace log-ratios and select top ⌈n/5⌉") {
+    import spark.implicits._
+    // raw counts a:3 b:2 c:2 (Nr=7, V=3); en-target counts a:3 b:1 c:1
+    // (Nt=5). lr(t) = floor(1e4·ln(((ct+1)·10)/((cr+1)·8))):
+    //   a: ln(40/32) → 2231;  b,c: ln(20/24) → -1824 (floor of negative).
+    // doc weights: d1 = 2·2231 − 1824 = 2638, d3 = 2231 − 1824 = 407,
+    // d2 = −3648. k = ⌈3/5⌉ = 1 → only d1 survives the resample.
+    val fixture = java.nio.file.Files.createTempDirectory("t15fix").toString
+    Seq((1L, "a a b", "en"), (2L, "b c", "de"), (3L, "a c", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t15DsirWeights(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 3L, 2638L)), s"unexpected t15 rows: $rows")
+  }
+
   test("s07 PQ ADC ranks planted near-copies first and orders them below background") {
     import org.apache.spark.sql.functions._
     // the s06 planted-fixture family: 200 seeded uniform vectors +

@@ -411,6 +411,21 @@ class PlanSpec extends AnyFunSuite {
       s"only the V attach may nested-loop:\n$p")
   }
 
+  test("t15 DSIR: keyed scoring join, 1-row totals attach, top-k never a global sort") {
+    val p = plan(operators.TextOps.t15DsirWeights(spark, sf))
+    // the token-scoring join is keyed (vocabulary tables, AQE may
+    // broadcast at gate SFs); the only nested-loop is the deliberate
+    // 1-row Nr/Nt/V totals broadcast
+    assert(!p.contains("CartesianProduct"), s"scoring join degraded to a product:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the totals attach may nested-loop:\n$p")
+    // the k-of-n resample is per-partition heaps + a k-row driver
+    // merge — a global Sort here would shuffle every doc to one
+    // partition at 100 TB
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
