@@ -208,6 +208,10 @@ object SparkEntry {
     // data-selection step (target = the en slice) after the quality
     // tier; integer log-weights, TakeOrderedAndProject top-k
     "t15_dsir_weights" -> (TextOps.t15DsirWeights _),
+    // d14: canonical-doc selection — the survivor-choice step after
+    // clustering: keep the highest-quality member per near-dup
+    // cluster (t02 blend; tie → lowest id), full-corpus keep/drop
+    "d14_canonical_docs" -> (Dedup.d14CanonicalDocs _),
     // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01

@@ -1030,6 +1030,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d14: canonical-document selection — the survivor-choice step a
+    * dedup pipeline runs AFTER clustering: within each near-dup
+    * cluster keep the HIGHEST-QUALITY member (t02's quality_bp; tie →
+    * lowest doc_id), not an arbitrary one — d07's min-id label answers
+    * "which cluster", this answers "which copy to train on" (the
+    * truncated/boilerplate copy loses to the complete one). Every doc
+    * surfaces with its cluster id (singletons are their own cluster),
+    * member count, and the keep/drop verdict — the full-corpus
+    * filter-column shape a pipeline joins against.
+    *
+    * 100 TB shape: cluster labels come from the same pointer-jumping
+    * CC as d07 (at scale they'd be a persisted upstream artifact, not
+    * recomputed — the d13 index pattern); quality is the map-only t02
+    * pass; the survivor argmax is a max_by partial agg on the cluster
+    * key (combiner-sized states, no window over the corpus) and the
+    * verdict attaches back by one keyed join on cluster_id. */
+  def d14CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d03NgramJaccard(spark, dir).select(col("ida"), col("idb"))
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val qual = TextOps.t02Quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    val full = docs(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .join(qual, "doc_id")
+    val canon = full.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      max_by(col("doc_id"), struct(col("quality_bp"), (-col("doc_id")).as("nid")))
+        .as("canonical_id"))
+    full.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   private val CCMaxIters = 25
 
   /** Distributed min-label connected components over an undirected pair
@@ -1179,6 +1214,30 @@ object Dedup {
         "SELECT * FROM r) " +
         "SELECT doc AS doc_id, min(other) AS keep_id FROM reach " +
         "GROUP BY doc ORDER BY doc_id"),
+    "d14_canonical_docs" ->
+      // d07's recursive-CTE components + the SHARED t02 quality
+      // subquery (TextOps.qualityBpSql — one blend, two gates);
+      // survivor = row_number over (quality desc, doc_id) per cluster
+      ("WITH pairs AS (" + jaccardSql.replace(" ORDER BY ida, idb", "") + "), " +
+        "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
+        "UNION ALL SELECT idb, ida FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+        "SELECT doc, doc FROM nodes " +
+        "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+        "SELECT * FROM r), " +
+        "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), " +
+        "qual AS (" + TextOps.qualityBpSql + "), " +
+        "full0 AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id, q.quality_bp " +
+        "FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id " +
+        "JOIN qual q ON q.doc_id = d.doc_id), " +
+        "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM full0 " +
+        "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
+        "nm AS (SELECT cluster_id, count(*) AS n_members FROM full0 GROUP BY cluster_id) " +
+        "SELECT f.doc_id, f.cluster_id, nm.n_members, " +
+        "f.doc_id = c.canonical_id AS is_canonical " +
+        "FROM full0 f JOIN canon c USING (cluster_id) JOIN nm USING (cluster_id) " +
+        "ORDER BY doc_id"),
     "d06_embedding_neardup" ->
       ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim " +

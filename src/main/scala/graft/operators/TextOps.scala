@@ -352,6 +352,19 @@ object TextOps {
   }
 
   private val enIn = enStops.map(s => s"'$s'").mkString(", ")
+
+  /** The t02 quality score as a (doc_id, quality_bp) DuckDB subquery —
+    * shared with the d14 survivor-selection oracle so both gates
+    * replay the IDENTICAL blend (same floor-to-bp rule, same stopword
+    * list); any drift between the two would let d14 pick a different
+    * survivor than the quality tier scores. */
+  private[graft] val qualityBpSql: String =
+    "SELECT doc_id, CAST(floor((0.5 * uniq_ratio + 0.3 * least(stop_ratio * 4.0, 1.0) " +
+      "+ 0.2 * least(n / 50.0, 1.0)) * 10000) AS BIGINT) AS quality_bp " +
+      "FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n, " +
+      "len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS uniq_ratio, " +
+      s"len(list_filter(w, x -> x IN ($enIn))) / CAST(len(w) AS DOUBLE) AS stop_ratio " +
+      "FROM (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents))"
   private val esIn = esStops.map(s => s"'$s'").mkString(", ")
   private val deIn = deStops.map(s => s"'$s'").mkString(", ")
   private val frIn = frStops.map(s => s"'$s'").mkString(", ")

@@ -69,6 +69,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the DSIR selection: count tables, the integer log-weight fold
     // and the top-k cutoff may not show partition boundaries
     "t15_dsir_weights",
+    // the survivor selection: CC labels, the quality argmax and its
+    // tie-break may not show partition boundaries
+    "d14_canonical_docs",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

@@ -241,6 +241,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 3L, 2638L)), s"unexpected t15 rows: $rows")
   }
 
+  test("d14 keeps the highest-quality member per cluster, ties to the lowest id") {
+    import spark.implicits._
+    // docs 1-2 share word-2-gram shingles (jaccard 3/4 ≥ 0.6 → one
+    // cluster); doc 2 is the longer, higher-quality copy (t02 blend:
+    // 5160 vs 5200 bp) so it survives. docs 4-5 are byte-identical →
+    // equal quality, the tie falls to doc 4. doc 3 is a singleton.
+    val fixture = java.nio.file.Files.createTempDirectory("d14fix").toString
+    Seq((1L, "x y z w"), (2L, "x y z w q"), (3L, "solo doc here"),
+        (4L, "p q r s"), (5L, "p q r s"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = Dedup.d14CanonicalDocs(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 3L, 1L, true),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)), s"unexpected d14 rows: $rows")
+  }
+
   test("s07 PQ ADC ranks planted near-copies first and orders them below background") {
     import org.apache.spark.sql.functions._
     // the s06 planted-fixture family: 200 seeded uniform vectors +

@@ -426,6 +426,16 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("d14 survivor selection: keyed joins only, argmax is an agg, never a window") {
+    val p = plan(operators.Dedup.d14CanonicalDocs(spark, sf))
+    // pair gen + CC + quality + survivor attach — every join keyed;
+    // the survivor argmax must be the max_by partial agg on the
+    // cluster key, not a row_number window over the corpus
+    assert(!p.contains("CartesianProduct"), s"a join degraded to a product:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"survivor choice must be an aggregation, not a window:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
