@@ -226,7 +226,8 @@ object Bench {
     // diagnosed here). The set is also published machine-readably as
     // "deliberate_global_windows" in the bench JSON, so a cold reader
     // of the artifact sees the annotation even if a warning leaks.
-    val deliberateGlobalWindows = Seq("q25_moving_window", "p06_size_bins")
+    val deliberateGlobalWindows =
+      Seq("q25_moving_window", "p06_size_bins", "t16_seq_packing")
     def windowExecLevel(l: org.apache.logging.log4j.Level): Unit =
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.window.WindowExec", l)

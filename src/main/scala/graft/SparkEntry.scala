@@ -212,6 +212,10 @@ object SparkEntry {
     // clustering: keep the highest-quality member per near-dup
     // cluster (t02 blend; tie → lowest id), full-corpus keep/drop
     "d14_canonical_docs" -> (Dedup.d14CanonicalDocs _),
+    // t16: sequence-packing census — docs concatenated in id order,
+    // cut into fixed 512-token training sequences; per-doc global
+    // offset + spanned sequences (p06's two-phase prefix sum)
+    "t16_seq_packing" -> (TextOps.t16SeqPacking _),
     // st06: the EventTimeTimeout sessionizer (the unbounded-feed state
     // machine) run as a real streaming query and oracled against the
     // lag-based SQL sessionization — the stateful face of st01

@@ -526,6 +526,47 @@ object TextOps {
       .limit(k)
   }
 
+  private[graft] val T16SeqLen = 512L
+  private[graft] val T16GroupSpan = 64L
+
+  /** t16: sequence-packing census — the pretraining prep step after
+    * tokenize/filter: docs are concatenated in doc_id order and cut
+    * into fixed [[T16SeqLen]]-token training sequences; each doc
+    * reports its global token offset, which sequences it spans
+    * (seq_first/seq_last) and how many — the map a packing writer (and
+    * any loss-masking or doc-boundary logic) needs before emitting
+    * training shards.
+    *
+    * The global running offset uses p06's two-phase prefix sum: a
+    * per-group cumulative window (group = doc_id range of
+    * [[T16GroupSpan]], shuffle-partitioned, arbitrarily parallel) plus
+    * ONE deliberately-unpartitioned window over the n/GroupSpan GROUP
+    * TOTALS — bounded rows, never the corpus (grow GroupSpan with the
+    * corpus, or recurse the same two-phase split). Token counts are
+    * ≥ 1 per doc (the t01 tokenization never yields an empty array),
+    * so seq_last's `(start + n - 1) div L` stays non-negative — the
+    * regime where Spark's truncating `div` and DuckDB's flooring `//`
+    * agree. */
+  def t16SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      (col("doc_id") / T16GroupSpan).cast("long").as("grp"))
+    val wIn = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("grp").agg(sum(col("n_tokens")).as("gtot"))
+      .withColumn("off", coalesce(sum(col("gtot")).over(wOff), lit(0L)))
+      .select("grp", "off")
+    within.join(broadcast(offsets), "grp")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + col("cum_in") - col("n_tokens")).as("start_off"))
+      .withColumn("seq_first", expr(s"start_off div $T16SeqLen"))
+      .withColumn("seq_last", expr(s"(start_off + n_tokens - 1) div $T16SeqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("doc_id")
+  }
+
   def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
     // ONE corpus pass emits all depth rows: each token occurrence
@@ -555,6 +596,17 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "t16_seq_packing" ->
+      // one SQL running sum replays the two-phase prefix sum exactly
+      // (same total order: doc_id); integer div on non-negative
+      // offsets, so // and Spark's div agree
+      ("WITH tok AS (SELECT doc_id, len(string_split_regex(rtrim(text), '\\s+')) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off FROM tok) " +
+        s"SELECT doc_id, n_tokens, start_off, start_off // $T16SeqLen AS seq_first, " +
+        s"(start_off + n_tokens - 1) // $T16SeqLen AS seq_last, " +
+        s"((start_off + n_tokens - 1) // $T16SeqLen) - (start_off // $T16SeqLen) + 1 AS n_seqs " +
+        "FROM c ORDER BY doc_id"),
     "t15_dsir_weights" ->
       // same tokenization as t01/t14; Laplace unigram target/raw
       // models with exact-integer count products (DuckDB's HUGEINT

@@ -72,6 +72,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the survivor selection: CC labels, the quality argmax and its
     // tie-break may not show partition boundaries
     "d14_canonical_docs",
+    // the packing census: the two-phase prefix sum must produce the
+    // same global offsets at any partitioning
+    "t16_seq_packing",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

@@ -241,6 +241,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 3L, 2638L)), s"unexpected t15 rows: $rows")
   }
 
+  test("t16 packs docs into 512-token sequences with exact global offsets") {
+    import spark.implicits._
+    // doc 3 carries 600 tokens so it must span two sequences:
+    // start offsets 0 / 3 / 5; seq_last(doc 3) = (5+599) div 512 = 1
+    val fixture = java.nio.file.Files.createTempDirectory("t16fix").toString
+    Seq((1L, "a b c"), (2L, "d e"), (3L, Seq.fill(600)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t16SeqPacking(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 2L, 3L, 0L, 0L, 1L),
+      (3L, 600L, 5L, 0L, 1L, 2L)), s"unexpected t16 rows: $rows")
+  }
+
   test("d14 keeps the highest-quality member per cluster, ties to the lowest id") {
     import spark.implicits._
     // docs 1-2 share word-2-gram shingles (jaccard 3/4 ≥ 0.6 → one

@@ -411,6 +411,23 @@ class PlanSpec extends AnyFunSuite {
       s"only the V attach may nested-loop:\n$p")
   }
 
+  test("t16 seq packing: the only unpartitioned window runs over group totals, not rows") {
+    val p = plan(operators.TextOps.t16SeqPacking(spark, sf))
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toList
+    assert(windows.size == 2, s"expected row cumsum + group offset windows:\n$p")
+    val rowW = windows.filter(_.matches(""".*windowspecdefinition\(grp#\d+L?, doc_id#.*"""))
+    assert(rowW.size == 1, s"row-level window lost its grp partitioning:\n$p")
+    // the p06 contract: the unpartitioned phase aggregates n/GroupSpan
+    // group totals, never document rows
+    val globalW = windows.filterNot(rowW.contains(_))
+    globalW.foreach { w =>
+      assert(w.matches(""".*windowspecdefinition\(grp#\d+L? ASC.*"""),
+        s"unexpected window shape:\n$w")
+      assert(w.contains("gtot#"), s"offset window is not over group totals:\n$w")
+      assert(!w.contains("doc_id#"), s"offset window touches row-level doc_ids:\n$w")
+    }
+  }
+
   test("t15 DSIR: keyed scoring join, 1-row totals attach, top-k never a global sort") {
     val p = plan(operators.TextOps.t15DsirWeights(spark, sf))
     // the token-scoring join is keyed (vocabulary tables, AQE may
