@@ -224,6 +224,10 @@ object SparkEntry {
     // runtime — delta files stream against the persisted d13 index
     // (stream-static band join + static shingle-store verify)
     "st07_streaming_delta_dedup" -> (graft.streaming.StreamingOps.st07StreamingDeltaDedup _),
+    // st08: watermark late-data accounting — a deterministic
+    // out-of-order feed; the gate proves which rows the engine DROPS
+    // (window.end ≤ watermark) and censuses kept/dropped
+    "st08_streaming_late_data" -> (graft.streaming.StreamingOps.st08StreamingLateData _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

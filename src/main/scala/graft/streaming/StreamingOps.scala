@@ -454,7 +454,118 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st08: WATERMARK LATE-DATA ACCOUNTING under the driver gate — the
+    * one streaming-semantics face st01-st07 don't exercise: what the
+    * engine DROPS. Every earlier gate feeds its bounded source in one
+    * micro-batch, so the watermark never advances past live data and
+    * nothing is late; production ingest is exactly the opposite — data
+    * arrives out of order and the watermark trades completeness for
+    * bounded state. This gate constructs that regime deterministically:
+    *
+    *  - batch 1 = even event_ids (spanning the full time range, so the
+    *    watermark jumps to max(ts)−10min after the first micro-batch);
+    *  - batch 2 = a ZERO-ROW BARRIER file. Spark ≥3.4 runs two
+    *    watermarks per batch: eviction uses the current value but
+    *    LATE-EVENT FILTERING uses the previous batch's (so a restart
+    *    never drops rows a first run kept). Without a barrier the odd
+    *    rows would arrive while the late-filter watermark is still the
+    *    initial −∞ and nothing would drop — the barrier burns one batch
+    *    so the filter watermark catches up to max(even ts)−10min;
+    *  - batch 3 = odd event_ids — every odd row whose 5-minute window
+    *    closed at or below the batch-1 watermark is now LATE and is
+    *    dropped by the aggregation's late-row filter
+    *    (numRowsDroppedByWatermark in the query progress);
+    *  - batch 4 = a far-future sentinel (the st06 pattern) that pushes
+    *    the watermark past every real window so append mode finalizes
+    *    them all (the sentinel's own window stays unfinalized and never
+    *    lands).
+    *
+    *  Determinism requires ONE FILE PER MICRO-BATCH (a multi-file batch
+    *  split arbitrarily would advance the watermark between its own
+    *  fragments): each feed lands as a single renamed parquet file with
+    *  an explicit modification time, and `maxFilesPerTrigger=1` makes
+    *  the file source replay them oldest-first. A production feed gets
+    *  the same guarantee from its ingest commit order, not file mtimes.
+    *
+    * The invariant row compares the landed streamed counts against the
+    * batch REPLAY of the drop rule — window.end > watermark keeps the
+    * row (Spark finalizes and drops windows whose end is ≤ the
+    * watermark) — and publishes the census a pipeline operator watches:
+    * how many windows landed, how many events survived, how many were
+    * dropped late. The two scalar reads (max ts for the sentinel and
+    * the watermark literal) are narrow routing aggregates (st06
+    * precedent); everything else is distributed — the equivalence
+    * compare is a shuffled anti-join over the landed files. */
+  def st08StreamingLateData(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val early = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val late = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val root = graft.core.IO.scratchDir("graft-st08-feed")
+    // single-file feeds with pinned mtimes = deterministic batch order
+    def landOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = s"$root/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0) // scalar routing read
+    val t0 = System.currentTimeMillis() - 600000L
+    landOne(early, "b1", t0)
+    landOne(early.limit(0), "b2", t0 + 60000L) // watermark barrier
+    landOne(late, "b3", t0 + 120000L)
+    landOne(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+      .toDF("event_id", "ts"), "b4", t0 + 180000L)
+    val src = spark.readStream
+      .schema(StructType.fromDDL("event_id BIGINT, ts TIMESTAMP"))
+      .option("pathGlobFilter", "b*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root)
+    val counts = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val streamed = runToFiles(spark, counts, "graft-st08")
+    // batch replay of the drop rule: the watermark after batch 1 is
+    // max(even ts) − 10 min; an odd row survives iff its window end is
+    // strictly above it
+    val wmMicros = // scalar routing read: the watermark literal
+      early.agg(max(col("ts"))).head().getTimestamp(0).getTime * 1000L -
+        10L * 60 * 1000 * 1000
+    val keptLate = late.filter(
+      (floor(unix_timestamp(col("ts")) / 300) + 1) * 300 * 1000000L > wmMicros)
+    val replay = early.unionAll(keptLate)
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val mismatches = streamed.exceptAll(replay).unionAll(replay.exceptAll(streamed))
+    val lateCensus = late.agg(count(lit(1)).as("n_late_total"))
+      .crossJoin(keptLate.agg(count(lit(1)).as("n_late_kept")))
+      .select((col("n_late_total") - col("n_late_kept")).as("n_late_dropped"))
+    replay.agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events_kept"))
+      .crossJoin(lateCensus)
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_replay")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st08_streaming_late_data" ->
+      // the drop-rule replay stated directly: watermark = max(even ts)
+      // − 10 min after batch 1; an odd row survives iff its epoch-
+      // aligned 5-minute window closes strictly above the watermark;
+      // the invariant asserts the streaming runtime reproduced it
+      ("WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events WHERE event_id % 2 = 0), " +
+        "kept_late AS (SELECT e.ts FROM events e, wm " +
+        "WHERE e.event_id % 2 = 1 AND (floor(epoch(e.ts) / 300) + 1) * 300 > epoch(wm.w)), " +
+        "kept AS (SELECT ts FROM events WHERE event_id % 2 = 0 " +
+        "UNION ALL SELECT ts FROM kept_late) " +
+        "SELECT (SELECT count(DISTINCT floor(epoch(ts) / 300)) FROM kept) AS n_windows, " +
+        "(SELECT count(*) FROM kept) AS n_events_kept, " +
+        "(SELECT count(*) FROM events WHERE event_id % 2 = 1) - " +
+        "(SELECT count(*) FROM kept_late) AS n_late_dropped, " +
+        "true AS stream_matches_replay"),
     "st07_streaming_delta_dedup" ->
       // the d13 oracle (delta-vs-corpus exact Jaccard join, canary
       // included) reduced to the st03-style invariant row: the

@@ -221,6 +221,25 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("st08 drops exactly the late rows below the watermark, boundary window included") {
+    import spark.implicits._
+    // evens (batch 1): max ts 12:00 → watermark 11:50. odds (batch 3):
+    //  id 1 @ 10:01 → window end 10:05 ≤ wm → dropped
+    //  id 3 @ 11:48 → window end 11:50 == wm EXACTLY → dropped (the
+    //                 boundary pin: end must be STRICTLY above the wm)
+    //  id 5 @ 11:52 → window end 11:55 > wm → kept
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fixture = java.nio.file.Files.createTempDirectory("st08fix").toString
+    Seq((0L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 12:00:00")),
+        (1L, ts("2024-03-01 10:01:00")), (3L, ts("2024-03-01 11:48:00")),
+        (5L, ts("2024-03-01 11:52:00")))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$fixture/events.parquet")
+    val row = StreamingOps.st08StreamingLateData(spark, fixture).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getBoolean(3)) ==
+      ((3L, 3L, 2L, true)), s"unexpected st08 row: $row")
+  }
+
   test("st06 gate: timeout sessionizer reproduces st01's sessions on the real feed") {
     // the gate form (sentinel-closed EventTimeTimeout run over the
     // events file) must agree with the declarative session_window
