@@ -228,6 +228,10 @@ object SparkEntry {
     // out-of-order feed; the gate proves which rows the engine DROPS
     // (window.end ≤ watermark) and censuses kept/dropped
     "st08_streaming_late_data" -> (graft.streaming.StreamingOps.st08StreamingLateData _),
+    // st09: checkpoint restart recovery — the query is stopped after
+    // the even batch and restarted from its checkpoint; the restored
+    // watermark must drop the late odds exactly as an unbroken run
+    "st09_streaming_restart" -> (graft.streaming.StreamingOps.st09StreamingRestart _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
   )

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.{functions => gf}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -502,10 +502,34 @@ object TextOps {
     * TakeOrderedAndProject (per-partition heaps + driver merge of k
     * rows), never a global sort or window. k comes from one narrow
     * routing count (the t10 routing-scalar precedent). */
-  def t15DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def t15DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(spark, dir, identity)
+
+  /** The bounded-feature-space form of t15 — the paper's hashed
+    * n-gram buckets: feature = pmod(xxhash64(token), B), so the count
+    * tables are capped at B rows no matter how large the live
+    * vocabulary grows (100 TB of web text has an unbounded token-type
+    * space; B is the knob that keeps the model state fixed-size).
+    * Colliding tokens share a bucket and therefore a log-ratio — the
+    * paper's accepted approximation. Not the gate form ONLY because
+    * DuckDB has no xxhash64 to replay the bucketing; OperatorSpec pins
+    * that at a collision-free B the selection equals the type-feature
+    * gate exactly (same pipeline, same integer grid, same tie-break). */
+  private[graft] def t15DsirWeightsHashed(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame =
+    dsirWeights(spark, dir, t => pmod(xxhash64(t), lit(buckets.toLong)))
+
+  /** Shared DSIR pipeline, parameterized on the feature map (token
+    * type → feature key). All counts/joins/grid arithmetic identical
+    * between the two forms — only the key changes. */
+  private def dsirWeights(spark: SparkSession, dir: String,
+      featKey: Column => Column): DataFrame = {
     val d = docs(spark, dir)
+    // explode first, then map: a generator can't be nested inside the
+    // feature expression
     val tok = d.select(col("doc_id"), col("lang"),
-      explode(tokens(col("text"))).as("t"))
+        explode(tokens(col("text"))).as("tt"))
+      .select(col("doc_id"), col("lang"), featKey(col("tt")).as("t"))
     val raw = tok.groupBy("t").agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("lang") === "en")
       .groupBy("t").agg(count(lit(1)).as("ct"))

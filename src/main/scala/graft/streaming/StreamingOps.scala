@@ -502,36 +502,52 @@ object StreamingOps {
     val early = ev.filter(pmod(col("event_id"), lit(2)) === 0)
     val late = ev.filter(pmod(col("event_id"), lit(2)) === 1)
     val root = graft.core.IO.scratchDir("graft-st08-feed")
-    // single-file feeds with pinned mtimes = deterministic batch order
-    def landOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = s"$root/_stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$root/$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-    }
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0) // scalar routing read
     val t0 = System.currentTimeMillis() - 600000L
-    landOne(early, "b1", t0)
-    landOne(early.limit(0), "b2", t0 + 60000L) // watermark barrier
-    landOne(late, "b3", t0 + 120000L)
-    landOne(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
-      .toDF("event_id", "ts"), "b4", t0 + 180000L)
-    val src = spark.readStream
+    landSingleFile(early, root, "b1", t0)
+    landSingleFile(early.limit(0), root, "b2", t0 + 60000L) // watermark barrier
+    landSingleFile(late, root, "b3", t0 + 120000L)
+    landSingleFile(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+      .toDF("event_id", "ts"), root, "b4", t0 + 180000L)
+    val streamed = runToFiles(spark, lateFeedCounts(spark, root), "graft-st08")
+    lateDropCensus(spark, early, late, streamed)
+  }
+
+  /** Land `df` as ONE parquet file named `root/name.parquet` with a
+    * pinned modification time — the deterministic-feed unit of
+    * st08/st09: one file per micro-batch, replayed oldest-mtime-first
+    * by the file source under maxFilesPerTrigger=1. */
+  private def landSingleFile(df: DataFrame, root: String, name: String,
+      mtime: Long): Unit = {
+    val stage = s"$root/_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$root/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
+  /** The st08/st09 streaming plan: watermarked 5-minute windowed counts
+    * over the single-file feed dir. */
+  private def lateFeedCounts(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
       .schema(StructType.fromDDL("event_id BIGINT, ts TIMESTAMP"))
       .option("pathGlobFilter", "b*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(root)
-    val counts = src.withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("n"))
-    val streamed = runToFiles(spark, counts, "graft-st08")
-    // batch replay of the drop rule: the watermark after batch 1 is
-    // max(even ts) − 10 min; an odd row survives iff its window end is
-    // strictly above it
+
+  /** Batch replay of the late-drop rule + the invariant census row
+    * shared by st08/st09: the watermark after the even batch is
+    * max(even ts) − 10 min; an odd row survives iff its window end is
+    * strictly above it. The landed streamed counts must equal the
+    * replay row-for-row. */
+  private def lateDropCensus(spark: SparkSession, early: DataFrame,
+      late: DataFrame, streamed: DataFrame): DataFrame = {
     val wmMicros = // scalar routing read: the watermark literal
       early.agg(max(col("ts"))).head().getTimestamp(0).getTime * 1000L -
         10L * 60 * 1000 * 1000
@@ -550,7 +566,69 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_replay")))
   }
 
+  /** st09: CHECKPOINT RESTART RECOVERY — the remaining runtime face
+    * after st08: a production streaming job is killed and restarted
+    * from its checkpoint, and the result must be as if it never
+    * stopped. The gate runs st08's feed in two SEPARATE query
+    * incarnations sharing one checkpoint and one output sink:
+    *
+    *  - run 1 sees ONLY the even batch, processes it to completion and
+    *    stops — the checkpoint now holds the offsets AND the advanced
+    *    watermark (max even ts − 10 min);
+    *  - the odd batch and the far-future sentinel land while the query
+    *    is DOWN;
+    *  - run 2 starts from the same checkpoint. Its first batch (the
+    *    odds) must be late-filtered against the RESTORED watermark —
+    *    note st08 needed a zero-row barrier batch for the lagged
+    *    late-event watermark to catch up, st09 needs none: the restart
+    *    boundary itself is the barrier (the restored value IS the
+    *    "previous batch's" watermark).
+    *
+    * If restart lost the watermark (or replayed/duplicated offsets),
+    * the streamed counts would keep the late rows (or double-count the
+    * evens) and the invariant row flips false. Census + oracle are
+    * exactly st08's — the drop rule does not change because the engine
+    * restarted, which is precisely the property under test. */
+  def st09StreamingRestart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val early = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val late = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val feedRoot = graft.core.IO.scratchDir("graft-st09-feed")
+    val outRoot = graft.core.IO.scratchDir("graft-st09-out")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0) // scalar routing read
+    val t0 = System.currentTimeMillis() - 600000L
+    def startQuery() = lateFeedCounts(spark, feedRoot).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outRoot/chk")
+      .format("parquet").option("path", s"$outRoot/out").start()
+    landSingleFile(early, feedRoot, "b1", t0)
+    val run1 = startQuery()
+    run1.processAllAvailable()
+    run1.stop() // the "crash": checkpoint holds offsets + watermark
+    landSingleFile(late, feedRoot, "b2", t0 + 60000L)
+    landSingleFile(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+      .toDF("event_id", "ts"), feedRoot, "b3", t0 + 120000L)
+    val run2 = startQuery()
+    run2.processAllAvailable()
+    run2.stop()
+    lateDropCensus(spark, early, late, spark.read.parquet(s"$outRoot/out"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st09_streaming_restart" ->
+      // identical replay to st08: the engine restarting must not
+      // change what is kept or dropped — that invariance is the test
+      ("WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events WHERE event_id % 2 = 0), " +
+        "kept_late AS (SELECT e.ts FROM events e, wm " +
+        "WHERE e.event_id % 2 = 1 AND (floor(epoch(e.ts) / 300) + 1) * 300 > epoch(wm.w)), " +
+        "kept AS (SELECT ts FROM events WHERE event_id % 2 = 0 " +
+        "UNION ALL SELECT ts FROM kept_late) " +
+        "SELECT (SELECT count(DISTINCT floor(epoch(ts) / 300)) FROM kept) AS n_windows, " +
+        "(SELECT count(*) FROM kept) AS n_events_kept, " +
+        "(SELECT count(*) FROM events WHERE event_id % 2 = 1) - " +
+        "(SELECT count(*) FROM kept_late) AS n_late_dropped, " +
+        "true AS stream_matches_replay"),
     "st08_streaming_late_data" ->
       // the drop-rule replay stated directly: watermark = max(even ts)
       // − 10 min after batch 1; an odd row survives iff its epoch-

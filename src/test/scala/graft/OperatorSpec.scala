@@ -258,6 +258,20 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 600L, 5L, 0L, 1L, 2L)), s"unexpected t16 rows: $rows")
   }
 
+  test("t15 hashed-bucket form equals the type-feature gate at a collision-free B") {
+    // the 100 TB form (count tables capped at B rows) must reproduce
+    // the gate selection exactly when no two sf0.001 tokens share a
+    // bucket — same pipeline, same integer grid, same tie-break; only
+    // the join key changes
+    val sf = "/root/testdata/sf0.001"
+    val typed = TextOps.t15DsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hashed = TextOps.t15DsirWeightsHashed(spark, sf, 1 << 26).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(typed == hashed,
+      s"hashed selection diverged: ${typed.diff(hashed).take(5)} vs ${hashed.diff(typed).take(5)}")
+  }
+
   test("d14 keeps the highest-quality member per cluster, ties to the lowest id") {
     import spark.implicits._
     // docs 1-2 share word-2-gram shingles (jaccard 3/4 ≥ 0.6 → one

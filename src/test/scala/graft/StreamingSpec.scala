@@ -240,6 +240,24 @@ class StreamingSpec extends AnyFunSuite {
       ((3L, 3L, 2L, true)), s"unexpected st08 row: $row")
   }
 
+  test("st09 restart restores the watermark: post-restart drops equal the unbroken run") {
+    import spark.implicits._
+    // the st08 fixture verbatim — but the odds arrive AFTER a
+    // stop/restart cycle, with no barrier batch: the restored
+    // checkpoint watermark must drop ids 1 and 3 (boundary included)
+    // and keep id 5, exactly like the unbroken st08 run
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fixture = java.nio.file.Files.createTempDirectory("st09fix").toString
+    Seq((0L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 12:00:00")),
+        (1L, ts("2024-03-01 10:01:00")), (3L, ts("2024-03-01 11:48:00")),
+        (5L, ts("2024-03-01 11:52:00")))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$fixture/events.parquet")
+    val row = StreamingOps.st09StreamingRestart(spark, fixture).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getBoolean(3)) ==
+      ((3L, 3L, 2L, true)), s"unexpected st09 row: $row")
+  }
+
   test("st06 gate: timeout sessionizer reproduces st01's sessions on the real feed") {
     // the gate form (sentinel-closed EventTimeTimeout run over the
     // events file) must agree with the declarative session_window
