@@ -714,22 +714,87 @@ object Multimodal {
       .toDF("media_id", "frame_no", "offset", "frame_hex")
   }
 
+  /** DETERMINISTIC-FAKE mp4 frame decode — clearly marked as such.
+    * The JDK ships no public mp4 pixel codec (the documented platform
+    * boundary behind m03's byte-frame fallback), and the multimodal
+    * contract for codec-less formats is: STUB the decode step with a
+    * deterministic fake while every piece of Spark-side plumbing
+    * (mapPartitions seam, row schema, dHash fingerprint path into
+    * m05's band space, partition-parallelism) stays REAL and tested.
+    * The fake: each sampled 16-byte frame window is expanded through
+    * splitmix64 into a 9×8 gray plane — exactly [[dHash64]]'s grid, so
+    * the REAL perceptual-hash code runs 1:1 over it. Same bytes → same
+    * plane → same hash, on any run and any partitioning. A deployment
+    * with a licensed decoder swaps ONLY the plane constructor; nothing
+    * downstream changes. The planes are NOT pixels — never interpret
+    * them beyond plumbing/parity tests. */
+  private[graft] def mp4FakeFramePlane(window: Array[Byte]): java.awt.image.BufferedImage = {
+    // seed = FNV-1a over the window (cheap, stable, no deps)
+    var seed = 0xcbf29ce484222325L
+    window.foreach { b => seed ^= (b & 0xffL); seed *= 0x100000001b3L }
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < 72) {
+      // splitmix64 stream over the seed
+      seed += 0x9e3779b97f4a7c15L
+      var z = seed
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      img.getRaster.setSample(i % 9, i / 9, 0, (z & 0xff).toInt)
+      i += 1
+    }
+    img
+  }
+
+  /** mp4 frame rows through the SAME decode seam as [[gifFrameRows]]:
+    * one row per sampled 16-byte frame window (real stride, real byte
+    * offset — unlike GIF the sampler addresses the payload directly),
+    * frame_hex = the REAL [[dHash64]] over the [[mp4FakeFramePlane]]
+    * fake decode (16 hex chars, m05's key space). Payloads shorter
+    * than one window still emit their short-tail row, mirroring the
+    * byte path's tail semantics. */
+  private[graft] def mp4FrameRows(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (0L to math.max(0L, (bytes.length - 1).toLong / FrameBytes) by SampleEvery)
+          .map { f =>
+            val off = (f * FrameBytes).toInt
+            val window = bytes.slice(off, off + FrameBytes)
+            (id, f, f * FrameBytes,
+              f"${dHash64(mp4FakeFramePlane(window))}%016X")
+          }
+      })
+      .toDF("media_id", "frame_no", "offset", "frame_hex")
+  }
+
   /** m03: frame sampling — every 4th 16-byte "frame" of the payload,
     * with its offset and a hex prefix (the shape a video keyframe
     * sampler produces: one row per sampled frame, partition-parallel).
     * GIF payloads take the PIXEL-REAL path instead ([[gifFrameRows]]:
-    * decoded frames, dHash fingerprints); the route predicate reads 4
-    * payload bytes (hex of a 1-byte-aligned slice), never the full
-    * payload. The gate corpus carries no GIF payloads (verified: no
-    * 'GIF8' text prefixes at any SF), so the oracle replays the byte
-    * path for every row; the GIF branch is pinned by MultimodalSpec on
-    * a constructed animated GIF. */
+    * decoded frames, dHash fingerprints); mp4-sniffed payloads take
+    * the DETERMINISTIC-FAKE decode path ([[mp4FrameRows]] — real seam,
+    * real dHash, fake pixel planes; see its scaladoc). The route
+    * predicates read ≤8 payload bytes (hex of 1-byte-aligned slices),
+    * never the full payload. The gate corpus carries no GIF or mp4
+    * payloads (verified: no 'GIF8' prefix, no 'ftyp' at offset 4, at
+    * any SF), so the oracle replays the byte path for every row; the
+    * GIF and mp4 branches are pinned by MultimodalSpec on constructed
+    * payloads. */
   def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val m = media(spark, dir)
     val isGif = hex(substring(col("payload"), 1, 4)) === "47494638"
+    val isMp4 = length(col("payload")) >= 12 &&
+      hex(substring(col("payload"), 5, 4)) === "66747970"
     val gifRows = gifFrameRows(spark,
       m.filter(isGif).select(col("media_id"), col("payload")))
-    byteFrameSample(m.filter(!isGif)).unionByName(gifRows)
+    val mp4Rows = mp4FrameRows(spark,
+      m.filter(!isGif && isMp4).select(col("media_id"), col("payload")))
+    byteFrameSample(m.filter(!isGif && !isMp4)).unionByName(gifRows)
+      .unionByName(mp4Rows)
       .orderBy("media_id", "frame_no")
   }
 
