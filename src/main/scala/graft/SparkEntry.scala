@@ -233,7 +233,11 @@ object SparkEntry {
     // watermark must drop the late odds exactly as an unbroken run
     "st09_streaming_restart" -> (graft.streaming.StreamingOps.st09StreamingRestart _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
-    "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _)
+    "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
+    // g02: planted-documents generator ground truth — the corpus the
+    // dedup tiers validate against, generated by the product (not test
+    // tooling) and censused by the same pair pipeline d03 gates
+    "g02_generator_docs" -> (graft.gen.DocsGenerator.g02 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,5 +247,5 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       CodecLifecycle.oracles ++ Sinks.oracles ++
       graft.streaming.StreamingOps.oracles ++
-      graft.gen.EventsGenerator.oracles
+      graft.gen.EventsGenerator.oracles ++ graft.gen.DocsGenerator.oracles
 }

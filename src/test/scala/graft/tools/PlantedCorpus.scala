@@ -33,40 +33,20 @@ object PlantedCorpus {
   val Clusters = 250
   val ClusterSize = 8
   val Boilerplate = 1000L
-  private val WordsPerDoc = 120
-  private val Vocab = 30000L
 
   /** Pairs within planted clusters — the ground truth the capped dedup
     * tiers must recover. */
   def plantedPairs: Long = Clusters.toLong * ClusterSize * (ClusterSize - 1) / 2
 
-  /** word k of doc `id` — three regimes by id range (see scaladoc). */
-  private def wordExpr(id: Column, k: Column) = {
-    val planted = id >= Background && id < Background + Clusters.toLong * ClusterSize
-    val boiler = id >= Background + Clusters.toLong * ClusterSize
-    val c = ((id - Background) / ClusterSize).cast("long")
-    val j = pmod(id - Background, lit(ClusterSize.toLong))
-    val base = concat(lit("w"), pmod(xxhash64(lit(7L), c, k), lit(Vocab)))
-    val mutated = concat(lit("w"), pmod(xxhash64(lit(13L), c, k, j), lit(Vocab)))
-    when(boiler, concat(lit("w"), pmod(xxhash64(lit(4242L), k), lit(Vocab))))
-      .when(planted, when(pmod(k, lit(41)) === j, mutated).otherwise(base))
-      .otherwise(concat(lit("w"), pmod(xxhash64(id, k), lit(Vocab))))
-  }
-
-  def buildDocs(spark: SparkSession, dir: String): Unit = {
-    val n = Background + Clusters.toLong * ClusterSize + Boilerplate
-    spark.range(n).toDF("doc_id")
-      .select(col("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(WordsPerDoc - 1)),
-          k => wordExpr(col("doc_id"), k))).as("text"))
-      // the rest of the real documents schema, derived deterministically
-      .select(col("doc_id"), col("text"),
-        element_at(array(lit("en"), lit("es"), lit("de"), lit("fr")),
-          (pmod(xxhash64(col("doc_id"), lit(3L)), lit(4)) + 1).cast("int")).as("lang"),
-        concat(lit("web-"), pmod(xxhash64(col("doc_id"), lit(5L)), lit(5))).as("source"),
-        length(col("text")).cast("long").as("n_chars"))
+  /** Docs come from the PRODUCT generator (graft.gen.DocsGenerator) at
+    * this fixture's parameters — verified byte-identical to the
+    * original in-file generator before the delegation (bit_xor'd
+    * xxhash over every column, round 11), so every recorded sweep
+    * number stands unchanged. */
+  def buildDocs(spark: SparkSession, dir: String): Unit =
+    graft.gen.DocsGenerator
+      .generate(spark, Background, Clusters, ClusterSize, Boilerplate)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
 
   def buildEmbeddings(spark: SparkSession, dir: String,
       background: Long, dups: Long): Unit = {
