@@ -212,6 +212,9 @@ object SparkEntry {
     // clustering: keep the highest-quality member per near-dup
     // cluster (t02 blend; tie → lowest id), full-corpus keep/drop
     "d14_canonical_docs" -> (Dedup.d14CanonicalDocs _),
+    // d15: the deploy form of d14 — survivor selection over the
+    // df-capped d08 pair graph (the chain that actually runs at scale)
+    "d15_canonical_capped" -> (Dedup.d15CanonicalCapped _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

@@ -1046,8 +1046,29 @@ object Dedup {
     * pass; the survivor argmax is a max_by partial agg on the cluster
     * key (combiner-sized states, no window over the corpus) and the
     * verdict attaches back by one keyed join on cluster_id. */
-  def d14CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d03NgramJaccard(spark, dir).select(col("ida"), col("idb"))
+  def d14CanonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    canonicalDocsOver(spark, dir,
+      d03NgramJaccard(spark, dir).select(col("ida"), col("idb")))
+
+  /** d15: the PRODUCTION canonical-selection chain — d14's survivor
+    * choice run over the df-CAPPED pair graph (d08) instead of the
+    * exact one. d14 gates the survivor semantics against the d03 truth
+    * twin; at 100 TB only the capped pipeline runs (d03 is documented
+    * `weak` at scale), so this gate proves the whole DEPLOY chain —
+    * corpus-relative df cap → pair graph → pointer-jumping CC →
+    * quality argmax — replays exactly cross-engine, cap included. On
+    * corpora where the cap drops no informative shingle (every gate
+    * SF), d14 and d15 agree; where boilerplate saturates a shingle, the
+    * capped graph is the one you actually want clusters from. */
+  def d15CanonicalCapped(spark: SparkSession, dir: String): DataFrame =
+    canonicalDocsOver(spark, dir,
+      d08NgramJaccardCapped(spark, dir).select(col("ida"), col("idb")))
+
+  /** Shared d14/d15 survivor pipeline over a pair graph: CC labels →
+    * full-corpus cluster ids (singletons = own id) → highest-quality
+    * member per cluster (tie: lowest doc_id) via max_by partial agg. */
+  private def canonicalDocsOver(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("lbl"))
     val qual = TextOps.t02Quality(spark, dir).select(col("doc_id"), col("quality_bp"))
@@ -1144,6 +1165,31 @@ object Dedup {
 
   private val jaccardSql: String = jaccardSqlWith(None)
 
+  /** The d14/d15 canonical-selection oracle over a given pair-graph
+    * SQL: recursive-CTE components + the shared t02 quality subquery +
+    * per-cluster survivor window. */
+  private def canonicalSqlOver(pairsSql: String): String =
+    ("WITH pairs AS (" + pairsSql.replace(" ORDER BY ida, idb", "") + "), " +
+      "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
+      "UNION ALL SELECT idb, ida FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+      "SELECT doc, doc FROM nodes " +
+      "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+      "SELECT * FROM r), " +
+      "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), " +
+      "qual AS (" + TextOps.qualityBpSql + "), " +
+      "full0 AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id, q.quality_bp " +
+      "FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id " +
+      "JOIN qual q ON q.doc_id = d.doc_id), " +
+      "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM full0 " +
+      "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
+      "nm AS (SELECT cluster_id, count(*) AS n_members FROM full0 GROUP BY cluster_id) " +
+      "SELECT f.doc_id, f.cluster_id, nm.n_members, " +
+      "f.doc_id = c.canonical_id AS is_canonical " +
+      "FROM full0 f JOIN canon c USING (cluster_id) JOIN nm USING (cluster_id) " +
+      "ORDER BY doc_id")
+
   /** d10 oracle: same pipeline, 8-gram shingles, split membership via
     * the p04 modular bucket; the hot-shingle cap is the identical
     * corpus-relative expression; the corpus CTE rebuilds the same
@@ -1214,30 +1260,14 @@ object Dedup {
         "SELECT * FROM r) " +
         "SELECT doc AS doc_id, min(other) AS keep_id FROM reach " +
         "GROUP BY doc ORDER BY doc_id"),
-    "d14_canonical_docs" ->
-      // d07's recursive-CTE components + the SHARED t02 quality
-      // subquery (TextOps.qualityBpSql — one blend, two gates);
-      // survivor = row_number over (quality desc, doc_id) per cluster
-      ("WITH pairs AS (" + jaccardSql.replace(" ORDER BY ida, idb", "") + "), " +
-        "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
-        "UNION ALL SELECT idb, ida FROM pairs), " +
-        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
-        "reach AS (WITH RECURSIVE r(doc, other) AS (" +
-        "SELECT doc, doc FROM nodes " +
-        "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
-        "SELECT * FROM r), " +
-        "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), " +
-        "qual AS (" + TextOps.qualityBpSql + "), " +
-        "full0 AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id, q.quality_bp " +
-        "FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id " +
-        "JOIN qual q ON q.doc_id = d.doc_id), " +
-        "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM full0 " +
-        "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
-        "nm AS (SELECT cluster_id, count(*) AS n_members FROM full0 GROUP BY cluster_id) " +
-        "SELECT f.doc_id, f.cluster_id, nm.n_members, " +
-        "f.doc_id = c.canonical_id AS is_canonical " +
-        "FROM full0 f JOIN canon c USING (cluster_id) JOIN nm USING (cluster_id) " +
-        "ORDER BY doc_id"),
+    // d07's recursive-CTE components + the SHARED t02 quality subquery
+    // (TextOps.qualityBpSql — one blend, all three gates); survivor =
+    // row_number over (quality desc, doc_id) per cluster. d14 over the
+    // exact pair graph, d15 over the df-capped one (the deploy chain).
+    "d14_canonical_docs" -> canonicalSqlOver(jaccardSql),
+    "d15_canonical_capped" -> canonicalSqlOver(jaccardSqlWith(Some(
+      s"greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
+        "(SELECT count(*) FROM documents)) AS BIGINT))"))),
     "d06_embedding_neardup" ->
       ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim " +

@@ -75,6 +75,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the packing census: the two-phase prefix sum must produce the
     // same global offsets at any partitioning
     "t16_seq_packing",
+    // the planted-docs generator: its whole contract is that the
+    // corpus (and thus the census) is partitioning-independent
+    "g02_generator_docs",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

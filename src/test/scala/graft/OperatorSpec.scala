@@ -290,6 +290,31 @@ class OperatorSpec extends AnyFunSuite {
       (4L, 4L, 2L, true), (5L, 4L, 2L, false)), s"unexpected d14 rows: $rows")
   }
 
+  test("d15 clusters over the capped graph: boilerplate decoupled, informative pairs kept") {
+    import spark.implicits._
+    // 10 byte-identical docs: every shingle df = 10 > cap(12) = 4, so
+    // the capped graph drops them — d15 leaves them singletons (the
+    // exact tier d01/d02 owns identical docs) while d14's exact graph
+    // clusters all ten. Docs 11/12 share 3 of 5 shingles (J = 0.6,
+    // df = 2 ≤ cap) — kept by BOTH chains, equal quality, tie → 11.
+    val fixture = java.nio.file.Files.createTempDirectory("d15fix").toString
+    ((1L to 10L).map(i => (i, "x y z w")) ++
+      Seq((11L, "p q r s t v"), (12L, "p q r s t u")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val d15 = Dedup.d15CanonicalCapped(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(d15.filter(_._1 <= 10).forall(r => r._2 == r._1 && r._3 == 1L && r._4),
+      s"capped chain must leave boilerplate as singletons: $d15")
+    assert(d15.filter(_._1 >= 11).toSeq ==
+      Seq((11L, 11L, 2L, true), (12L, 11L, 2L, false)),
+      s"informative pair must survive the cap: $d15")
+    val d14 = Dedup.d14CanonicalDocs(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(d14.filter(_._1 <= 10).forall(r => r._2 == 1L && r._3 == 10L),
+      s"exact chain clusters the identical block: $d14")
+  }
+
   test("s07 PQ ADC ranks planted near-copies first and orders them below background") {
     import org.apache.spark.sql.functions._
     // the s06 planted-fixture family: 200 seeded uniform vectors +
