@@ -215,6 +215,10 @@ object SparkEntry {
     // d15: the deploy form of d14 — survivor selection over the
     // df-capped d08 pair graph (the chain that actually runs at scale)
     "d15_canonical_capped" -> (Dedup.d15CanonicalCapped _),
+    // s08: filtered ("hybrid") vector search — top-k within the
+    // query's label class; the metadata predicate is a join key, so
+    // candidates partition by class instead of scan-then-discard
+    "s08_filtered_knn" -> (Similarity.s08FilteredKnn _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

@@ -826,6 +826,43 @@ object Similarity {
     * this with the s06 IVF (probe cells first, ADC-scan inside);
     * standalone ADC is the exhaustive-scan face gateable at driver
     * SFs. */
+  /** s08: FILTERED vector search ("hybrid search" — the named feature
+    * of every production vector store): each query retrieves its top-k
+    * among vectors sharing its `label` (same-category retrieval, the
+    * RAG pattern "nearest neighbors WHERE tenant/category = X"). The
+    * scale property under test: the metadata predicate is a JOIN KEY
+    * (label equi-join against the broadcast query set), so candidate
+    * generation partitions the corpus by class — per-query work is the
+    * class size, not the corpus size — instead of the naive
+    * score-everything-then-discard. PlanSpec pins label in the join
+    * keys. Ranking/tie-break/rounding identical to s01 so the two
+    * gates are directly comparable; singleton-class queries surface
+    * with no rows rather than falling back to unfiltered neighbors (a
+    * silent fallback would violate the predicate contract). At larger
+    * k-per-class the same filter composes with the IVF tiers
+    * (probe cells ∩ class postings); the brute-per-class form here is
+    * the exact baseline of that composition. */
+  def s08FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"))
+    val scored = all.join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("qlabel").as("label"),
+        col("rn").cast("long").as("rnk"), col("nid").as("neighbor_id"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   def s07PqAdc(spark: SparkSession, dir: String): DataFrame = {
     val sv = subvecs(spark, dir)
     val cb = s07Codebooks(spark, dir, S07Rounds)
@@ -917,6 +954,16 @@ object Similarity {
         "WHERE rn <= 5) " +
         "SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact, " +
         "true AS recall_ok FROM top"),
+    "s08_filtered_knn" ->
+      // s01's replay with the label predicate moved into the join —
+      // the oracle states the filtered contract directly
+      ("WITH q AS (SELECT vec_id AS qid, label::BIGINT AS qlabel, embedding FROM embeddings WHERE vec_id < 10), " +
+        "sc AS (SELECT q.qid, q.qlabel, e.vec_id AS nid, " +
+        "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c " +
+        "FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid) " +
+        "SELECT qid AS query_id, qlabel AS label, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim " +
+        "FROM (SELECT qid, qlabel, nid, c, row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, nid) AS rn FROM sc) " +
+        "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s01_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10), " +
         "sc AS (SELECT q.qid, e.vec_id AS nid, " +

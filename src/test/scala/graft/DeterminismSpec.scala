@@ -78,6 +78,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the planted-docs generator: its whole contract is that the
     // corpus (and thus the census) is partitioning-independent
     "g02_generator_docs",
+    // the filtered search: class-keyed candidates + window ranking
+    // may not show partition boundaries
+    "s08_filtered_knn",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

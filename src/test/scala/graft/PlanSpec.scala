@@ -453,6 +453,18 @@ class PlanSpec extends AnyFunSuite {
       s"survivor choice must be an aggregation, not a window:\n$p")
   }
 
+  test("s08 filtered search: the label predicate is a join key, not a post-filter") {
+    val p = plan(Similarity.s08FilteredKnn(spark, sf))
+    // the whole point of the operator: candidates come from a keyed
+    // (label) broadcast hash join — scoring everything and discarding
+    // by label afterwards would be a nested-loop over the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"label must prune candidates inside the join:\n$p")
+    assert("BroadcastHashJoin \\[label".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[qlabel".r.findFirstIn(p).isDefined,
+      s"label must appear in the hash-join keys:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
