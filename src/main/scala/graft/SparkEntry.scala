@@ -219,6 +219,10 @@ object SparkEntry {
     // query's label class; the metadata predicate is a join key, so
     // candidates partition by class instead of scan-then-discard
     "s08_filtered_knn" -> (Similarity.s08FilteredKnn _),
+    // m06: audio near-dup census — the audio face of m05: windowed-
+    // energy difference fingerprints, same 4×16 banding + caps,
+    // canary WAV pair keeps the tier non-vacuous
+    "m06_audio_neardup" -> (Multimodal.m06AudioNeardup _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

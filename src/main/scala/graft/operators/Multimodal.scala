@@ -599,10 +599,18 @@ object Multimodal {
     * run lands [[perceptualHashes]] output as a table first (hashes
     * are 17 bytes/row; decode is the expensive pass) — here the
     * lineage recompute per branch is accepted for gate simplicity. */
-  private[graft] def m05Census(spark: SparkSession, payloads: DataFrame): DataFrame = {
-    val hashed = perceptualHashes(spark, payloads)
-    val n = payloads.count() // cap sizing only — avoids a decode pass
-    val dh = hashed.filter(col("method") === "dhash")
+  private[graft] def m05Census(spark: SparkSession, payloads: DataFrame): DataFrame =
+    bandedHashCensus(spark, perceptualHashes(spark, payloads),
+      payloads.count(), "dhash")
+
+  /** The shared m05/m06 near-dup census over a (media_id, phash,
+    * method) frame: the `nearMethod` tier bands its 64-bit hashes
+    * 4×16 (pigeonhole-exact for Hamming ≤ [[M05HammingMax]], hot-
+    * bucket capped), the "content" tier exact-joins on the full hash.
+    * `n` sizes the band caps (a metadata count — no decode pass). */
+  private def bandedHashCensus(spark: SparkSession, hashed: DataFrame,
+      n: Long, nearMethod: String): DataFrame = {
+    val dh = hashed.filter(col("method") === nearMethod)
     val bands = Dedup.capBandBuckets(
       dh.select(col("media_id"), col("phash"),
           explode(sequence(lit(0), lit(M05Bands - 1))).as("band"))
@@ -616,7 +624,7 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
       .distinct() // a pair can meet under several intact bands
       .filter(col("hamming") <= M05HammingMax)
-      .withColumn("method", lit("dhash"))
+      .withColumn("method", lit(nearMethod))
     val ch = hashed.filter(col("method") === "content")
       .select(col("media_id"), col("phash"))
     val chPairs = ch.as("a").hint("shuffle_hash").join(ch.as("b"),
@@ -633,6 +641,129 @@ object Multimodal {
       .join(pairs, Seq("method"), "left")
       .na.fill(0L, Seq("n_pairs", "n_exact", "n_near"))
       .orderBy("method")
+  }
+
+  // ---- m06: audio near-dup over windowed-energy fingerprints --------
+
+  private val AfpWindows = 65 // 65 energies → 64 difference bits
+  private val AfpMaxFrames = AfpWindows * 1024 // decode cost bound
+
+  /** 64-bit audio difference fingerprint — [[dHash64]]'s idea applied
+    * to PCM: decode channel 0 (up to [[AfpMaxFrames]] frames — bounded
+    * cost at any duration), split the decoded span into
+    * [[AfpWindows]] equal windows of mean |amplitude|, bit i = sign of
+    * the energy gradient e(i) > e(i+1). Loudness envelopes survive
+    * re-encoding and small noise the way luma gradients survive
+    * resizing, and Hamming distance over the bits is the same
+    * banded-join key space as the image tier. None when the payload
+    * doesn't decode or is too short for ≥2 samples per window (falls
+    * to the content tier — never a fake fingerprint). */
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val buf = new Array[Byte](AfpMaxFrames * frameSize)
+        var filled = 0
+        var r = in.read(buf, 0, buf.length)
+        while (r > 0 && filled < buf.length) {
+          filled += r
+          r = in.read(buf, filled, buf.length - filled)
+        }
+        val nSamples = filled / frameSize
+        if (nSamples < AfpWindows * 2) None
+        else {
+          val e = new Array[Double](AfpWindows)
+          val per = nSamples / AfpWindows
+          for (w <- 0 until AfpWindows) {
+            var s = 0.0
+            for (i <- w * per until (w + 1) * per) {
+              val off = i * frameSize // channel 0 leads each frame
+              val amp = bytesPerSample match {
+                case 1 => ((buf(off) & 0xff) - 128) / 128.0
+                case _ =>
+                  val (lo, hi) = if (fmt.isBigEndian) (buf(off + 1), buf(off))
+                    else (buf(off), buf(off + 1))
+                  ((hi << 8) | (lo & 0xff)) / 32768.0
+              }
+              s += math.abs(amp)
+            }
+            e(w) = s / per
+          }
+          Some((0 until AfpWindows - 1).foldLeft(0L)((acc, i) =>
+            (acc << 1) | (if (e(i) > e(i + 1)) 1L else 0L)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[perceptualHashes]]'s audio twin: wav-sniffed decodable payloads
+    * get the [[audioFingerprint64]] under method "afp"; everything
+    * else falls to the md5-prefix content tier. Same row shape, same
+    * downstream census. */
+  private[graft] def audioHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hashed =
+          if (magicOf(bytes) == "wav") audioFingerprint64(bytes) else None
+        hashed match {
+          case Some(hs) => (id, hs, "afp")
+          case None =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            val prefix = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL))
+            (id, prefix, "content")
+        }
+      })
+      .toDF("media_id", "phash", "method")
+  }
+
+  /** Deterministic canary pair for the m06 gate, the [[canaryBmp]]
+    * pattern for audio: 16-bit PCM mono WAV, [[AfpWindows]] windows of
+    * 32 constant-amplitude samples alternating loud (16000) / quiet
+    * (8000), so the base fingerprint is the alternating bit pattern.
+    * The perturbed twin quiets ONLY the last window (16000 → 1600),
+    * which participates in exactly one gradient comparison (bit 63:
+    * 8000 > 16000 was false, 8000 > 1600 is true) — Hamming distance
+    * exactly 1, a constructed true near-duplicate. */
+  private[graft] def canaryWav(perturbed: Boolean): Array[Byte] = {
+    val per = 32
+    val n = AfpWindows * per
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    out.put("fmt ".getBytes("ISO-8859-1")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("ISO-8859-1")).putInt(dataSize)
+    for (w <- 0 until AfpWindows; _ <- 0 until per) {
+      val base = if (w % 2 == 0) 16000 else 8000
+      val amp = if (perturbed && w == AfpWindows - 1) 1600 else base
+      out.putShort(amp.toShort)
+    }
+    out.array()
+  }
+
+  /** m06: near-dup AUDIO dedup census — m05's structure with the
+    * decodable tier keyed by [[audioFingerprint64]] instead of dHash:
+    * per method, items / candidate pairs / exact (Hamming 0) / true
+    * near (0 < Hamming ≤ 3). Same 4×16 banding, same pigeonhole
+    * exactness, same hot-bucket caps, same content fallback — one
+    * census shape across modalities ([[bandedHashCensus]]). The gate
+    * corpus carries no real audio, so the [[canaryWav]] pair keeps the
+    * afp tier non-vacuous at every SF (the canaryBmp pattern). */
+  def m06AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = media(spark, dir).select(col("media_id"), col("payload"))
+    val canary = Seq((-1L, canaryWav(false)), (-2L, canaryWav(true)))
+      .toDF("media_id", "payload")
+    val payloads = corpus.unionAll(canary)
+    bandedHashCensus(spark, audioHashes(spark, payloads),
+      payloads.count(), "afp")
   }
 
   private val FrameBytes = 16
@@ -852,6 +983,19 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "m06_audio_neardup" ->
+      // m05's oracle shape: content tier replayed from md5 prefixes;
+      // the afp tier is the constructed canary pair (Hamming exactly
+      // 1), so its census row enters as the literals it provably is
+      ("WITH ph AS (SELECT doc_id AS media_id, substring(md5(text), 1, 16) AS h FROM documents), " +
+        "cp AS (SELECT a.media_id AS ida, b.media_id AS idb " +
+        "FROM ph a JOIN ph b ON a.h = b.h AND a.media_id < b.media_id) " +
+        "SELECT method, n_items, n_pairs, n_exact, n_near FROM (" +
+        "SELECT 'afp' AS method, CAST(2 AS BIGINT) AS n_items, CAST(1 AS BIGINT) AS n_pairs, " +
+        "CAST(0 AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS n_near " +
+        "UNION ALL SELECT 'content', (SELECT count(*) FROM ph), " +
+        "(SELECT count(*) FROM cp), (SELECT count(*) FROM cp), CAST(0 AS BIGINT)) " +
+        "ORDER BY method"),
     "m05_media_neardup" ->
       // content tier replayed from md5 prefixes (string equality on 16
       // hex chars == equality of the Spark side's 64-bit prefix); the
