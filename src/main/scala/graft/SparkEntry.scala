@@ -223,6 +223,9 @@ object SparkEntry {
     // energy difference fingerprints, same 4×16 banding + caps,
     // canary WAV pair keeps the tier non-vacuous
     "m06_audio_neardup" -> (Multimodal.m06AudioNeardup _),
+    // p09: dynamic partition overwrite — backfill one partition in
+    // place; siblings must survive (the lakehouse rewrite primitive)
+    "p09_dynamic_overwrite" -> (Sinks.p09DynamicOverwrite _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

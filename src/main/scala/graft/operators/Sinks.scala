@@ -29,6 +29,39 @@ object Sinks {
       .orderBy("hour")
   }
 
+  /** p09: DYNAMIC PARTITION OVERWRITE — the lakehouse backfill
+    * primitive: rewrite ONE partition of a landed table in place
+    * without touching its siblings (static overwrite mode would drop
+    * the whole table; appending would duplicate). The gate lands the
+    * events feed hive-partitioned by event_type, then "backfills" only
+    * the purchase partition with corrected rows (value negated — a
+    * visible, exactly-replayable patch) under
+    * `partitionOverwriteMode=dynamic`, and censuses the read-back
+    * table: purchase rows must carry the patch, every other partition
+    * must be byte-level untouched originals. At 100 TB this is the
+    * difference between rewriting one day/type slice and rewriting the
+    * lake; correctness is the non-negotiable part — a mode mix-up
+    * silently DROPS the sibling partitions, which is exactly what the
+    * per-partition census would catch. */
+  def p09DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.core.IO.scratchDir("graft-p09")
+    val ev = Tables.events(spark, dir)
+    ev.write.mode("overwrite").partitionBy("event_type")
+      .option("compression", "zstd").parquet(tmp)
+    // the backfill: corrected purchase rows only, dynamic mode —
+    // sibling partitions must survive the overwrite
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("value", -col("value"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(tmp)
+    spark.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   private val SaltBuckets = 8
 
   /** Skew-safe equi-join: salt the skewed (big) side into N buckets and
@@ -405,6 +438,12 @@ object Sinks {
       ("SELECT event_id, user_id FROM events JOIN (" +
         "SELECT user_id AS u2, avg(value) AS user_avg FROM events GROUP BY 1) " +
         "ON user_id = u2 WHERE value > user_avg * 2 ORDER BY event_id"),
+    "p09_dynamic_overwrite" ->
+      // the landed table after the backfill: purchase sums negated,
+      // every sibling partition untouched
+      ("SELECT event_type, count(*) AS n, " +
+        "round(sum(CASE WHEN event_type = 'purchase' THEN -value ELSE value END), 2) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "p01_partitioned_sink" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +

@@ -1029,6 +1029,30 @@ class OperatorSpec extends AnyFunSuite {
       rows.map(_._3).sorted.toSeq)
   }
 
+  test("p09 dynamic overwrite patches one partition; static mode would drop the siblings") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p09fix").toString
+    val t = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 20.0))
+      .toDF("part", "value")
+    t.write.mode("overwrite").partitionBy("part").parquet(s"$tmp/dyn")
+    t.write.mode("overwrite").partitionBy("part").parquet(s"$tmp/static")
+    val patch = t.filter($"part" === "a").withColumn("value", -$"value")
+    // dynamic: only partition a rewritten, b/c survive
+    patch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$tmp/dyn")
+    val dyn = spark.read.parquet(s"$tmp/dyn").groupBy("part")
+      .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(dyn == Map("a" -> -3.0, "b" -> 10.0, "c" -> 20.0),
+      s"dynamic overwrite must patch a and keep b/c: $dyn")
+    // static (the default): the same write DROPS b and c — the failure
+    // mode the p09 census exists to catch
+    patch.write.mode("overwrite").partitionBy("part").parquet(s"$tmp/static")
+    val stat = spark.read.parquet(s"$tmp/static")
+      .select("part").distinct().collect().map(_.getString(0)).toSet
+    assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
+  }
+
   test("p06 size bins: two-phase prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
