@@ -226,6 +226,9 @@ object SparkEntry {
     // p09: dynamic partition overwrite — backfill one partition in
     // place; siblings must survive (the lakehouse rewrite primitive)
     "p09_dynamic_overwrite" -> (Sinks.p09DynamicOverwrite _),
+    // q32: conversion funnel — first signup + purchases within the
+    // 7-day attribution window, non-converters kept with zeros
+    "q32_funnel" -> (Relational.q32 _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

@@ -622,7 +622,47 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** q32: conversion funnel — the canonical event-analytics question
+    * ("did the user convert within the attribution window?"): per
+    * signup user, the FIRST signup time and how many purchases landed
+    * strictly after it but within 7 days. Users who never purchase in
+    * the window surface with zeros via the left join — a funnel that
+    * silently drops non-converters reports a conversion rate of 100%.
+    *
+    * 100 TB shape: one partial-agg min per user (signups), one keyed
+    * left join on user_id (the natural co-partitioning key for event
+    * analytics — with the events table bucketed by user_id this join
+    * is exchange-free, the p03 pattern), and the window predicate
+    * evaluates inside the join's projection on exact `unix_micros`
+    * longs. No window functions, no self-join over the full feed. */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    first.join(p, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_us"))
+      .agg(sum(when(col("p_us") > col("first_us") &&
+          col("p_us") <= col("first_us") + lit(7L * 24 * 3600 * 1000000L), 1L)
+        .otherwise(0L)).as("n_purchases_7d"))
+      .withColumn("converted", col("n_purchases_7d") > 0)
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q32_funnel" ->
+      ("WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') " +
+        "SELECT f.user_id, f.first_us, " +
+        "CAST(coalesce(sum(CASE WHEN p.p_us > f.first_us " +
+        "AND p.p_us <= f.first_us + 604800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purchases_7d, " +
+        "CAST(coalesce(sum(CASE WHEN p.p_us > f.first_us " +
+        "AND p.p_us <= f.first_us + 604800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) > 0 AS converted " +
+        "FROM f LEFT JOIN p ON p.user_id = f.user_id " +
+        "GROUP BY f.user_id, f.first_us ORDER BY f.user_id"),
     "q31_asof_join" ->
       // the oracle states the as-of join DIRECTLY with DuckDB's native
       // ASOF JOIN — the window rewrite must be semantically invisible

@@ -81,6 +81,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the filtered search: class-keyed candidates + window ranking
     // may not show partition boundaries
     "s08_filtered_knn",
+    // the funnel: per-user min + windowed purchase count may not show
+    // partition boundaries
+    "q32_funnel",
     // the z-order census: normalization maxes, interleave, and box
     // min/max aggs are pure integer arithmetic — file assignment must
     // not show partitioning

@@ -428,6 +428,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q32 funnel: one keyed join on user_id, window predicate inline, no self-join blowup") {
+    val p = plan(operators.Relational.q32(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the attribution window must evaluate inside the keyed join:\n$p")
+    // funnel = partial-agg min + ONE user_id join; a window-function
+    // rewrite would shuffle the whole feed into per-user partitions
+    assert(!p.contains("WindowExec"), s"funnel must not use window functions:\n$p")
+  }
+
   test("t15 DSIR: keyed scoring join, 1-row totals attach, top-k never a global sort") {
     val p = plan(operators.TextOps.t15DsirWeights(spark, sf))
     // the token-scoring join is keyed (vocabulary tables, AQE may
