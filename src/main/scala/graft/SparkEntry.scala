@@ -229,6 +229,9 @@ object SparkEntry {
     // q32: conversion funnel — first signup + purchases within the
     // 7-day attribution window, non-converters kept with zeros
     "q32_funnel" -> (Relational.q32 _),
+    // q33: retention cohorts — distinct actives per (signup-week
+    // cohort, week offset); one keyed join, window-free
+    "q33_retention_cohorts" -> (Relational.q33 _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

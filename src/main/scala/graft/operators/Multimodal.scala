@@ -664,6 +664,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // the sample decode below understands exactly two layouts:
+        // unsigned 8-bit and signed 16-bit PCM. Anything else (float,
+        // 24/32-bit, signed-8) must fall to the content tier — "never a
+        // fake fingerprint" — not decode as garbage (r11 advice item 3)
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val decodable =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) ||
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16)
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
         val frameSize = math.max(1, fmt.getFrameSize)
         val buf = new Array[Byte](AfpMaxFrames * frameSize)
@@ -674,7 +683,7 @@ object Multimodal {
           r = in.read(buf, filled, buf.length - filled)
         }
         val nSamples = filled / frameSize
-        if (nSamples < AfpWindows * 2) None
+        if (!decodable || nSamples < AfpWindows * 2) None
         else {
           val e = new Array[Double](AfpWindows)
           val per = nSamples / AfpWindows

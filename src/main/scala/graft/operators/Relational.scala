@@ -651,7 +651,49 @@ object Relational {
       .orderBy("user_id")
   }
 
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  /** q33: retention cohorts — the second canonical event-analytics
+    * question after q32's funnel ("of the users who signed up in week
+    * W, how many were still active k weeks later?"): cohort each
+    * signup user by first-signup epoch week, then count DISTINCT
+    * active users per (cohort_week, week_offset) over ALL their
+    * events at or after the cohort week.
+    *
+    * 100 TB shape (q32's plan discipline, deliberately window-free):
+    * one partial-agg min per user builds the cohort table, ONE keyed
+    * join on user_id attaches it to the event feed (exchange-free when
+    * events are bucketed by user_id — the p03 pattern), and the
+    * distinct-active count is a two-phase hash agg on the low-NDV
+    * (cohort_week, week_offset) key. All week arithmetic is integer
+    * `div` on unix_micros longs (positive epochs, so Spark's truncating
+    * div and DuckDB's flooring `//` agree — the t16 rule). */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("f_us"))
+      .select(col("user_id"), expr(s"f_us div ${WeekUs}L").as("cohort_week"))
+    val activity = ev.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${WeekUs}L").as("ev_week"))
+    cohorts.join(activity, Seq("user_id"))
+      .filter(col("ev_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("ev_week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q33_retention_cohorts" ->
+      ("WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) // 604800000000 AS BIGINT) AS cohort_week " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT f.cohort_week, " +
+        "CAST(epoch_us(e.ts) // 604800000000 - f.cohort_week AS BIGINT) AS week_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active " +
+        "FROM f JOIN events e ON e.user_id = f.user_id " +
+        "WHERE epoch_us(e.ts) // 604800000000 >= f.cohort_week " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q32_funnel" ->
       ("WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us " +
         "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +

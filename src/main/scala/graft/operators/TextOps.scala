@@ -536,9 +536,14 @@ object TextOps {
     val feat = raw.join(tgt, Seq("t"), "left").na.fill(0L, Seq("ct"))
     val tot = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
       count(lit(1)).as("v"))
+    // each factor casts to double BEFORE the product: the Long product
+    // (ct+1)*(nr+v) overflows int64 at ~billions of tokens (the 100 TB
+    // shape) while the double product only rounds — and the quotient
+    // feeds log() as a double anyway, so gate-SF values (< 2^53, exact
+    // in a double) are unchanged (round-11 advice item 1)
     val lr = feat.crossJoin(broadcast(tot)).select(col("t"),
-      floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
-        ((col("cr") + 1) * (col("nt") + col("v")))) * T14Unit)
+      floor(log(((col("ct") + 1).cast("double") * (col("nr") + col("v")).cast("double")) /
+        ((col("cr") + 1).cast("double") * (col("nt") + col("v")).cast("double"))) * T14Unit)
         .cast("long").as("lr_e4"))
     val perDoc = tok.join(lr, "t").groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e4")).as("logw_e4"))

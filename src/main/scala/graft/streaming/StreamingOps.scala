@@ -521,11 +521,18 @@ object StreamingOps {
       mtime: Long): Unit = {
     val stage = s"$root/_stage_$name"
     df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    // batch ordering in st08/st09 depends ENTIRELY on these mtimes
+    // landing in ascending order: a broken staging dir or a filesystem
+    // that refuses the mtime must fail the gate loudly, never degrade
+    // into an order-dependent feed (round-11 advice item 2)
+    val staged = new java.io.File(stage).listFiles()
+    require(staged != null, s"staging dir unreadable: $stage")
+    val part = staged
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .headOption.getOrElse(sys.error(s"no part file staged under $stage"))
     val dst = new java.io.File(s"$root/$name.parquet")
     java.nio.file.Files.move(part.toPath, dst.toPath)
-    dst.setLastModified(mtime)
+    require(dst.setLastModified(mtime), s"setLastModified failed on $dst")
   }
 
   /** The st08/st09 streaming plan: watermarked 5-minute windowed counts
