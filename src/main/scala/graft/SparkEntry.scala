@@ -153,6 +153,10 @@ object SparkEntry {
     // vector (64× compression), query-side distance tables in integer
     // micro-units, candidates scored by summed table lookups
     "s07_pq_adc" -> (Similarity.s07PqAdc _),
+    // s09: IVF-PQ — s06's hierarchical cell pruning composed with
+    // s07's ADC scoring; the code scan is restricted to probed cells
+    // BEFORE any distance lookup (the FAISS IndexIVFPQ shape)
+    "s09_ivf_pq" -> (Similarity.s09IvfPq _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

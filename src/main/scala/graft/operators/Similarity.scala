@@ -545,6 +545,36 @@ object Similarity {
   private[graft] val S06CoarseProbes = 2
   private[graft] val S06FineProbes = 4
 
+  /** The s06 hierarchical probe, shared with s09: rank the k1 coarse
+    * centroids (top [[S06CoarseProbes]] coarse cells, k1 dot products),
+    * then ONLY the probed coarse cells' fine centroids (top
+    * [[S06FineProbes]] composite cells overall, ≤ probes·k2 dot
+    * products) — k1 + probes·k2 ≈ O(√K) centroid distances per query
+    * instead of the flat quantizer's K. Centroids broadcast. Returns
+    * (qid, qe, qnrm, cid) — one row per (query, probed composite cell). */
+  private def probeCells(spark: SparkSession, dir: String,
+      ccents: DataFrame, fcents: DataFrame, k2: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
+    val cprobes = queries.crossJoin(broadcast(ccents))
+      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= S06CoarseProbes)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("ccid"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_f"), 6).desc, col("ccid").asc, col("fcid").asc)
+    cprobes.join(broadcast(fcents), Seq("ccid"))
+      .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk2", row_number().over(wF))
+      .filter(col("rk2") <= S06FineProbes)
+      .select(col("qid"), col("qe"), col("qnrm"),
+        (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+  }
+
   /** s06: ANN search over the TWO-LEVEL (coarse×fine) IVF — the search
     * face of the d12 quantizer, and the form that scales past s03/s04's
     * flat n·K assignment ceiling (round-10 verdict item 1). The
@@ -576,24 +606,7 @@ object Similarity {
     import graft.functions.VectorFunctions.array_dot
     val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
     val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
-    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
-    val queries = all.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val wC = Window.partitionBy(col("qid"))
-      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
-    val cprobes = queries.crossJoin(broadcast(ccents))
-      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(wC))
-      .filter(col("rk") <= S06CoarseProbes)
-      .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("ccid"))
-    val wF = Window.partitionBy(col("qid"))
-      .orderBy(round(col("cos_f"), 6).desc, col("ccid").asc, col("fcid").asc)
-    val fprobes = cprobes.join(broadcast(fcents), Seq("ccid"))
-      .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
-      .withColumn("rk2", row_number().over(wF))
-      .filter(col("rk2") <= S06FineProbes)
-      .select(col("qid"), col("qe"), col("qnrm"),
-        (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(round(col("c"), 6).desc, col("nid").asc)
     fprobes.join(assigned, Seq("cid"))
@@ -662,9 +675,12 @@ object Similarity {
     * top-[[S06FineProbes]] composite cells among their fine centroids)
     * and the exact rank within probed cells — the whole
     * train+index+probe+search pipeline replayed row-for-row. */
-  private[graft] def s06OracleSql(rounds: Int): String = {
-    twoLevelCtesSql(rounds) +
-      "cpr AS (SELECT qid, qe, ccid FROM (" +
+  /** The hierarchical-probe CTEs (cpr = top-[[S06CoarseProbes]] coarse
+    * cells per query, fpr = top-[[S06FineProbes]] composite cells among
+    * their fine centroids) — shared by the s06 and s09 oracles so both
+    * gates replay ONE probe. No trailing comma. */
+  private[graft] def probeCtesSql(rounds: Int): String =
+    "cpr AS (SELECT qid, qe, ccid FROM (" +
       "SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS ccid, " +
       "row_number() OVER (PARTITION BY e.vec_id " +
       s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
@@ -673,7 +689,10 @@ object Similarity {
       "SELECT p.qid, p.qe, f.ccid, f.fcid, " +
       "row_number() OVER (PARTITION BY p.qid " +
       s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
-      s"FROM cpr p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes) " +
+      s"FROM cpr p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes)"
+
+  private[graft] def s06OracleSql(rounds: Int): String = {
+    twoLevelCtesSql(rounds) + probeCtesSql(rounds) + " " +
       "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim FROM (" +
       "SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qe, a.emb) AS c, " +
       "row_number() OVER (PARTITION BY p.qid " +
@@ -746,11 +765,20 @@ object Similarity {
     * [[S07Subspaces]] contiguous [[S07SubDim]]-dim slices. One narrow
     * map-side explode; no shuffle. */
   private def subvecs(spark: SparkSession, dir: String): DataFrame =
+    subvecsAt(spark, dir, S07Subspaces)
+
+  /** [[subvecs]] at an explicit subquantizer count m (subDim = 64/m) —
+    * the sweep seam (graft.tools.PqSweep measures the
+    * compression-recall trade at M ∈ {4, 8, 16} so the [[S07Subspaces]]
+    * default is defended with data). */
+  private[graft] def subvecsAt(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val subDim = 64 / m
     emb(spark, dir)
       .select(col("vec_id"),
-        explode(sequence(lit(0), lit(S07Subspaces - 1))).as("sub"), col("e"))
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
       .select(col("vec_id"), col("sub"),
-        slice(col("e"), col("sub") * S07SubDim + 1, lit(S07SubDim)).as("v"))
+        slice(col("e"), col("sub") * subDim + 1, lit(subDim)).as("v"))
+  }
 
   /** Argmin-L2 codeword per (vec_id, sub) against a codebook — the PQ
     * ENCODE step. The codebook ([[S07Subspaces]]·[[S07Codes]] = 128
@@ -760,7 +788,7 @@ object Similarity {
     * partial-aggregates map-side: each subvector's [[S07Codes]]
     * candidate rows collapse before the shuffle, so the exchange
     * carries n·M rows, not n·M·[[S07Codes]] (the s03 max_by rationale). */
-  private def s07Encode(sv: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def s07Encode(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), Seq("sub"))
       .withColumn("d2", round(l2sq(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"), col("sub"))
@@ -777,12 +805,17 @@ object Similarity {
     * aggregations per round (one corpus pass each), never M separate
     * jobs. */
   private[graft] def s07Codebooks(
-      spark: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val sv = subvecs(spark, dir)
+      spark: SparkSession, dir: String, rounds: Int): DataFrame =
+    s07CodebooksAt(spark, dir, rounds, S07Subspaces, S07Codes)
+
+  /** [[s07Codebooks]] at explicit (m, nCodes) — the PqSweep seam. */
+  private[graft] def s07CodebooksAt(spark: SparkSession, dir: String,
+      rounds: Int, m: Int, nCodes: Int): DataFrame = {
+    val sv = subvecsAt(spark, dir, m)
     val n = Tables(spark, dir, "embeddings").count() // metadata count, cheap
-    val stride = math.max(1L, n / S07Codes)
+    val stride = math.max(1L, n / nCodes)
     var cb = sv
-      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < S07Codes)
+      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCodes)
       .select(col("sub"), (col("vec_id") / stride).cast("int").as("cid"),
         col("v").as("cv"))
     for (_ <- 1 to rounds)
@@ -885,6 +918,69 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s09: IVF-PQ — [[s06AnnIvf2Level]]'s cell pruning composed with
+    * [[s07PqAdc]]'s ADC scoring, the billion-vector standard (FAISS
+    * IndexIVFPQ; Jégou et al. TPAMI 2011 §IV) and the round-11 verdict's
+    * #1 ask: s07 alone touches all n code rows per query batch; here the
+    * code scan is restricted to the probed composite cells BEFORE any
+    * distance lookup, so per-query work drops from O(n·M) lookups to
+    * O(n·M·probes/K) — with corpus-relative K = n/1024 that is a
+    * CONSTANT ~4·1024·M lookups per query regardless of corpus size.
+    *
+    * Index build (once, amortized over every query batch): the two-level
+    * quantizer assigns each vector a composite cell ([[twoLevelModel]] —
+    * the same model d12/s06 share), the PQ codebooks encode each vector
+    * as M 4-bit codes ([[s07Codebooks]]), and ONE build-time join keys
+    * the codes by cell — at deploy the code store is WRITTEN bucketed by
+    * cell (the d13 persisted-index pattern), so the probe join is
+    * exchange-free on the corpus side. Query: hierarchical probe
+    * ([[probeCells]], k1 + probes·k2 ≈ O(√K) centroid distances), then
+    * candidates = codes ⋈ probed cells (PlanSpec pins this join runs
+    * BEFORE the distance-table join), ADC-score by summed integer
+    * micro-unit lookups (order-free — the s07 rule), rank per query.
+    * Memory face: 64×-compressed codes (s07); scan face: probes/K cell
+    * pruning (s06) — both at once, which neither parent had.
+    *
+    * The DuckDB oracle ([[s09OracleSql]]) chains the two parents' CTE
+    * blocks under one WITH — same model, same codebooks, same probe —
+    * and replays train+index+probe+scan row-for-row. Recall vs the
+    * exact s01 baseline on the planted corpus and the measured
+    * scan-reduction factor are recorded in NOTES.md
+    * (graft.tools.S09AtScale). */
+  def s09IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val sv = subvecs(spark, dir)
+    val cb = s07Codebooks(spark, dir, S07Rounds)
+    val codes = s07Encode(sv, cb)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    // build-time: key the code store by composite cell (deploy form:
+    // write bucketed by cell — the d13 persisted-index pattern)
+    val codesByCell = codes.join(
+      assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+      .select(col("qid"), col("cid").as("cell"))
+    val dtab = sv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(cb, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
+    // THE s09 property: candidates = codes ⋈ probed cells FIRST — the
+    // corpus side is cell-restricted before any ADC scoring join
+    val candidates = codesByCell.join(broadcast(fprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val scored = candidates.join(broadcast(dtab), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("unit")).as("adc_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("vec_id").as("neighbor_id"), col("adc_units"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
   private def s07DistSql(a: String, b: String) =
@@ -895,7 +991,15 @@ object Similarity {
     * [[s04OracleSql]] rule, so changing [[S07Rounds]] cannot
     * desynchronize engine and oracle), encode, per-query distance
     * table in integer micro-units, and the summed-lookup ADC ranking. */
-  private[graft] def s07OracleSql(rounds: Int): String = {
+  /** Shared PQ CTE block — subvector split (sv), stride seeds (cb0)
+    * refined by `rounds` per-subspace Lloyd rounds (cb1..cbR), the
+    * encoded codes, and the per-query integer-micro-unit ADC distance
+    * tables (dtab). Assumes an `e (vec_id, emb)` CTE is already in
+    * scope; every CTE name is disjoint from [[twoLevelCtesSql]]'s so
+    * the s09 oracle chains both blocks under one WITH. Used by the s07
+    * (exhaustive ADC) and s09 (IVF-PQ) oracles so the two gates replay
+    * ONE quantizer. Ends with ", ". */
+  private[graft] def pqCtesSql(rounds: Int): String = {
     val train = (1 to rounds).map { r =>
       s"pa${r - 1} AS (SELECT vec_id, sub, v, cid FROM (" +
         s"SELECT s.vec_id, s.sub, s.v, c.cid, " +
@@ -906,11 +1010,10 @@ object Similarity {
         s"FROM pa${r - 1} CROSS JOIN range(1, ${S07SubDim + 1}) t(i) GROUP BY sub, cid, i), " +
         s"cb$r AS (SELECT sub, cid, list(x ORDER BY i) AS cv FROM pd$r GROUP BY sub, cid), "
     }.mkString
-    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-      s"sv AS (SELECT vec_id, s.sub, list_slice(emb, s.sub*$S07SubDim + 1, s.sub*$S07SubDim + $S07SubDim) AS v " +
+    s"sv AS (SELECT vec_id, s.sub, list_slice(emb, s.sub*$S07SubDim + 1, s.sub*$S07SubDim + $S07SubDim) AS v " +
       s"FROM e CROSS JOIN range(0, $S07Subspaces) s(sub)), " +
-      s"params AS (SELECT greatest(1, (SELECT count(*) FROM e) // $S07Codes) AS stride), " +
-      s"cb0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, v AS cv FROM sv, params " +
+      s"pqp AS (SELECT greatest(1, (SELECT count(*) FROM e) // $S07Codes) AS stride), " +
+      s"cb0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, v AS cv FROM sv, pqp " +
       s"WHERE vec_id % stride = 0 AND vec_id // stride < $S07Codes), " +
       train +
       "codes AS (SELECT vec_id, sub, cid FROM (" +
@@ -920,7 +1023,12 @@ object Similarity {
       s"FROM sv s JOIN cb$rounds c ON s.sub = c.sub) WHERE rk = 1), " +
       "dtab AS (SELECT q.vec_id AS qid, c.sub, c.cid, " +
       s"CAST(round(${s07DistSql("q.v", "c.cv")} * 1e6, 0) AS BIGINT) AS unit " +
-      s"FROM sv q JOIN cb$rounds c ON q.sub = c.sub WHERE q.vec_id < 10), " +
+      s"FROM sv q JOIN cb$rounds c ON q.sub = c.sub WHERE q.vec_id < 10), "
+  }
+
+  private[graft] def s07OracleSql(rounds: Int): String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      pqCtesSql(rounds) +
       "scored AS (SELECT d.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
       "FROM codes k JOIN dtab d ON k.sub = d.sub AND k.cid = d.cid " +
       "WHERE k.vec_id <> d.qid GROUP BY d.qid, k.vec_id) " +
@@ -928,7 +1036,23 @@ object Similarity {
       "SELECT qid, nid, adc_units, " +
       "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM scored) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
-  }
+
+  /** s09 oracle: ONE WITH chaining the two-level-model CTEs (coarse +
+    * fine train, `fafin` inverted file), the PQ CTEs (codebooks, codes,
+    * distance tables), and the hierarchical-probe CTEs — then the
+    * CELL-RESTRICTED ADC scan: candidates come from `fpr JOIN fafin ON
+    * cid` (only probed cells' members) before any distance lookup. */
+  private[graft] def s09OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + " " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, adc_units FROM (" +
+      "SELECT qid, nid, adc_units, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM (" +
+      "SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id)) " +
+      "WHERE rn <= 5 ORDER BY query_id, rnk"
 
   private val s05ErrSql =
     "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
@@ -975,6 +1099,7 @@ object Similarity {
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
     "s06_ann_ivf_2level" -> s06OracleSql(LloydRounds),
     "s07_pq_adc" -> s07OracleSql(S07Rounds),
+    "s09_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

@@ -474,6 +474,25 @@ class PlanSpec extends AnyFunSuite {
       s"label must appear in the hash-join keys:\n$p")
   }
 
+  test("s09 IVF-PQ: the code scan is cell-restricted BEFORE the ADC join") {
+    val p = plan(Similarity.s09IvfPq(spark, sf))
+    // (BroadcastNestedLoop IS expected once: the probe stage's
+    // deliberate rank-all-coarse-centroids broadcast attach, k1 rows)
+    assert(!p.contains("CartesianProduct"), s"s09 join degraded to a product:\n$p")
+    // the operator's whole point (round-11 verdict item 1): candidates
+    // come from the codes ⋈ probed-cells join, so the distance-table
+    // join only ever sees probed cells' code rows. In the plan tree the
+    // ADC join must be the PARENT (prints first) and the cell join its
+    // descendant (prints below) — the reverse order would mean the
+    // corpus was ADC-scored first and cell-filtered after.
+    val cellJoin = "BroadcastHashJoin \\[cell".r.findFirstMatchIn(p)
+    val adcJoin = "BroadcastHashJoin \\[qid#\\d+L?, sub#\\d+, code#\\d+".r.findFirstMatchIn(p)
+    assert(cellJoin.isDefined, s"no cell-keyed probe join found:\n$p")
+    assert(adcJoin.isDefined, s"no (qid, sub, code)-keyed ADC join found:\n$p")
+    assert(adcJoin.get.start < cellJoin.get.start,
+      s"cell restriction must feed the ADC join, not follow it:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
