@@ -256,6 +256,11 @@ object SparkEntry {
     // the even batch and restarted from its checkpoint; the restored
     // watermark must drop the late odds exactly as an unbroken run
     "st09_streaming_restart" -> (graft.streaming.StreamingOps.st09StreamingRestart _),
+    // e01: the end-to-end curation chain (quality → capped dedup with
+    // survivor choice → holdout decontamination → sequence packing)
+    // run as ONE job with per-stage retention census — the gate that
+    // catches stage-interop drift per-operator gates can't see
+    "e01_curation_pipeline" -> (Pipeline.e01Curation _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the
@@ -269,6 +274,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ JsonOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Pipeline.oracles ++
       CodecLifecycle.oracles ++ Sinks.oracles ++
       graft.streaming.StreamingOps.oracles ++
       graft.gen.EventsGenerator.oracles ++ graft.gen.DocsGenerator.oracles

@@ -368,7 +368,7 @@ object Dedup {
     * the shared shingling of the d13 index build and delta banding.
     * Docs under the 3-word minimum shed no shingles and are dropped
     * (they can never reach the Jaccard bar). */
-  private def shingledOf(corpus: DataFrame): DataFrame =
+  private[graft] def shingledOf(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 

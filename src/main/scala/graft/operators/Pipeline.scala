@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline — the FineWeb/RefinedWeb-shaped chain a
+  * training-data user actually executes (quality filter → near-dup
+  * removal with survivor selection → decontamination → sequence
+  * packing), run as ONE job with per-stage retention accounting. Every
+  * stage reuses the per-operator machinery gated elsewhere (t02, d08,
+  * d14/d15, d10, t16); what THIS gate adds is stage INTEROP — each
+  * stage consumes the previous stage's survivor set, so schema drift or
+  * a survivor-set bug between stages breaks the census even when every
+  * per-operator gate stays green (round-11 verdict item 2).
+  */
+object Pipeline {
+
+  /** Stage-1 keep bar on t02's quality_bp (drops roughly the bottom
+    * quarter of the synthetic corpus — a realistic pre-filter rate). */
+  private[graft] val E01QualityBp = 4500L
+
+  /** e01: the four-stage curation chain over `documents`, emitting one
+    * census row per stage: (stage, stage_name, n_in, n_out).
+    *
+    *  1. quality   — keep docs with t02 quality_bp ≥ [[E01QualityBp]]
+    *     (map-only score, one semi join);
+    *  2. dedup     — d08's corpus-relative df-capped pair graph OVER THE
+    *     SURVIVORS, pointer-jumping CC, then d14's survivor rule (keep
+    *     the highest-quality member per cluster, tie → lowest id);
+    *  3. decontam  — d10's 8-gram overlap vs the p04 holdout split,
+    *     computed over the stage-2 survivors: keep train-split docs
+    *     (bucket < 980) with no flagged holdout overlap (the holdout
+    *     docs themselves leave the training corpus here too);
+    *  4. pack      — t16's fixed-512-token packing over the survivors
+    *     in doc_id order; n_out is the packed-SEQUENCE count
+    *     ⌈Σtokens / 512⌉, the number of training rows shipped.
+    *
+    * 100 TB shape: every stage is the operator's own scale form (capped
+    * pair graph, O(log d) CC, holdout-side postings, two-phase token
+    * sum); the two `count()` reads are the documented corpus-relative
+    * cap/routing scalars (the d08/d10 precedent — at deploy each stage
+    * would persist its survivor set and the counts are free parquet
+    * metadata). The census itself is assembled declaratively from
+    * single-row aggregates — no driver-side result reads. */
+  def e01Curation(spark: SparkSession, dir: String): DataFrame =
+    e01CurationAt(spark, dir, E01QualityBp)
+
+  /** [[e01Curation]] at an explicit stage-1 bar — the OperatorSpec
+    * counterfactual seam: bar = 0 disables the quality stage, and the
+    * downstream census MUST change (each stage consumes the previous
+    * stage's survivor set, so a disabled stage propagates). */
+  private[graft] def e01CurationAt(spark: SparkSession, dir: String,
+      qualityBar: Long): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val qual = TextOps.t02Quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    // stage 1: quality keep-set
+    val s1 = d.join(qual.filter(col("quality_bp") >= qualityBar)
+      .select("doc_id"), "doc_id")
+    val n1 = s1.count() // routing scalar: the corpus-relative df cap
+    // stage 2: capped pair graph over survivors → CC → canonical member
+    val pairs = Dedup.ngramJaccardPairs(Dedup.shingledOf(s1), Some(Dedup.capDf(n1)))
+      .select(col("ida"), col("idb"))
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val clustered = s1.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .join(qual, "doc_id")
+    val canonIds = clustered.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
+      .select("doc_id")
+    val s2 = d.join(canonIds, "doc_id")
+    val n2 = s2.count() // routing scalar: decontam's corpus-relative cap
+    // stage 3: holdout-overlap decontamination over the survivors
+    val contaminated = Dedup.decontaminate(s2, n2)
+      .select(col("train_id").as("doc_id")).distinct()
+    val s3 = s2.filter(Sinks.splitBucket(col("doc_id")) < 980)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4: packed-sequence count over survivors (t16's token rule)
+    val packed = s3.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .agg(expr(s"(coalesce(sum(n_tokens), 0) + ${TextOps.T16SeqLen - 1}) " +
+        s"div ${TextOps.T16SeqLen}").as("nseq"))
+    // census: single-row aggs cross-joined (all 1×1), exploded to rows
+    val counts = d.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .crossJoin(packed)
+    counts.select(explode(array(
+        struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2L).as("stage"), lit("dedup_canonical").as("stage_name"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3L).as("stage"), lit("decontam").as("stage_name"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4L).as("stage"), lit("pack").as("stage_name"),
+          col("n3").as("n_in"), col("nseq").as("n_out")))).as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_in"), col("r.n_out"))
+      .orderBy("stage")
+  }
+
+  /** The whole chain replayed in DuckDB as ONE WITH: the SAME stage
+    * CTEs the four per-operator oracles use (t02's quality blend, d08's
+    * capped Jaccard, d07/d14's recursive-CTE components + survivor
+    * window, d10's 8-gram overlap, t16's token sum), each reading the
+    * previous stage's survivor CTE — the cap expressions re-derived
+    * from the ORACLE'S OWN stage counts so the two engines cannot
+    * desynchronize. */
+  private[graft] val e01Sql: String = {
+    val cap1 = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
+      "(SELECT count(*) FROM s1)) AS BIGINT))"
+    val cap3 = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
+      "(SELECT count(*) FROM s2d)) AS BIGINT))"
+    val k = Dedup.DecontamShingleK
+    "WITH qual AS (" + TextOps.qualityBpSql + "), " +
+      // stage 1: quality keep-set
+      "s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN qual q USING (doc_id) " +
+      s"WHERE q.quality_bp >= $E01QualityBp), " +
+      // stage 2: df-capped 3-gram Jaccard pairs over s1
+      "tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM s1), " +
+      "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), " +
+      "i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+      s"sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ($cap1))), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT ida, idb FROM (" +
+      "SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) x " +
+      "JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb " +
+      "WHERE i / (ca.n + cb.n - i) >= 0.6), " +
+      // CC + canonical survivor (d14's rule) over s1
+      "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
+      "UNION ALL SELECT idb, ida FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+      "SELECT doc, doc FROM nodes " +
+      "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+      "SELECT * FROM r), " +
+      "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), " +
+      "full0 AS (SELECT s.doc_id, coalesce(l.lbl, s.doc_id) AS cluster_id, q.quality_bp " +
+      "FROM s1 s LEFT JOIN lab l ON l.doc_id = s.doc_id " +
+      "JOIN qual q ON q.doc_id = s.doc_id), " +
+      "canon AS (SELECT doc_id FROM full0 " +
+      "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
+      "s2d AS (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)), " +
+      // stage 3: d10's 8-gram holdout overlap over s2d
+      "dtok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
+      "string_split_regex(rtrim(text), '\\s+') AS w FROM s2d), " +
+      s"dsh0 AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - ${k - 2}), " +
+      s"i -> array_to_string(w[i:i+${k - 1}], ' ')))) AS s FROM dtok WHERE len(w) >= $k), " +
+      s"dsh AS (SELECT doc_id, b, s FROM dsh0 WHERE s IN (SELECT s FROM dsh0 GROUP BY s HAVING count(*) <= ($cap3))), " +
+      "contam AS (SELECT DISTINCT tr.doc_id FROM (SELECT doc_id, s FROM dsh WHERE b < 980) tr " +
+      "JOIN (SELECT doc_id, s FROM dsh WHERE b >= 980) ho USING (s) " +
+      s"GROUP BY tr.doc_id, ho.doc_id HAVING count(*) >= ${Dedup.DecontamMinShared}), " +
+      "s3 AS (SELECT d2.doc_id, d2.text FROM s2d d2 " +
+      "WHERE ((d2.doc_id % 1000) * 761) % 1000 < 980 " +
+      "AND d2.doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      // stage 4 + census
+      "counts AS (SELECT (SELECT count(*) FROM documents) AS n0, " +
+      "(SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2d) AS n2, " +
+      "(SELECT count(*) FROM s3) AS n3, " +
+      "(SELECT CAST((coalesce(sum(len(string_split_regex(rtrim(text), '\\s+'))), 0) " +
+      s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s3) AS nseq) " +
+      "SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name, n0 AS n_in, n1 AS n_out FROM counts " +
+      "UNION ALL SELECT 2, 'dedup_canonical', n1, n2 FROM counts " +
+      "UNION ALL SELECT 3, 'decontam', n2, n3 FROM counts " +
+      "UNION ALL SELECT 4, 'pack', n3, nseq FROM counts " +
+      "ORDER BY stage"
+  }
+
+  val oracles: Map[String, String] = Map("e01_curation_pipeline" -> e01Sql)
+}

@@ -1088,6 +1088,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length > 1, "fixture corpus should span multiple bins")
   }
 
+  test("e01 curation chain: stages link, every count monotone, dropping a stage propagates") {
+    val census = Pipeline.e01Curation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(census.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // chain property: each stage's n_in IS the previous stage's n_out —
+    // the interop guarantee this gate exists for
+    for (Seq(a, b) <- census.toSeq.sliding(2))
+      assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out: $census")
+    // retention is monotone (doc stages only; stage 4 converts units)
+    census.take(3).foreach { case (st, _, nIn, nOut) =>
+      assert(nOut <= nIn, s"stage $st grew the corpus: $census") }
+    assert(census(0)._4 < census(0)._3, "quality stage must drop something")
+    assert(census(3)._4 > 0, "packing must emit sequences")
+    // counterfactual: DISABLE stage 1 (bar = 0) — its survivors feed
+    // every later stage, so the downstream census must change too
+    val noQ = Pipeline.e01CurationAt(spark, sf, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(noQ(0)._3 == noQ(0)._2, "bar 0 must pass every doc")
+    assert(noQ(1)._3 != census(1)._4 || noQ(3)._3 != census(3)._4,
+      s"disabling the quality stage must propagate downstream: $census vs ${noQ.toSeq}")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
