@@ -227,6 +227,10 @@ object SparkEntry {
     // energy difference fingerprints, same 4×16 banding + caps,
     // canary WAV pair keeps the tier non-vacuous
     "m06_audio_neardup" -> (Multimodal.m06AudioNeardup _),
+    // m07: video-level near-dup census — per-video SimHash over m03's
+    // per-frame fingerprints through the same banded census; canary
+    // GIF pair (signature Hamming 1) keeps the tier non-vacuous
+    "m07_video_neardup" -> (Multimodal.m07VideoNeardup _),
     // p09: dynamic partition overwrite — backfill one partition in
     // place; siblings must survive (the lakehouse rewrite primitive)
     "p09_dynamic_overwrite" -> (Sinks.p09DynamicOverwrite _),

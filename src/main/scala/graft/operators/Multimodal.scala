@@ -961,6 +961,126 @@ object Multimodal {
           (col("frame_no") * FrameBytes + 1).cast("int"), lit(4)))
           .as("frame_hex"))
 
+  // ---- m07: video-LEVEL near-dup over per-frame fingerprints --------
+
+  /** 64-bit SimHash (majority bit vote, ties → set) over a video's
+    * per-frame [[dHash64]] multiset — the per-VIDEO signature m07
+    * bands. SimHash, not MinHash-over-frames, deliberately: the shared
+    * [[bandedHashCensus]] verifies candidates by HAMMING distance, and
+    * the majority vote has exactly that locality (few changed frames →
+    * few flipped majority bits), while concatenated MinHash chunks
+    * change arbitrarily-many bits when one band's argmin moves —
+    * band-EQUALITY semantics that would need a different verify tier
+    * (d04 keeps MinHash where it belongs, on token-set Jaccard). */
+  private[graft] def simhashOverFrames(frames: Seq[Long]): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      var cnt = 0
+      frames.foreach(h => if (((h >>> j) & 1L) == 1L) cnt += 1)
+      if (2 * cnt >= frames.length) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Per-video signatures through the SAME decode seam as m03's frame
+    * sampler: GIF payloads decode every [[SampleEvery]]-th frame
+    * pixel-real ([[gifFrames]]) and dHash each; mp4-sniffed payloads
+    * run the sanctioned deterministic-fake plane decode over the same
+    * sampled 16-byte windows as [[mp4FrameRows]] (REAL seam, REAL
+    * dHash, fake pixels — see [[mp4FakeFramePlane]]); the frame-hash
+    * multiset folds to one [[simhashOverFrames]] signature per video
+    * (method "vsim"). Everything else — and any video that yields zero
+    * decodable frames — falls to the md5-prefix content tier. Row
+    * shape matches [[perceptualHashes]]/[[audioHashes]], so the shared
+    * census runs unchanged. */
+  private[graft] def videoHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames: Seq[Long] =
+          try {
+            magicOf(bytes) match {
+              case "gif" => gifFrames(bytes, SampleEvery).map(f => dHash64(f._2))
+              case "mp4" =>
+                (0L to math.max(0L, (bytes.length - 1).toLong / FrameBytes) by SampleEvery)
+                  .map { f =>
+                    val off = (f * FrameBytes).toInt
+                    dHash64(mp4FakeFramePlane(bytes.slice(off, off + FrameBytes)))
+                  }
+              case _ => Seq.empty
+            }
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (frames.nonEmpty) (id, simhashOverFrames(frames), "vsim")
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val prefix = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL))
+          (id, prefix, "content")
+        }
+      })
+      .toDF("media_id", "phash", "method")
+  }
+
+  /** Deterministic canary pair for the m07 gate — two constructed
+    * 5-frame animated GIFs (encoded with the JDK's own ImageIO GIF
+    * writer, decoded back by the REAL [[gifFrames]] path). Frames 0-3
+    * are a descending 9×8 gray gradient (dHash = all 64 bits CLEAR);
+    * frame 4 is [[canaryBmp]]'s ascending gradient as a GIF frame
+    * (dHash = all bits SET). The [[SampleEvery]]=4 sampler keeps
+    * frames {0, 4}, so the signature's majority vote (2 frames,
+    * tie → set) is the OR of the two frame hashes = all bits set. The
+    * perturbed twin darkens frame 4's pixel (4,0) — canaryBmp's exact
+    * one-bit flip, clearing gradient bit 3 in the sampled frame and
+    * therefore bit 3 of the SIGNATURE: video-level Hamming exactly 1,
+    * a constructed true near-duplicate pinned by MultimodalSpec. */
+  private[graft] def canaryGif(perturbed: Boolean): Array[Byte] = {
+    def frame(ascending: Boolean, perturb: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = if (perturb && y == 0 && x == 4) 10
+          else if (ascending) 20 * x + 10 else 20 * (8 - x) + 10
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      img
+    }
+    val frames = Seq.fill(4)(frame(ascending = false, perturb = false)) :+
+      frame(ascending = true, perturb = perturbed)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** m07: video-level near-dup census — m05's structure one level up:
+    * the decodable tier keys on the per-VIDEO [[simhashOverFrames]]
+    * signature over m03's per-frame fingerprints instead of a single
+    * image hash. Same 4×16 banding, same pigeonhole exactness for
+    * Hamming ≤ 3, same hot-bucket caps, same content fallback — the
+    * fourth modality through the ONE census shape
+    * ([[bandedHashCensus]]). The gate corpus carries no GIF/mp4
+    * payloads (the m03 invariant), so the [[canaryGif]] pair keeps the
+    * vsim tier non-vacuous at every SF (the canaryBmp/canaryWav
+    * pattern). */
+  def m07VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = media(spark, dir).select(col("media_id"), col("payload"))
+    val canary = Seq((-1L, canaryGif(false)), (-2L, canaryGif(true)))
+      .toDF("media_id", "payload")
+    val payloads = corpus.unionAll(canary)
+    bandedHashCensus(spark, videoHashes(spark, payloads),
+      payloads.count(), "vsim")
+  }
+
   /** m04: exact MEDIA dedup census — the multimodal face of d01: blobs
     * are identical iff their content hash is, so the census is one
     * map-side md5 over the binary column + a per-modality aggregate
@@ -992,6 +1112,21 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "m07_video_neardup" ->
+      // m05/m06's oracle shape: content tier replayed from md5
+      // prefixes (no corpus payload sniffs gif/mp4 — the m03
+      // invariant); the vsim tier is the constructed canary pair
+      // (signature Hamming exactly 1), entering as the literals it
+      // provably is (MultimodalSpec pins the construction)
+      ("WITH ph AS (SELECT doc_id AS media_id, substring(md5(text), 1, 16) AS h FROM documents), " +
+        "cp AS (SELECT a.media_id AS ida, b.media_id AS idb " +
+        "FROM ph a JOIN ph b ON a.h = b.h AND a.media_id < b.media_id) " +
+        "SELECT method, n_items, n_pairs, n_exact, n_near FROM (" +
+        "SELECT 'content' AS method, (SELECT count(*) FROM ph) AS n_items, " +
+        "(SELECT count(*) FROM cp) AS n_pairs, (SELECT count(*) FROM cp) AS n_exact, " +
+        "CAST(0 AS BIGINT) AS n_near " +
+        "UNION ALL SELECT 'vsim', CAST(2 AS BIGINT), CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST(1 AS BIGINT)) ORDER BY method"),
     "m06_audio_neardup" ->
       // m05's oracle shape: content tier replayed from md5 prefixes;
       // the afp tier is the constructed canary pair (Hamming exactly
