@@ -231,6 +231,10 @@ object SparkEntry {
     // per-frame fingerprints through the same banded census; canary
     // GIF pair (signature Hamming 1) keeps the tier non-vacuous
     "m07_video_neardup" -> (Multimodal.m07VideoNeardup _),
+    // m08: incremental media dedup — the d13 ingest cycle in hash
+    // space: delta payloads dedup against the persisted (band, bh)-
+    // bucketed dHash index, corpus never re-decoded or re-shuffled
+    "m08_incremental_media_dedup" -> (Multimodal.m08IncrementalMediaDedup _),
     // p09: dynamic partition overwrite — backfill one partition in
     // place; siblings must survive (the lakehouse rewrite primitive)
     "p09_dynamic_overwrite" -> (Sinks.p09DynamicOverwrite _),

@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
   }
 
+  test("m08 incremental media dedup: bucketed index feeds both joins, corpus side no exchange") {
+    val p = plan(operators.Multimodal.m08IncrementalMediaDedup(spark, sf))
+    // d13's pin in hash space: both candidate joins consume the
+    // persisted index's bucket layout directly — the corpus is never
+    // re-shuffled (or re-decoded) at batch time
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge over the bucketed index:\n$p")
+    assert(p.contains("Bucketed: true"), s"index scans should be bucketed:\n$p")
+    // exactly ONE (band, bh) exchange (the delta banding into the
+    // index layout) and ONE phash exchange (the delta's content side)
+    val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandEx == 1, s"only the delta may exchange on band keys, got $bandEx:\n$p")
+    val phashEx = "Exchange hashpartitioning\\(phash".r.findAllIn(p).size
+    assert(phashEx == 1, s"only the delta may exchange on phash, got $phashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("st01 session_window aggregates partially before its one data shuffle") {
     val p = plan(graft.streaming.StreamingOps.st01SessionWindow(spark, sf))
     assert(p.contains("MergingSessions"), s"expected session-merge operator:\n$p")
