@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ArrayDotProduct(exprs.head, exprs(1))
         }))
     ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_piece_census"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.BpePieceCensus].getName, "bpe_piece_census"),
+        one("bpe_piece_census", graft.functions.BpePieceCensus) _))
+    ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("int8_qcensus"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Int8QuantCensus].getName, "int8_qcensus"),

@@ -101,19 +101,25 @@ object TextOps {
 
   /** t06: BPE-ish subword counting — the regex-tokenizer tier of token
     * accounting next to t01's whitespace tier (LLM pipelines budget by
-    * subword counts, not words). The pattern's alternatives are
-    * disjoint character classes (letter runs | digit runs | single
-    * non-space symbol), so Java and RE2 (DuckDB) agree exactly; one
-    * narrow map-only pass, no shuffle before the final sort. */
+    * subword counts, not words). The classes (letter runs | digit runs
+    * | single non-space symbol) are disjoint, so the DuckDB oracle's
+    * RE2 counts agree exactly; the Spark side computes all four counts
+    * in ONE allocation-free codegen pass over the UTF-8 bytes
+    * ([[graft.functions.BpePieceCensus]]) — the previous four
+    * `regexp_extract_all` passes each materialized a full match array
+    * only to size() it, and were the 10× gate's slowest query at
+    * ~15.5 s (round-11 verdict item 5; the s05/HOF lesson again).
+    * `element_at` re-evaluates the census ≤4× per row after projection
+    * collapse — each evaluation is one linear byte walk, together
+    * still far under one regex pass. */
   def t06BpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String) =
-      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+    val c = graft.functions.TextCensusFunctions.bpe_piece_census(col("text"))
     docs(spark, dir).select(
         col("doc_id"),
-        n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]").as("n_pieces"),
-        n("[A-Za-z]+").as("n_word"),
-        n("[0-9]+").as("n_num"),
-        n("[^A-Za-z0-9\\\\s]").as("n_punct"))
+        element_at(c, 1).as("n_pieces"),
+        element_at(c, 2).as("n_word"),
+        element_at(c, 3).as("n_num"),
+        element_at(c, 4).as("n_punct"))
       .orderBy("doc_id")
   }
 

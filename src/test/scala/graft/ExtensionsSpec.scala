@@ -48,6 +48,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(qc(2) <= 1000000L / 254 + 1, s"max err above half-step: $qc")
     assert(qc(1) >= qc(2), s"sum below max: $qc")
 
+    // t06's one-pass subword census from pure SQL: runs="ab c7!", so
+    // words {ab, c}, digits {7}, punct {!} — and a non-ASCII codepoint
+    // counts ONE punct (the regex-per-codepoint semantics)
+    val bc = ext.sql("SELECT bpe_piece_census('ab c7! é') AS c")
+      .collect().head.getSeq[Long](0)
+    assert(bc == Seq(5L, 2L, 1L, 2L), s"bpe census: $bc")
+
     // the LSH/dedup primitives resolve too, matching the DataFrame forms
     val lsh = ext.sql(
       """SELECT

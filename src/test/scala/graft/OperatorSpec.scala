@@ -1088,6 +1088,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length > 1, "fixture corpus should span multiple bins")
   }
 
+  test("bpe_piece_census equals the four-regex formulation on seeded random text") {
+    // the native one-pass census replaced 4 regexp_extract_all passes
+    // (round-11 verdict item 5); this pins byte-walk == regex on text
+    // drawn over every class boundary incl. multi-byte codepoints
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abXY09 \t\n!?.,é漢🙂-_"
+    val cases = Seq("", " ", "a", "é", "🙂🙂", "a1!") ++
+      (1 to 500).map(_ => (1 to rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    def regexCounts(s: String): Seq[Long] = {
+      def n(p: String) = p.r.findAllIn(s).length.toLong
+      Seq(n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), n("[A-Za-z]+"), n("[0-9]+"),
+        n("[^A-Za-z0-9\\s]"))
+    }
+    cases.foreach { s =>
+      val got = graft.functions.TextCensusImpls.bpeCensus(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val want = regexCounts(s)
+      assert((0 until 4).map(got.getLong) == want, s"census mismatch on ${s.take(60)}")
+    }
+  }
+
   test("e01 curation chain: stages link, every count monotone, dropping a stage propagates") {
     val census = Pipeline.e01Curation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
