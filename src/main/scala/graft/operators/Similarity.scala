@@ -552,8 +552,9 @@ object Similarity {
     * products) — k1 + probes·k2 ≈ O(√K) centroid distances per query
     * instead of the flat quantizer's K. Centroids broadcast. Returns
     * (qid, qe, qnrm, cid) — one row per (query, probed composite cell). */
-  private def probeCells(spark: SparkSession, dir: String,
-      ccents: DataFrame, fcents: DataFrame, k2: Int): DataFrame = {
+  private[graft] def probeCells(spark: SparkSession, dir: String,
+      ccents: DataFrame, fcents: DataFrame, k2: Int,
+      fineProbes: Int = S06FineProbes): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val queries = all.filter(col("vec_id") < NumQueries)
@@ -570,7 +571,7 @@ object Similarity {
     cprobes.join(broadcast(fcents), Seq("ccid"))
       .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
       .withColumn("rk2", row_number().over(wF))
-      .filter(col("rk2") <= S06FineProbes)
+      .filter(col("rk2") <= fineProbes)
       .select(col("qid"), col("qe"), col("qnrm"),
         (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
   }
@@ -896,9 +897,15 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  def s07PqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(spark, dir)
-    val cb = s07Codebooks(spark, dir, S07Rounds)
+  def s07PqAdc(spark: SparkSession, dir: String): DataFrame =
+    s07AdcAt(spark, dir, S07Subspaces, S07Rounds)
+
+  /** [[s07PqAdc]] at an explicit subquantizer count — the PqSweep seam
+    * (compression-recall trade at M ∈ {4, 8, 16}, NOTES round 12). */
+  private[graft] def s07AdcAt(spark: SparkSession, dir: String,
+      m: Int, rounds: Int): DataFrame = {
+    val sv = subvecsAt(spark, dir, m)
+    val cb = s07CodebooksAt(spark, dir, rounds, m, S07Codes)
     val codes = s07Encode(sv, cb).select(col("vec_id"), col("sub"), col("cid"))
     val dtab = sv.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
@@ -947,7 +954,13 @@ object Similarity {
     * exact s01 baseline on the planted corpus and the measured
     * scan-reduction factor are recorded in NOTES.md
     * (graft.tools.S09AtScale). */
-  def s09IvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def s09IvfPq(spark: SparkSession, dir: String): DataFrame =
+    s09At(spark, dir, S06FineProbes)
+
+  /** [[s09IvfPq]] at an explicit fine-probe count — the PqSweep seam
+    * (probes-vs-recall trade, NOTES round 12). */
+  private[graft] def s09At(spark: SparkSession, dir: String,
+      fineProbes: Int): DataFrame = {
     val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
     val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
     val sv = subvecs(spark, dir)
@@ -958,7 +971,7 @@ object Similarity {
     // write bucketed by cell — the d13 persisted-index pattern)
     val codesByCell = codes.join(
       assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
-    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2, fineProbes)
       .select(col("qid"), col("cid").as("cell"))
     val dtab = sv.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
