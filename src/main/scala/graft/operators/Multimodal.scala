@@ -1155,6 +1155,27 @@ object Multimodal {
       .orderBy("method", "delta_id", "corpus_id")
   }
 
+  /** Fold a deduped delta INTO the persisted media index — the tail of
+    * the ingest cycle ([[graft.operators.Dedup.d13FoldIn]]'s twin):
+    * the delta's band postings and content rows append with the
+    * IDENTICAL bucketing (Spark validates the spec against the
+    * catalog), so the next batch dedups against corpus ∪ delta with no
+    * recompute of either. Exercised by MultimodalSpec; the GATE
+    * deliberately does not fold (d13's evaluation-order argument). */
+  private[graft] def m08FoldIn(spark: SparkSession, delta: DataFrame,
+      bandT: String, contT: String): Unit = {
+    val hashed = perceptualHashes(spark, delta)
+    dhashBands(hashed.filter(col("method") === "dhash"))
+      .write.mode("append").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bandT)
+    hashed.filter(col("method") === "content")
+      .select(col("media_id"), col("phash"))
+      .write.mode("append").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "phash").sortBy("phash")
+      .saveAsTable(contT)
+  }
+
   /** m08: INCREMENTAL media dedup — the d13 ingest cycle for binary
     * media: build the banded hash index once over the corpus, then
     * dedup each new batch against it at O(batch + candidates), never
