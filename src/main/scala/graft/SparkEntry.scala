@@ -157,6 +157,10 @@ object SparkEntry {
     // s07's ADC scoring; the code scan is restricted to probed cells
     // BEFORE any distance lookup (the FAISS IndexIVFPQ shape)
     "s09_ivf_pq" -> (Similarity.s09IvfPq _),
+    // s10: IVF-PQ + exact re-rank — the refine stage: ADC nominates
+    // top-R, only those R rows read full vectors and re-rank by exact
+    // cosine (recovers the recall PQ's 4-bit resolution loses)
+    "s10_ivf_pq_rerank" -> (Similarity.s10IvfPqRerank _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

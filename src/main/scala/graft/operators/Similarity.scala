@@ -961,6 +961,23 @@ object Similarity {
     * (probes-vs-recall trade, NOTES round 12). */
   private[graft] def s09At(spark: SparkSession, dir: String,
       fineProbes: Int): DataFrame = {
+    val scored = s09ScoredAt(spark, dir, fineProbes)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("vec_id").as("neighbor_id"), col("adc_units"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The shared s09/s10 candidate scorer: the full IVF-PQ pipeline up
+    * to the per-(qid, vec_id) ADC units — two-level model, PQ
+    * codebooks/codes, cell-keyed code store, hierarchical probe,
+    * cell-restricted ADC join (see [[s09IvfPq]]'s scaladoc for the
+    * scale argument of each stage). */
+  private def s09ScoredAt(spark: SparkSession, dir: String,
+      fineProbes: Int): DataFrame = {
     val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
     val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
     val sv = subvecs(spark, dir)
@@ -982,17 +999,71 @@ object Similarity {
     // corpus side is cell-restricted before any ADC scoring join
     val candidates = codesByCell.join(broadcast(fprobes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-    val scored = candidates.join(broadcast(dtab), Seq("qid", "sub", "code"))
+    candidates.join(broadcast(dtab), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("unit")).as("adc_units"))
-    val w = Window.partitionBy(col("qid"))
+  }
+
+  private[graft] val S10Rerank = 50
+
+  /** s10: IVF-PQ with EXACT RE-RANK — the refine stage that completes
+    * the production retrieval chain (FAISS IndexRefineFlat over
+    * IndexIVFPQ; Jégou TPAMI 2011 §V's IVFADC+R): s09's cell-restricted
+    * ADC scan nominates the top-[[S10Rerank]] candidates per query by
+    * quantized distance, then ONLY those R rows pick up their full
+    * vectors (one keyed join on vec_id — at deploy a vec_id-keyed
+    * store; candidates broadcast, the corpus streams) and are re-ranked
+    * by EXACT cosine. This is the layer that recovers the recall PQ's
+    * 4-bit resolution loses: ranking within the nominated set is exact,
+    * so PQ only has to get the true neighbors into the top R, not into
+    * the top k — measured on the uniform worst case, recall@5 jumps
+    * from s09's 0.14 to ≈ the probe ceiling (see NOTES round 12) at
+    * the cost of R·queries full-vector reads, a constant per query.
+    * Output shape/rounding/tie rules match s01/s06, so the tiers
+    * compare directly; the oracle chains s09's CTEs with the
+    * nomination + exact re-rank CTEs. */
+  def s10IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val scored = s09ScoredAt(spark, dir, S06FineProbes)
+    val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc_units").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    val nominated = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= S10Rerank)
+      .select(col("qid"), col("vec_id"))
+    val all = emb(spark, dir)
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    broadcast(nominated.join(broadcast(queries), Seq("qid")))
+      .join(all, Seq("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") <= K)
       .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
-        col("vec_id").as("neighbor_id"), col("adc_units"))
+        col("nid").as("neighbor_id"), round(col("c"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
   }
+
+  /** s10 oracle: the s09 CTE chain (one model, one probe, one scan),
+    * then nomination by ADC rank and the exact-cosine re-rank — the
+    * same cosine/rounding/tie rules as the s01 oracle. */
+  private[graft] def s10OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + ", " +
+      "scored AS (SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id), " +
+      "nom AS (SELECT qid, nid FROM (SELECT qid, nid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM scored) " +
+      s"WHERE rn <= $S10Rerank) " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim FROM (" +
+      "SELECT m.qid, m.nid, list_cosine_similarity(q.emb, v.emb) AS c, " +
+      "row_number() OVER (PARTITION BY m.qid " +
+      "ORDER BY round(list_cosine_similarity(q.emb, v.emb), 6) DESC, m.nid) AS rn " +
+      "FROM nom m JOIN e q ON q.vec_id = m.qid JOIN e v ON v.vec_id = m.nid) " +
+      "WHERE rn <= 5 ORDER BY query_id, rnk"
 
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
@@ -1113,6 +1184,7 @@ object Similarity {
     "s06_ann_ivf_2level" -> s06OracleSql(LloydRounds),
     "s07_pq_adc" -> s07OracleSql(S07Rounds),
     "s09_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
+    "s10_ivf_pq_rerank" -> s10OracleSql(LloydRounds, S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

@@ -77,6 +77,18 @@ object PqSweep {
       println(f"PQSWEEP s09 probes=$probes%-2d recall@5=$rc%.2f " +
         f"scanned_frac=$frac%.4f wall=$w%.1fs")
     }
+    // the refine tier: exact re-rank of the ADC top-R — how much of
+    // PQ's resolution loss the R full-vector reads buy back
+    val (rc10, w10) = time {
+      recall(exact, top5Sets(Similarity.s10IvfPqRerank(spark, dir)))
+    }
+    // ceiling: what a PERFECT re-rank could reach = exact ranking over
+    // the probed cells (s06 at the same probes)
+    val (rc06, _) = time {
+      recall(exact, top5Sets(Similarity.s06AnnIvf2Level(spark, dir)))
+    }
+    println(f"PQSWEEP s10 rerank R=${Similarity.S10Rerank} recall@5=$rc10%.2f " +
+      f"(probe ceiling s06=$rc06%.2f) wall=$w10%.1fs")
     spark.stop()
   }
 }
