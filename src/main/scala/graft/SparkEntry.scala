@@ -157,6 +157,12 @@ object SparkEntry {
     // s07's ADC scoring; the code scan is restricted to probed cells
     // BEFORE any distance lookup (the FAISS IndexIVFPQ shape)
     "s09_ivf_pq" -> (Similarity.s09IvfPq _),
+    // s11: IVF-PQ against the PERSISTED index — the serving face:
+    // centroids/codebooks/cell-bucketed codes stored once, query
+    // batches touch only the artifacts (zero training, zero
+    // corpus-side exchange); oracle shared with s09 (persistence
+    // must be semantically invisible)
+    "s11_persisted_ivf_pq" -> (Similarity.s11PersistedIvfPq _),
     // s10: IVF-PQ + exact re-rank — the refine stage: ADC nominates
     // top-R, only those R rows read full vectors and re-rank by exact
     // cosine (recovers the recall PQ's 4-bit resolution loses)

@@ -1065,6 +1065,76 @@ object Similarity {
       "FROM nom m JOIN e q ON q.vec_id = m.qid JOIN e v ON v.vec_id = m.nid) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
 
+  /** Build the PERSISTED IVF-PQ index over the corpus — the
+    * train-once / serve-many deploy lifecycle s09's in-gate training
+    * only sketches (the d13 persisted-index pattern applied to MODELS):
+    * coarse + fine centroid tables (k1 + k1·k2 rows — tiny), the PQ
+    * codebooks (M·16 rows), and the cell-keyed code store BUCKETED by
+    * cell and sorted within buckets, so a query batch's probe join
+    * reads the codes co-located with ZERO corpus-side exchange and the
+    * corpus is scanned/encoded EXACTLY once, at ingest. */
+  private[graft] def s11BuildIndex(
+      spark: SparkSession, dir: String): (String, String, String, String) = {
+    val wh = graft.core.IO.scratchDir("graft-s11")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (codesT, ccT, fcT, cbT) = (s"graft_s11_codes_$tag", s"graft_s11_cc_$tag",
+      s"graft_s11_fc_$tag", s"graft_s11_cb_$tag")
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val cb = s07Codebooks(spark, dir, S07Rounds)
+    val codesByCell = s07Encode(subvecs(spark, dir), cb)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+    codesByCell.write.mode("overwrite").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "cell").sortBy("cell")
+      .option("path", s"$wh/codes_$tag").saveAsTable(codesT)
+    ccents.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/cc_$tag").saveAsTable(ccT)
+    fcents.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/fc_$tag").saveAsTable(fcT)
+    cb.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/cb_$tag").saveAsTable(cbT)
+    (codesT, ccT, fcT, cbT)
+  }
+
+  /** s11: IVF-PQ search against the PERSISTED index — the serving face
+    * of s09. s09 certifies the composition's semantics but retrains
+    * both models inside the gate; a deployment trains once
+    * ([[s11BuildIndex]]) and every query batch afterwards touches ONLY
+    * the stored artifacts: centroids and codebooks read back as tiny
+    * broadcast tables, the probe join consumes the cell-bucketed code
+    * store co-located (PlanSpec pins zero corpus-side exchange — there
+    * is no Exchange at all on the code-store side, the probe set is
+    * broadcast into the bucketed scan), and per-batch cost is the
+    * probe + R lookups with NO training stage. Both the quantizer and
+    * the codebooks train deterministically, so the persisted model
+    * equals the in-gate one and s11's oracle IS [[s09OracleSql]] —
+    * persistence must be semantically invisible (the d13 argument,
+    * applied to models); the gate proves exactly that, row for row. */
+  def s11PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codesT, ccT, fcT, cbT) = s11BuildIndex(spark, dir)
+    val (_, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val fprobes = probeCells(spark, dir, spark.table(ccT), spark.table(fcT), k2)
+      .select(col("qid"), col("cid").as("cell"))
+    val dtab = subvecs(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(spark.table(cbT), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
+    val scored = spark.table(codesT).join(broadcast(fprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(dtab), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("unit")).as("adc_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("vec_id").as("neighbor_id"), col("adc_units"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
   private def s07DistSql(a: String, b: String) =
@@ -1185,6 +1255,9 @@ object Similarity {
     "s07_pq_adc" -> s07OracleSql(S07Rounds),
     "s09_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
     "s10_ivf_pq_rerank" -> s10OracleSql(LloydRounds, S07Rounds),
+    // persistence must be semantically invisible: s11 shares s09's
+    // oracle verbatim (deterministic training ⇒ stored model == fresh)
+    "s11_persisted_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

@@ -509,6 +509,18 @@ class PlanSpec extends AnyFunSuite {
       s"cell restriction must feed the ADC join, not follow it:\n$p")
   }
 
+  test("s11 persisted IVF-PQ: probes broadcast into the code store, which never shuffles") {
+    val p = plan(Similarity.s11PersistedIvfPq(spark, sf))
+    // the serving property: the persisted code store is consumed
+    // in place — the (tiny) probe set broadcasts into its scan, so
+    // there is NO exchange keyed on the cell column anywhere
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"probe set must broadcast against the code store:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
+      s"the code store must never shuffle on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
