@@ -354,6 +354,27 @@ object Bench {
         k -> inner / outer
       }
 
+    // ---- persisted-index phase splits ----
+    // the s11/s12 gate queries deliberately train + persist + search in
+    // ONE query (the gate must prove the stored model equals the fresh
+    // one), which conflates build and serve wall in their headline
+    // numbers (round-12 verdict item 4). The two halves are timed
+    // separately here: build_sec amortizes across every future batch
+    // at deploy; search_sec is the per-batch cost that must stay flat
+    // round over round.
+    val phaseSplits: Seq[(String, Seq[(String, Double)])] = {
+      val sim = graft.operators.Similarity
+      val s11 = try {
+        val n = graft.core.Tables(spark, sfDir, "embeddings").count()
+        val (_, k2) = sim.d12Factors(n)
+        var t: (String, String, String, String) = null
+        val b = time { t = sim.s11BuildIndex(spark, sfDir) }
+        val s = time(force(sim.s11Search(spark, sfDir, t._1, t._2, t._3, t._4, k2)))
+        Seq("build_sec" -> b, "search_sec" -> s)
+      } catch { case _: Throwable => Seq("build_sec" -> -1.0, "search_sec" -> -1.0) }
+      Seq("s11_persisted_ivf_pq" -> s11)
+    }
+
     // ---- LSH band-bucket cap census ----
     // the hot-bucket caps skip oversized buckets; the skip counts are
     // published here so a corpus whose boilerplate hits the caps shows
@@ -600,7 +621,10 @@ object Bench {
     val twins = SparkEntry.exactTwins.toSeq.sortBy(_._1)
       .map { case (k, vs) => s""""$k":${vs.map(v => s""""$v"""").mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"query_reps":$qreps,"operators":$ops,"operator_reps":$opreps,"containment_ratios":$cont,"regressions":$regJson,"spread_by_query":$spreadTop,"deliberate_global_windows":$dgw,"exact_twins":$twins,"lsh_bucket_caps":$lsh,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
+    val phases = phaseSplits.map { case (k, ps) =>
+      s""""$k":{${ps.map { case (p, v) => s""""$p":${jd(v)}""" }.mkString(",")}}"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"query_reps":$qreps,"operators":$ops,"operator_reps":$opreps,"containment_ratios":$cont,"regressions":$regJson,"spread_by_query":$spreadTop,"deliberate_global_windows":$dgw,"exact_twins":$twins,"phase_splits":$phases,"lsh_bucket_caps":$lsh,"storage":$st,"zstd_levels":$zs,"block_size_ratios":$bsj,"baseline_invariants":$inv,"sf":"$sfDir"}"""
     // Driver contract, third time's the charm: rounds 1-2 printed the
     // FULL json line (5.9 KB) and the driver's captured stdout tail
     // truncated it mid-record → "parsed": null two rounds running. The

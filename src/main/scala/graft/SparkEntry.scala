@@ -30,7 +30,11 @@ object SparkEntry {
   val exactTwins: Map[String, Seq[String]] = Map(
     "q18_percentiles" -> Seq("q26_approx_percentile", "q28_quantile_union"),
     "d03_ngram_jaccard" -> Seq("d08_ngram_jaccard_capped"),
-    "d06_embedding_neardup" -> Seq("d09_lsh_cosine_neardup", "d11_semantic_dedup"))
+    "d06_embedding_neardup" -> Seq("d09_lsh_cosine_neardup", "d11_semantic_dedup"),
+    // s07's exhaustive ADC scans all n code rows per query batch; s09
+    // restricts the same scoring to the probed cells — the capped
+    // deploy form of the identical quantizer (round-12 verdict item 4)
+    "s07_pq_adc" -> Seq("s09_ivf_pq"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

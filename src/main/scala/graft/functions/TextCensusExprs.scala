@@ -26,7 +26,17 @@ object TextCensusImpls {
     * directly: all class tests are ASCII, and a non-ASCII codepoint
     * counts one punct at its LEAD byte ((b & 0xC0) != 0x80 —
     * continuation bytes are skipped), which is exactly the regex's
-    * per-codepoint semantics including astral-plane chars. */
+    * per-codepoint semantics including astral-plane chars.
+    *
+    * PRECONDITION: input must be VALID UTF-8. An ORPHAN continuation
+    * byte (no preceding lead) is silently skipped here, while the
+    * regex formulation — operating on a decoded string — would count
+    * the resulting U+FFFD replacement as punct; the two only diverge
+    * on invalid UTF-8, which text columns read through Spark's string
+    * type can never contain (Spark validates/replaces at decode, so
+    * by the time this expression sees bytes they are well-formed).
+    * Binary-ish inputs must go through a string cast first, never a
+    * raw reinterpret (round-12 advice item 4). */
   def bpeCensus(s: UTF8String): ArrayData = {
     val n = s.numBytes()
     var w = 0L

@@ -290,6 +290,29 @@ object Dedup {
     keyed.join(hot, keyCols, "left_anti")
   }
 
+  /** Cap a FOLD-IN delta's band rows AGAINST the persisted bucket
+    * occupancy: repeated fold-ins could otherwise grow a degenerate
+    * (band, bh) bucket past the build-time cap and reintroduce the k²
+    * pair blowup the cap exists to stop (the solid-color-thumbnail
+    * case; round-12 advice item 2). A delta bucket appends only while
+    * existing + delta stays within `maxBucket` — all-or-nothing per
+    * bucket, the same skip semantics as [[capBandBuckets]] at build
+    * time, so the persisted invariant "no bucket exceeds its cap"
+    * survives any fold-in sequence. Cost: one aggregate over the
+    * COMPACT index (index-sized, never corpus-sized — the postings are
+    * tens of bytes/row) plus a delta-sized anti join. */
+  private[graft] def capDeltaAgainstIndex(spark: SparkSession, delta: DataFrame,
+      table: String, keyCols: Seq[String], maxBucket: Long): DataFrame = {
+    val existing = spark.table(table).groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_en"))
+    val hot = delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_dn"))
+      .join(existing, keyCols, "left")
+      .filter(coalesce(col("_en"), lit(0L)) + col("_dn") > maxBucket)
+      .select(keyCols.map(col): _*)
+    delta.join(hot, keyCols, "left_anti")
+  }
+
   /** Per-bucket occupancy census for one banding stage — the published
     * face of the cap (skips must be visible, not silent). EVERY
     * aggregate is coalesced: on an empty banding input (empty corpus,
@@ -450,7 +473,12 @@ object Dedup {
   private[graft] def d13FoldIn(spark: SparkSession, delta: DataFrame,
       bandT: String, shT: String): Unit = {
     val dsh = shingledOf(delta)
-    minhashBandsOf(dsh).write.mode("append").format("parquet")
+    // re-derive the corpus-relative cap (shingle store = one row per
+    // corpus doc) and cap the delta's postings against the PERSISTED
+    // occupancy, so no bucket ever grows past it across fold-ins
+    val cap = bandCap(spark.table(shT).count() + dsh.count())
+    capDeltaAgainstIndex(spark, minhashBandsOf(dsh), bandT, Seq("band", "bh"), cap)
+      .write.mode("append").format("parquet")
       .bucketBy(D13Buckets, "band", "bh").sortBy("band", "bh").saveAsTable(bandT)
     dsh.write.mode("append").format("parquet").saveAsTable(shT)
   }

@@ -679,37 +679,40 @@ object Multimodal {
         val decodable =
           (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) ||
           (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16)
-        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
-        val frameSize = math.max(1, fmt.getFrameSize)
-        val buf = new Array[Byte](AfpMaxFrames * frameSize)
-        var filled = 0
-        var r = in.read(buf, 0, buf.length)
-        while (r > 0 && filled < buf.length) {
-          filled += r
-          r = in.read(buf, filled, buf.length - filled)
-        }
-        val nSamples = filled / frameSize
-        if (!decodable || nSamples < AfpWindows * 2) None
+        if (!decodable) None // short-circuit BEFORE the buffer/read cost
         else {
-          val e = new Array[Double](AfpWindows)
-          val per = nSamples / AfpWindows
-          for (w <- 0 until AfpWindows) {
-            var s = 0.0
-            for (i <- w * per until (w + 1) * per) {
-              val off = i * frameSize // channel 0 leads each frame
-              val amp = bytesPerSample match {
-                case 1 => ((buf(off) & 0xff) - 128) / 128.0
-                case _ =>
-                  val (lo, hi) = if (fmt.isBigEndian) (buf(off + 1), buf(off))
-                    else (buf(off), buf(off + 1))
-                  ((hi << 8) | (lo & 0xff)) / 32768.0
-              }
-              s += math.abs(amp)
-            }
-            e(w) = s / per
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val buf = new Array[Byte](AfpMaxFrames * frameSize)
+          var filled = 0
+          var r = in.read(buf, 0, buf.length)
+          while (r > 0 && filled < buf.length) {
+            filled += r
+            r = in.read(buf, filled, buf.length - filled)
           }
-          Some((0 until AfpWindows - 1).foldLeft(0L)((acc, i) =>
-            (acc << 1) | (if (e(i) > e(i + 1)) 1L else 0L)))
+          val nSamples = filled / frameSize
+          if (nSamples < AfpWindows * 2) None
+          else {
+            val e = new Array[Double](AfpWindows)
+            val per = nSamples / AfpWindows
+            for (w <- 0 until AfpWindows) {
+              var s = 0.0
+              for (i <- w * per until (w + 1) * per) {
+                val off = i * frameSize // channel 0 leads each frame
+                val amp = bytesPerSample match {
+                  case 1 => ((buf(off) & 0xff) - 128) / 128.0
+                  case _ =>
+                    val (lo, hi) = if (fmt.isBigEndian) (buf(off + 1), buf(off))
+                      else (buf(off), buf(off + 1))
+                    ((hi << 8) | (lo & 0xff)) / 32768.0
+                }
+                s += math.abs(amp)
+              }
+              e(w) = s / per
+            }
+            Some((0 until AfpWindows - 1).foldLeft(0L)((acc, i) =>
+              (acc << 1) | (if (e(i) > e(i + 1)) 1L else 0L)))
+          }
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1165,7 +1168,16 @@ object Multimodal {
   private[graft] def m08FoldIn(spark: SparkSession, delta: DataFrame,
       bandT: String, contT: String): Unit = {
     val hashed = perceptualHashes(spark, delta)
-    dhashBands(hashed.filter(col("method") === "dhash"))
+    // corpus size re-derived from the index itself (postings/M05Bands
+    // decodable items + content rows); the delta's postings are capped
+    // against the PERSISTED occupancy so no degenerate (band, bh)
+    // bucket grows past the build-time cap across fold-ins
+    val cap = Dedup.bandCap(
+      spark.table(bandT).count() / M05Bands + spark.table(contT).count() +
+        delta.count())
+    Dedup.capDeltaAgainstIndex(spark,
+        dhashBands(hashed.filter(col("method") === "dhash")),
+        bandT, Seq("band", "bh"), cap)
       .write.mode("append").format("parquet")
       .bucketBy(Dedup.D13Buckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(bandT)

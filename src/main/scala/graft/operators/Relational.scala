@@ -653,6 +653,13 @@ object Relational {
 
   private val WeekUs = 7L * 24 * 3600 * 1000000L
 
+  /** Floor division of a micros expression by [[WeekUs]] — pmod makes
+    * the numerator an exact non-negative-remainder multiple, so the
+    * truncating `div` equals mathematical floor division for any sign
+    * (DuckDB's `//` semantics). */
+  private def floorDivUs(usExpr: String): org.apache.spark.sql.Column =
+    expr(s"($usExpr - pmod($usExpr, ${WeekUs}L)) div ${WeekUs}L")
+
   /** q33: retention cohorts — the second canonical event-analytics
     * question after q32's funnel ("of the users who signed up in week
     * W, how many were still active k weeks later?"): cohort each
@@ -665,17 +672,19 @@ object Relational {
     * join on user_id attaches it to the event feed (exchange-free when
     * events are bucketed by user_id — the p03 pattern), and the
     * distinct-active count is a two-phase hash agg on the low-NDV
-    * (cohort_week, week_offset) key. All week arithmetic is integer
-    * `div` on unix_micros longs (positive epochs, so Spark's truncating
-    * div and DuckDB's flooring `//` agree — the t16 rule). */
+    * (cohort_week, week_offset) key. Week bucketing is TRUE floor
+    * division ([[floorDivUs]]) so it matches DuckDB's flooring `//` on
+    * ANY timestamp sign — Spark's bare `div` truncates toward zero and
+    * would silently desynchronize the two engines on pre-1970 events
+    * (round-12 advice item 3). */
   def q33(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val cohorts = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(unix_micros(col("ts"))).as("f_us"))
-      .select(col("user_id"), expr(s"f_us div ${WeekUs}L").as("cohort_week"))
+      .select(col("user_id"), floorDivUs("f_us").as("cohort_week"))
     val activity = ev.select(col("user_id"),
-      expr(s"unix_micros(ts) div ${WeekUs}L").as("ev_week"))
+      floorDivUs("unix_micros(ts)").as("ev_week"))
     cohorts.join(activity, Seq("user_id"))
       .filter(col("ev_week") >= col("cohort_week"))
       .groupBy(col("cohort_week"),

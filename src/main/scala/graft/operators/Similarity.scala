@@ -1114,6 +1114,19 @@ object Similarity {
   def s11PersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val (codesT, ccT, fcT, cbT) = s11BuildIndex(spark, dir)
     val (_, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    s11Search(spark, dir, codesT, ccT, fcT, cbT, k2)
+  }
+
+  /** The SERVE half of s11 on its own — a query batch against an
+    * ALREADY-persisted index (stored centroid/codebook/code tables +
+    * the frozen k2): the per-batch cost a deployment actually pays,
+    * with NO training stage in the plan. Split out so the bench can
+    * time build and search separately (round-12 verdict item 4 — one
+    * conflated wall hid the serve-side number) and so s12's fold-in
+    * search reuses the identical serve path over the folded store. */
+  private[graft] def s11Search(spark: SparkSession, dir: String,
+      codesT: String, ccT: String, fcT: String, cbT: String,
+      k2: Int): DataFrame = {
     val fprobes = probeCells(spark, dir, spark.table(ccT), spark.table(fcT), k2)
       .select(col("qid"), col("cid").as("cell"))
     val dtab = subvecs(spark, dir).filter(col("vec_id") < NumQueries)
