@@ -372,7 +372,18 @@ object Bench {
         val s = time(force(sim.s11Search(spark, sfDir, t._1, t._2, t._3, t._4, k2)))
         Seq("build_sec" -> b, "search_sec" -> s)
       } catch { case _: Throwable => Seq("build_sec" -> -1.0, "search_sec" -> -1.0) }
-      Seq("s11_persisted_ivf_pq" -> s11)
+      val s12 = try {
+        var t: (String, String, String, String, Long, Int) = null
+        val b = time { t = sim.s12BuildBase(spark, sfDir) }
+        val delta = graft.core.Tables(spark, sfDir, "embeddings")
+          .filter(col("vec_id") >= t._5)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val f = time(sim.s12FoldIn(spark, delta, t._1, t._2, t._3, t._4, t._6))
+        val s = time(force(sim.s11Search(spark, sfDir, t._1, t._2, t._3, t._4, t._6)))
+        Seq("build_sec" -> b, "fold_sec" -> f, "search_sec" -> s)
+      } catch { case _: Throwable =>
+        Seq("build_sec" -> -1.0, "fold_sec" -> -1.0, "search_sec" -> -1.0) }
+      Seq("s11_persisted_ivf_pq" -> s11, "s12_ivf_pq_foldin" -> s12)
     }
 
     // ---- LSH band-bucket cap census ----

@@ -171,6 +171,11 @@ object SparkEntry {
     // top-R, only those R rows read full vectors and re-rank by exact
     // cosine (recovers the recall PQ's 4-bit resolution loses)
     "s10_ivf_pq_rerank" -> (Similarity.s10IvfPqRerank _),
+    // s12: incremental fold-in for the persisted IVF-PQ index — the
+    // index builds over the base slice, the delta folds in through the
+    // FROZEN centroids/codebooks (the FAISS add() contract), and the
+    // search runs over the folded store through s11's serve path
+    "s12_ivf_pq_foldin" -> (Similarity.s12IncrementalIvfPq _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

@@ -306,12 +306,13 @@ object Similarity {
     * the final assignment is the inverted file, probes = nProbe=4
     * cells per query. Mechanical generation keeps the oracle in
     * lockstep with [[LloydRounds]] by construction. */
-  private def assignCteSql(name: String, cents: String, alias: String) =
+  private def assignCteSql(name: String, cents: String, alias: String,
+      src: String = "e") =
     s"$name AS (SELECT vec_id, emb, cid FROM (" +
-      "SELECT e.vec_id, e.emb, " + s"$alias.cid, " +
-      "row_number() OVER (PARTITION BY e.vec_id " +
-      s"ORDER BY round(list_cosine_similarity(e.emb, $alias.ce), 6) DESC, $alias.cid) AS rk " +
-      s"FROM e CROSS JOIN $cents $alias) WHERE rk = 1), "
+      s"SELECT $src.vec_id, $src.emb, " + s"$alias.cid, " +
+      s"row_number() OVER (PARTITION BY $src.vec_id " +
+      s"ORDER BY round(list_cosine_similarity($src.emb, $alias.ce), 6) DESC, $alias.cid) AS rk " +
+      s"FROM $src CROSS JOIN $cents $alias) WHERE rk = 1), "
 
   /** The shared train-CTE prefix (e, cell-count kp, stride params,
     * cent0..centR) — generated per Lloyd round, used by the s04 and
@@ -319,17 +320,27 @@ object Similarity {
     * "16" for s04's fixed quantizer, a count-derived expression for
     * d11 — BOTH engines re-derive k from their own scan of the same
     * corpus, so the two sides cannot desynchronize. */
-  private[graft] def trainCtesSql(rounds: Int, kSelect: String = "16"): String = {
+  /** `src` scopes the TRAINING corpus: "e" (default — the full table;
+    * output byte-identical to the historical form) or "eb" — the s12
+    * BASE slice (vec_id below the [[S12BaseNum]]/[[S12BaseDen]] count
+    * fraction, re-derived by the oracle from its own scan), emitted as
+    * an extra CTE so the model trains on the base while the downstream
+    * assignment/scan CTEs still cover the full corpus. */
+  private[graft] def trainCtesSql(rounds: Int, kSelect: String = "16",
+      src: String = "e"): String = {
     val train = (1 to rounds).map { r =>
-      assignCteSql(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}") +
+      assignCteSql(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}", src) +
         s"dims$r AS (SELECT cid, i, round(avg(emb[i]), 6) AS v " +
         s"FROM a${r - 1} CROSS JOIN range(1, 65) t(i) GROUP BY cid, i), " +
         s"cent$r AS (SELECT cid, list(v ORDER BY i) AS ce FROM dims$r GROUP BY cid), "
     }.mkString
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      (if (src == "e") "" else
+        s"$src AS (SELECT * FROM e WHERE vec_id < " +
+          s"(SELECT count(*) FROM e) * $S12BaseNum // $S12BaseDen), ") +
       s"kp AS (SELECT $kSelect AS k), " +
-      "params AS (SELECT greatest(1, (SELECT count(*) FROM e) // (SELECT k FROM kp)) AS stride), " +
-      "cent0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM e, params " +
+      s"params AS (SELECT greatest(1, (SELECT count(*) FROM $src) // (SELECT k FROM kp)) AS stride), " +
+      s"cent0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM $src, params " +
       "WHERE vec_id % stride = 0 AND vec_id // stride < (SELECT k FROM kp)), " +
       train
   }
@@ -623,8 +634,9 @@ object Similarity {
 
   /** k1 as a DuckDB expression over the oracle's own corpus scan —
     * the coarse half of [[d12Factors]]. */
-  private val D12K1Sql =
-    s"CAST(ceil(sqrt(greatest((SELECT count(*) FROM e) // $D11CellTarget, 16))) AS BIGINT)"
+  private def d12K1SqlOf(src: String) =
+    s"CAST(ceil(sqrt(greatest((SELECT count(*) FROM $src) // $D11CellTarget, 16))) AS BIGINT)"
+  private val D12K1Sql = d12K1SqlOf("e")
 
   /** The d12 pipeline in DuckDB SQL, generated per Lloyd round like
     * [[s04OracleSql]]: coarse train/assign reuses [[trainCtesSql]] with
@@ -639,7 +651,14 @@ object Similarity {
     * cell inverted file; `cent{rounds}`/`fcent{rounds}` remain in
     * scope for probing) — used by BOTH the d12 census oracle and the
     * s06 search oracle, so the two gates replay one model. */
-  private[graft] def twoLevelCtesSql(rounds: Int): String = {
+  /** `src` = the TRAINING corpus ("e" default — byte-identical output;
+    * "eb" = s12's base slice). With src = "eb" the model (coarse/fine
+    * centroids) trains on the base only, and the `fafin` inverted file
+    * is emitted over the FULL corpus instead: every vector of `e` is
+    * assigned with the FROZEN final centroids — exactly what the s12
+    * engine's fold-in produces by construction (base rows keep their
+    * build-time assignment because the final model IS the frozen one). */
+  private[graft] def twoLevelCtesSql(rounds: Int, src: String = "e"): String = {
     val fine = (1 to rounds).map { r =>
       s"fa${r - 1} AS (SELECT vec_id, emb, ccid, fcid FROM (" +
         s"SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
@@ -650,12 +669,19 @@ object Similarity {
         s"FROM fa${r - 1} CROSS JOIN range(1, 65) t(i) GROUP BY ccid, fcid, i), " +
         s"fcent$r AS (SELECT ccid, fcid, list(v ORDER BY i) AS ce FROM fdims$r GROUP BY ccid, fcid), "
     }.mkString
-    trainCtesSql(rounds, D12K1Sql) +
-      assignCteSql("acoarse", s"cent$rounds", "cc") +
+    // the inverted-file SOURCE: training rows (fr) for the classic
+    // form; the full corpus coarse-assigned against the FINAL frozen
+    // centroids (frf) for the s12 base-trained form
+    val fafinSrc = if (src == "e") "fr" else "frf"
+    val fullAssign = if (src == "e") "" else
+      assignCteSql("acfull", s"cent$rounds", "cf2") +
+        "frf AS (SELECT vec_id, emb, cid AS ccid FROM acfull), "
+    trainCtesSql(rounds, d12K1SqlOf(src), src) +
+      assignCteSql("acoarse", s"cent$rounds", "cc", src) +
       // k2 = ceil(K / k1) in the integer (K + k1 - 1) // k1 form
       s"kf AS (SELECT k1, (kk + k1 - 1) // k1 AS k2 FROM " +
       s"(SELECT kk, CAST(ceil(sqrt(kk)) AS BIGINT) AS k1 FROM " +
-      s"(SELECT greatest((SELECT count(*) FROM e) // $D11CellTarget, 16) AS kk))), " +
+      s"(SELECT greatest((SELECT count(*) FROM $src) // $D11CellTarget, 16) AS kk))), " +
       // per-coarse-cell member rank + population → deterministic seeds
       "fr AS (SELECT vec_id, emb, cid AS ccid, " +
       "row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS rk, " +
@@ -664,11 +690,12 @@ object Similarity {
       "fcent0 AS (SELECT ccid, CAST(rk // stride AS INT) AS fcid, emb AS ce FROM fs " +
       "WHERE rk % stride = 0 AND rk // stride < (SELECT k2 FROM kf)), " +
       fine +
+      fullAssign +
       "fafin AS (SELECT vec_id, emb, ccid * (SELECT k2 FROM kf) + fcid AS cid FROM (" +
       "SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
       "row_number() OVER (PARTITION BY f.vec_id " +
       s"ORDER BY round(list_cosine_similarity(f.emb, c.ce), 6) DESC, c.fcid) AS rk2 " +
-      s"FROM fr f JOIN fcent$rounds c ON f.ccid = c.ccid) WHERE rk2 = 1), "
+      s"FROM $fafinSrc f JOIN fcent$rounds c ON f.ccid = c.ccid) WHERE rk2 = 1), "
   }
 
   /** s06 oracle: the shared two-level model prefix, then the
@@ -772,10 +799,14 @@ object Similarity {
     * the sweep seam (graft.tools.PqSweep measures the
     * compression-recall trade at M ∈ {4, 8, 16} so the [[S07Subspaces]]
     * default is defended with data). */
-  private[graft] def subvecsAt(spark: SparkSession, dir: String, m: Int): DataFrame = {
+  private[graft] def subvecsAt(spark: SparkSession, dir: String, m: Int): DataFrame =
+    subvecsOf(emb(spark, dir), m)
+
+  /** [[subvecsAt]] over an explicit (vec_id, e) frame — s12's fold-in
+    * encodes a DELTA batch, not a table scan. */
+  private[graft] def subvecsOf(e: DataFrame, m: Int): DataFrame = {
     val subDim = 64 / m
-    emb(spark, dir)
-      .select(col("vec_id"),
+    e.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
       .select(col("vec_id"), col("sub"),
         slice(col("e"), col("sub") * subDim + 1, lit(subDim)).as("v"))
@@ -1148,6 +1179,100 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- s12: incremental fold-in for the persisted IVF-PQ index ------
+
+  /** The s12 base/delta count split: base = the first
+    * [[S12BaseNum]]/[[S12BaseDen]] of the corpus by vec_id (both
+    * engines re-derive the bound from their own count of the same
+    * table, so the two sides cannot desynchronize). */
+  private[graft] val S12BaseNum = 9L
+  private[graft] val S12BaseDen = 10L
+
+  /** Assign + encode a batch of embeddings with the FROZEN persisted
+    * model — the FAISS add()-after-train() contract (Jégou TPAMI 2011
+    * §IV; faiss IndexIVFPQ.add): NO retraining, the batch simply flows
+    * through the stored quantizers (coarse argmax → fine argmax within
+    * the coarse cell → per-subspace argmin-L2 codes). Returns code rows
+    * (vec_id, sub, code, cell) in the code store's exact layout. Every
+    * join is against a broadcast stored-artifact table; the only
+    * exchanges are the batch-sized partial-agg shuffles — the existing
+    * code store is NOT in this plan at all (PlanSpec pins it). */
+  private[graft] def s12AssignEncode(spark: SparkSession, batch: DataFrame,
+      ccT: String, fcT: String, cbT: String, k2: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val vecs = batch.withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val coarse = assignCells(vecs, spark.table(ccT))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid").as("ccid"))
+    val cells = assignFine(coarse, spark.table(fcT))
+      .select(col("vec_id"),
+        (col("ccid").cast("long") * k2 + col("fcid")).as("cell"))
+    s07Encode(subvecsOf(batch, S07Subspaces), spark.table(cbT))
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+  }
+
+  /** Fold a delta batch INTO the persisted IVF-PQ index — the tail of
+    * the retrieval-side ingest cycle and d13/m08's fold-in discipline
+    * applied to the code store (round-12 verdict item 1): the delta's
+    * cell-keyed codes append with the IDENTICAL cell bucketing (Spark
+    * validates the spec against the catalog), so the next query batch
+    * searches corpus ∪ delta with zero recompute of either and the
+    * bucketed serve path ([[s11Search]]) keeps its zero-exchange
+    * property over the folded store. The stored centroids/codebooks
+    * are frozen — no retraining, so search results over the folded
+    * index are EXACTLY a full-corpus index whose model trained on the
+    * base (what [[s12OracleSql]] states). */
+  private[graft] def s12FoldIn(spark: SparkSession, delta: DataFrame,
+      codesT: String, ccT: String, fcT: String, cbT: String, k2: Int): Unit =
+    s12AssignEncode(spark, delta, ccT, fcT, cbT, k2)
+      .write.mode("append").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "cell").sortBy("cell")
+      .saveAsTable(codesT)
+
+  /** The BUILD half of the s12 gate: persist the IVF-PQ index over the
+    * BASE slice (vec_id < n·[[S12BaseNum]]/[[S12BaseDen]]) — the base
+    * lands as a scratch corpus dir so [[s11BuildIndex]]'s train+persist
+    * machinery runs on it verbatim. Returns the stored table names plus
+    * (nBase, k2) — the frozen geometry every later fold/search reuses. */
+  private[graft] def s12BuildBase(spark: SparkSession,
+      dir: String): (String, String, String, String, Long, Int) = {
+    val n = Tables(spark, dir, "embeddings").count()
+    val nBase = n * S12BaseNum / S12BaseDen
+    val baseDir = graft.core.IO.scratchDir("graft-s12")
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < nBase)
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    val (codesT, ccT, fcT, cbT) = s11BuildIndex(spark, baseDir)
+    val (_, k2) = d12Factors(nBase)
+    (codesT, ccT, fcT, cbT, nBase, k2)
+  }
+
+  /** s12: INCREMENTAL fold-in for the persisted IVF-PQ index — the
+    * last lifecycle gap on the retrieval side (round-12 verdict item
+    * 1): d13 (text) and m08 (media) fold deltas into persisted bucketed
+    * indexes, but s11's code store was build-once. Here the index
+    * builds over the BASE slice only ([[s12BuildBase]]), the delta (the
+    * remaining tail of the corpus) folds in through the FROZEN
+    * centroids/codebooks ([[s12FoldIn]] — the FAISS add() contract),
+    * and the query batch then searches the folded store through the
+    * UNCHANGED serve path ([[s11Search]]). Per-ingest cost is
+    * O(batch·(k1 + k2 + M·codes)) assignment work and a batch-sized
+    * bucketed append — the corpus-side code store is never read, never
+    * exchanged (PlanSpec pins both halves).
+    *
+    * The oracle ([[s12OracleSql]]) states the semantic contract
+    * directly: results must equal a FULL-corpus IVF-PQ whose model
+    * trained on the base — fold-in must be exactly "assign the rest
+    * with the frozen model", nothing more. Deterministic training makes
+    * that a row-for-row hash gate (the s11 persistence argument,
+    * extended to incremental ingest). */
+  def s12IncrementalIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codesT, ccT, fcT, cbT, nBase, k2) = s12BuildBase(spark, dir)
+    s12FoldIn(spark, emb(spark, dir).filter(col("vec_id") >= nBase),
+      codesT, ccT, fcT, cbT, k2)
+    s11Search(spark, dir, codesT, ccT, fcT, cbT, k2)
+  }
+
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
   private def s07DistSql(a: String, b: String) =
@@ -1166,21 +1291,30 @@ object Similarity {
     * the s09 oracle chains both blocks under one WITH. Used by the s07
     * (exhaustive ADC) and s09 (IVF-PQ) oracles so the two gates replay
     * ONE quantizer. Ends with ", ". */
-  private[graft] def pqCtesSql(rounds: Int): String = {
+  /** `src` = the TRAINING corpus ("e" default — byte-identical output;
+    * "eb" = s12's base slice, whose CTE [[trainCtesSql]] already put in
+    * scope). With src = "eb" the codebooks train on the base slice of
+    * the subvector rows (`svb`), while `codes` (the encode of every
+    * vector against the FROZEN final codebooks) and `dtab` still cover
+    * the full corpus — the engine fold-in's exact semantics. */
+  private[graft] def pqCtesSql(rounds: Int, src: String = "e"): String = {
+    val tsv = if (src == "e") "sv" else "svb"
     val train = (1 to rounds).map { r =>
       s"pa${r - 1} AS (SELECT vec_id, sub, v, cid FROM (" +
         s"SELECT s.vec_id, s.sub, s.v, c.cid, " +
         "row_number() OVER (PARTITION BY s.vec_id, s.sub " +
         s"ORDER BY round(${s07DistSql("s.v", "c.cv")}, 6), c.cid) AS rk " +
-        s"FROM sv s JOIN cb${r - 1} c ON s.sub = c.sub) WHERE rk = 1), " +
+        s"FROM $tsv s JOIN cb${r - 1} c ON s.sub = c.sub) WHERE rk = 1), " +
         s"pd$r AS (SELECT sub, cid, i, round(avg(v[i]), 6) AS x " +
         s"FROM pa${r - 1} CROSS JOIN range(1, ${S07SubDim + 1}) t(i) GROUP BY sub, cid, i), " +
         s"cb$r AS (SELECT sub, cid, list(x ORDER BY i) AS cv FROM pd$r GROUP BY sub, cid), "
     }.mkString
     s"sv AS (SELECT vec_id, s.sub, list_slice(emb, s.sub*$S07SubDim + 1, s.sub*$S07SubDim + $S07SubDim) AS v " +
       s"FROM e CROSS JOIN range(0, $S07Subspaces) s(sub)), " +
-      s"pqp AS (SELECT greatest(1, (SELECT count(*) FROM e) // $S07Codes) AS stride), " +
-      s"cb0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, v AS cv FROM sv, pqp " +
+      (if (src == "e") "" else
+        s"svb AS (SELECT s.* FROM sv s JOIN $src b ON b.vec_id = s.vec_id), ") +
+      s"pqp AS (SELECT greatest(1, (SELECT count(*) FROM $src) // $S07Codes) AS stride), " +
+      s"cb0 AS (SELECT sub, CAST(vec_id // stride AS INT) AS cid, v AS cv FROM $tsv, pqp " +
       s"WHERE vec_id % stride = 0 AND vec_id // stride < $S07Codes), " +
       train +
       "codes AS (SELECT vec_id, sub, cid FROM (" +
@@ -1209,9 +1343,11 @@ object Similarity {
     * distance tables), and the hierarchical-probe CTEs — then the
     * CELL-RESTRICTED ADC scan: candidates come from `fpr JOIN fafin ON
     * cid` (only probed cells' members) before any distance lookup. */
-  private[graft] def s09OracleSql(rounds: Int, pqRounds: Int): String =
-    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + " " +
-      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, adc_units FROM (" +
+  /** The cell-restricted ADC scan + ranking tail shared by the s09 and
+    * s12 oracles (one probe, one scan — only the CTE prefix differs in
+    * WHICH corpus trained the model). */
+  private val AdcScanTailSql: String =
+    "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, adc_units FROM (" +
       "SELECT qid, nid, adc_units, " +
       "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM (" +
       "SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
@@ -1220,6 +1356,22 @@ object Similarity {
       "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
       "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id)) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
+
+  private[graft] def s09OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + " " +
+      AdcScanTailSql
+
+  /** s12 oracle: the s09 chain with the TRAINING CTEs scoped to the
+    * base slice (`src = "eb"`) and assignment/codes/dtab/probe/scan
+    * over the FULL corpus — i.e. the oracle states "a full-corpus
+    * IVF-PQ whose model trained on the base", which is exactly what
+    * build-on-base + frozen-model fold-in must produce. The engine's
+    * persisted store and append never appear: incremental maintenance
+    * must be semantically invisible (the d13/s11 argument, applied to
+    * ingest). */
+  private[graft] def s12OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds, "eb") + pqCtesSql(pqRounds, "eb") +
+      probeCtesSql(rounds) + " " + AdcScanTailSql
 
   private val s05ErrSql =
     "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
@@ -1271,6 +1423,10 @@ object Similarity {
     // persistence must be semantically invisible: s11 shares s09's
     // oracle verbatim (deterministic training ⇒ stored model == fresh)
     "s11_persisted_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
+    // incremental maintenance must be semantically invisible too: the
+    // folded index must equal a full-corpus index whose model trained
+    // on the base slice
+    "s12_ivf_pq_foldin" -> s12OracleSql(LloydRounds, S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

@@ -184,6 +184,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
   }
 
+  test("s12 incremental fold-in: delta copies invisible before the fold, rank-1 after") {
+    import org.apache.spark.sql.functions._
+    // the s06 planted-fixture family, with the near-copies of queries
+    // 0-4 at the TOP of the id space so the s12 base/delta split
+    // (base = first 9/10 by vec_id) puts them in the DELTA: the fold
+    // must be what makes them retrievable, and nothing else may change
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val base = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val dups = spark.range(5).toDF("src")
+      .select((col("src") + 200L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(col("src"), i) + lit(0.0005)).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("s12fix").toString
+    base.unionAll(dups).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val (codesT, ccT, fcT, cbT, nBase, k2) = Similarity.s12BuildBase(spark, fixture)
+    assert(nBase == 184L, s"205 * 9 / 10 = 184, got $nBase")
+    assert(spark.table(codesT).count() == nBase * 8,
+      "base store must hold M=8 code rows per base vector")
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rnk") === 1 && col("query_id") < 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // counterfactual: BEFORE the fold the copies are not in the store
+    val before = top1(Similarity.s11Search(spark, fixture, codesT, ccT, fcT, cbT, k2))
+    assert(before.forall { case (_, nid) => nid < 200L },
+      s"delta copies must be invisible before the fold: $before")
+    val delta = graft.core.Tables(spark, fixture, "embeddings")
+      .filter(col("vec_id") >= nBase)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    Similarity.s12FoldIn(spark, delta, codesT, ccT, fcT, cbT, k2)
+    assert(spark.table(codesT).count() == 205L * 8,
+      "fold-in must append exactly the delta's code rows")
+    val after = top1(Similarity.s11Search(spark, fixture, codesT, ccT, fcT, cbT, k2))
+    assert(after == (0L until 5L).map(i => (i, i + 200L)),
+      s"each folded copy must be its query's rank-1 ADC neighbor: $after")
+  }
+
   test("p08 z-order layout: user-dim skipping wins, ts-sort keeps its own dimension") {
     val rows = Sinks.p08ZorderLayout(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -521,6 +521,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
   }
 
+  test("s12 fold-in: the existing code store is never read, never exchanged") {
+    val (codesT, ccT, fcT, cbT, nBase, k2) = Similarity.s12BuildBase(spark, sf)
+    val delta = graft.core.Tables(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= nBase)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("e"))
+    // the frame the fold-in APPENDS: assign+encode through the frozen
+    // stored model — the persisted code store must not appear anywhere
+    // in this plan (fold cost is O(batch), never O(index))
+    val p = plan(Similarity.s12AssignEncode(spark, delta, ccT, fcT, cbT, k2))
+    assert(!p.contains(codesT),
+      s"fold-in must not read the existing code store:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fold-in join degraded to a product:\n$p")
+    // centroid/codebook attaches broadcast the stored artifacts
+    assert(p.contains("BroadcastHashJoin"), s"stored-artifact joins must broadcast:\n$p")
+  }
+
+  test("s12 search over the FOLDED store: probes broadcast in, store never shuffles") {
+    val p = plan(Similarity.s12IncrementalIvfPq(spark, sf))
+    // s11's serving pin must survive the bucket-compatible append: the
+    // folded code store is consumed in place, the probe set broadcasts
+    // into its scan — NO exchange keyed on the cell column anywhere
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"probe set must broadcast against the folded code store:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
+      s"the folded code store must never shuffle on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
