@@ -21,7 +21,7 @@ object Pipeline {
     * quarter of the synthetic corpus — a realistic pre-filter rate). */
   private[graft] val E01QualityBp = 4500L
 
-  /** e01: the four-stage curation chain over `documents`, emitting one
+  /** e01: the five-stage curation chain over `documents`, emitting one
     * census row per stage: (stage, stage_name, n_in, n_out).
     *
     *  1. quality   — keep docs with t02 quality_bp ≥ [[E01QualityBp]]
@@ -29,21 +29,32 @@ object Pipeline {
     *  2. dedup     — d08's corpus-relative df-capped pair graph OVER THE
     *     SURVIVORS, pointer-jumping CC, then d14's survivor rule (keep
     *     the highest-quality member per cluster, tie → lowest id);
-    *  3. decontam  — d10's 8-gram overlap vs the p04 holdout split,
-    *     computed over the stage-2 survivors: keep train-split docs
+    *  3. semantic  — d11's SemDeDup over the survivors' EMBEDDINGS
+    *     (survivor doc_ids joined to `embeddings` on vec_id): quantizer
+    *     cells trained on the survivor set, drop every doc with a
+    *     lower-id within-cell neighbor at cos ≥ τ — the embedding-level
+    *     dedup real recipes run AFTER lexical dedup (round-12 verdict
+    *     item 3; SemDeDup, Abbas et al. 2023). Docs without an
+    *     embedding row pass through untouched (no embedding ⇒ nothing
+    *     to compare — never silently dropped);
+    *  4. decontam  — d10's 8-gram overlap vs the p04 holdout split,
+    *     computed over the stage-3 survivors: keep train-split docs
     *     (bucket < 980) with no flagged holdout overlap (the holdout
     *     docs themselves leave the training corpus here too);
-    *  4. pack      — t16's fixed-512-token packing over the survivors
+    *  5. pack      — t16's fixed-512-token packing over the survivors
     *     in doc_id order; n_out is the packed-SEQUENCE count
     *     ⌈Σtokens / 512⌉, the number of training rows shipped.
     *
     * 100 TB shape: every stage is the operator's own scale form (capped
-    * pair graph, O(log d) CC, holdout-side postings, two-phase token
-    * sum); the two `count()` reads are the documented corpus-relative
-    * cap/routing scalars (the d08/d10 precedent — at deploy each stage
-    * would persist its survivor set and the counts are free parquet
-    * metadata). The census itself is assembled declaratively from
-    * single-row aggregates — no driver-side result reads. */
+    * pair graph, O(log d) CC, within-cell-only SemDeDup at n²/K,
+    * holdout-side postings, two-phase token sum); the `count()` reads
+    * are the documented corpus-relative cap/routing scalars (the
+    * d08/d10 precedent — at deploy each stage would persist its
+    * survivor set and the counts are free parquet metadata; the
+    * semantic stage's survivor-embedding scratch write IS that persist
+    * step, reusing the d11 machinery verbatim). The census itself is
+    * assembled declaratively from single-row aggregates — no
+    * driver-side result reads. */
   def e01Curation(spark: SparkSession, dir: String): DataFrame =
     e01CurationAt(spark, dir, E01QualityBp)
 
@@ -72,14 +83,26 @@ object Pipeline {
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
       .select("doc_id")
     val s2 = d.join(canonIds, "doc_id")
-    val n2 = s2.count() // routing scalar: decontam's corpus-relative cap
-    // stage 3: holdout-overlap decontamination over the survivors
-    val contaminated = Dedup.decontaminate(s2, n2)
+    // stage 3: SEMANTIC dedup over the survivors' embeddings — the
+    // survivor-joined embedding set lands as a scratch corpus so d11's
+    // train/assign/pair machinery runs on it verbatim (quantizer K and
+    // stride seeds re-derive from the SURVIVOR count, exactly what the
+    // oracle's own count(*) does)
+    val semDir = graft.core.IO.scratchDir("graft-e01sem")
+    Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(s2.select(col("doc_id").as("vec_id")), "vec_id")
+      .write.mode("overwrite").parquet(s"$semDir/embeddings.parquet")
+    val semDropped = Similarity.d11DroppedIds(spark, semDir)
+      .select(col("vec_id").as("doc_id"))
+    val s3 = s2.join(semDropped, Seq("doc_id"), "left_anti")
+    val n3 = s3.count() // routing scalar: decontam's corpus-relative cap
+    // stage 4: holdout-overlap decontamination over the survivors
+    val contaminated = Dedup.decontaminate(s3, n3)
       .select(col("train_id").as("doc_id")).distinct()
-    val s3 = s2.filter(Sinks.splitBucket(col("doc_id")) < 980)
+    val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 4: packed-sequence count over survivors (t16's token rule)
-    val packed = s3.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // stage 5: packed-sequence count over survivors (t16's token rule)
+    val packed = s4.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
       .agg(expr(s"(coalesce(sum(n_tokens), 0) + ${TextOps.T16SeqLen - 1}) " +
         s"div ${TextOps.T16SeqLen}").as("nseq"))
     // census: single-row aggs cross-joined (all 1×1), exploded to rows
@@ -87,16 +110,19 @@ object Pipeline {
       .crossJoin(s1.agg(count(lit(1)).as("n1")))
       .crossJoin(s2.agg(count(lit(1)).as("n2")))
       .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .crossJoin(s4.agg(count(lit(1)).as("n4")))
       .crossJoin(packed)
     counts.select(explode(array(
         struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
           col("n0").as("n_in"), col("n1").as("n_out")),
         struct(lit(2L).as("stage"), lit("dedup_canonical").as("stage_name"),
           col("n1").as("n_in"), col("n2").as("n_out")),
-        struct(lit(3L).as("stage"), lit("decontam").as("stage_name"),
+        struct(lit(3L).as("stage"), lit("semantic").as("stage_name"),
           col("n2").as("n_in"), col("n3").as("n_out")),
-        struct(lit(4L).as("stage"), lit("pack").as("stage_name"),
-          col("n3").as("n_in"), col("nseq").as("n_out")))).as("r"))
+        struct(lit(4L).as("stage"), lit("decontam").as("stage_name"),
+          col("n3").as("n_in"), col("n4").as("n_out")),
+        struct(lit(5L).as("stage"), lit("pack").as("stage_name"),
+          col("n4").as("n_in"), col("nseq").as("n_out")))).as("r"))
       .select(col("r.stage"), col("r.stage_name"), col("r.n_in"), col("r.n_out"))
       .orderBy("stage")
   }
@@ -112,11 +138,11 @@ object Pipeline {
     val cap1 = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
       "(SELECT count(*) FROM s1)) AS BIGINT))"
     val cap3 = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
-      "(SELECT count(*) FROM s2d)) AS BIGINT))"
+      "(SELECT count(*) FROM s3sem)) AS BIGINT))"
     val k = Dedup.DecontamShingleK
     "WITH qual AS (" + TextOps.qualityBpSql + "), " +
       // stage 1: quality keep-set
-      "s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN qual q USING (doc_id) " +
+      "s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN qual q USING (doc_id) " +
       s"WHERE q.quality_bp >= $E01QualityBp), " +
       // stage 2: df-capped 3-gram Jaccard pairs over s1
       "tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM s1), " +
@@ -143,29 +169,44 @@ object Pipeline {
       "JOIN qual q ON q.doc_id = s.doc_id), " +
       "canon AS (SELECT doc_id FROM full0 " +
       "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
-      "s2d AS (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)), " +
-      // stage 3: d10's 8-gram holdout overlap over s2d
+      "s2d AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)), " +
+      // stage 3: d11's SemDeDup over the SURVIVOR-joined embeddings —
+      // the d11 oracle's own train/assign CTE chain (quantizer K and
+      // stride seeds re-derived from the survivor count), then the
+      // within-cell lower-id drop rule at τ
+      "e AS MATERIALIZED (SELECT em.vec_id, em.embedding::DOUBLE[] AS emb " +
+      "FROM embeddings em JOIN s2d ON s2d.doc_id = em.vec_id), " +
+      Similarity.trainCtesBody(Similarity.LloydRounds, Similarity.D11KSql) +
+      Similarity.assignCteSql("semafin", s"cent${Similarity.LloydRounds}", "cf") +
+      "semdrop AS (SELECT DISTINCT b.vec_id AS doc_id FROM semafin a " +
+      "JOIN semafin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+      s"AND list_cosine_similarity(a.emb, b.emb) >= ${Similarity.D11Tau}), " +
+      "s3sem AS MATERIALIZED (SELECT s2d.doc_id, s2d.text FROM s2d " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)), " +
+      // stage 4: d10's 8-gram holdout overlap over s3sem
       "dtok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
-      "string_split_regex(rtrim(text), '\\s+') AS w FROM s2d), " +
+      "string_split_regex(rtrim(text), '\\s+') AS w FROM s3sem), " +
       s"dsh0 AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - ${k - 2}), " +
       s"i -> array_to_string(w[i:i+${k - 1}], ' ')))) AS s FROM dtok WHERE len(w) >= $k), " +
       s"dsh AS (SELECT doc_id, b, s FROM dsh0 WHERE s IN (SELECT s FROM dsh0 GROUP BY s HAVING count(*) <= ($cap3))), " +
       "contam AS (SELECT DISTINCT tr.doc_id FROM (SELECT doc_id, s FROM dsh WHERE b < 980) tr " +
       "JOIN (SELECT doc_id, s FROM dsh WHERE b >= 980) ho USING (s) " +
       s"GROUP BY tr.doc_id, ho.doc_id HAVING count(*) >= ${Dedup.DecontamMinShared}), " +
-      "s3 AS (SELECT d2.doc_id, d2.text FROM s2d d2 " +
+      "s4 AS (SELECT d2.doc_id, d2.text FROM s3sem d2 " +
       "WHERE ((d2.doc_id % 1000) * 761) % 1000 < 980 " +
       "AND d2.doc_id NOT IN (SELECT doc_id FROM contam)), " +
-      // stage 4 + census
+      // stage 5 + census
       "counts AS (SELECT (SELECT count(*) FROM documents) AS n0, " +
       "(SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2d) AS n2, " +
-      "(SELECT count(*) FROM s3) AS n3, " +
+      "(SELECT count(*) FROM s3sem) AS n3, " +
+      "(SELECT count(*) FROM s4) AS n4, " +
       "(SELECT CAST((coalesce(sum(len(string_split_regex(rtrim(text), '\\s+'))), 0) " +
-      s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s3) AS nseq) " +
+      s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s4) AS nseq) " +
       "SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name, n0 AS n_in, n1 AS n_out FROM counts " +
       "UNION ALL SELECT 2, 'dedup_canonical', n1, n2 FROM counts " +
-      "UNION ALL SELECT 3, 'decontam', n2, n3 FROM counts " +
-      "UNION ALL SELECT 4, 'pack', n3, nseq FROM counts " +
+      "UNION ALL SELECT 3, 'semantic', n2, n3 FROM counts " +
+      "UNION ALL SELECT 4, 'decontam', n3, n4 FROM counts " +
+      "UNION ALL SELECT 5, 'pack', n4, nseq FROM counts " +
       "ORDER BY stage"
   }
 

@@ -306,7 +306,7 @@ object Similarity {
     * the final assignment is the inverted file, probes = nProbe=4
     * cells per query. Mechanical generation keeps the oracle in
     * lockstep with [[LloydRounds]] by construction. */
-  private def assignCteSql(name: String, cents: String, alias: String,
+  private[graft] def assignCteSql(name: String, cents: String, alias: String,
       src: String = "e") =
     s"$name AS (SELECT vec_id, emb, cid FROM (" +
       s"SELECT $src.vec_id, $src.emb, " + s"$alias.cid, " +
@@ -327,6 +327,18 @@ object Similarity {
     * an extra CTE so the model trains on the base while the downstream
     * assignment/scan CTEs still cover the full corpus. */
   private[graft] def trainCtesSql(rounds: Int, kSelect: String = "16",
+      src: String = "e"): String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      (if (src == "e") "" else
+        s"$src AS (SELECT * FROM e WHERE vec_id < " +
+          s"(SELECT count(*) FROM e) * $S12BaseNum // $S12BaseDen), ") +
+      trainCtesBody(rounds, kSelect, src)
+
+  /** [[trainCtesSql]] WITHOUT the WITH/`e` prefix — for embedding the
+    * train/assign chain into a larger WITH that defines its own `e`
+    * (e01's semantic stage trains over the survivor-joined embedding
+    * set). Assumes an `e (vec_id, emb)` CTE is already in scope. */
+  private[graft] def trainCtesBody(rounds: Int, kSelect: String = "16",
       src: String = "e"): String = {
     val train = (1 to rounds).map { r =>
       assignCteSql(s"a${r - 1}", s"cent${r - 1}", s"c${r - 1}", src) +
@@ -334,11 +346,7 @@ object Similarity {
         s"FROM a${r - 1} CROSS JOIN range(1, 65) t(i) GROUP BY cid, i), " +
         s"cent$r AS (SELECT cid, list(v ORDER BY i) AS ce FROM dims$r GROUP BY cid), "
     }.mkString
-    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
-      (if (src == "e") "" else
-        s"$src AS (SELECT * FROM e WHERE vec_id < " +
-          s"(SELECT count(*) FROM e) * $S12BaseNum // $S12BaseDen), ") +
-      s"kp AS (SELECT $kSelect AS k), " +
+    s"kp AS (SELECT $kSelect AS k), " +
       s"params AS (SELECT greatest(1, (SELECT count(*) FROM $src) // (SELECT k FROM kp)) AS stride), " +
       s"cent0 AS (SELECT CAST(vec_id // stride AS INT) AS cid, emb AS ce FROM $src, params " +
       "WHERE vec_id % stride = 0 AND vec_id // stride < (SELECT k FROM kp)), " +
@@ -416,6 +424,24 @@ object Similarity {
     // shuffle_hash because K cells ⇒ K hot build sides, never a sort
     // (see semdedupCensus)
     semdedupCensus(assignCells(all, trainedCentroids(spark, dir, LloydRounds, k)))
+  }
+
+  /** The SemDeDup DROP SET over a corpus dir — the distinct vec_ids
+    * with a LOWER-id within-cell near-neighbor at cos ≥ [[D11Tau]]
+    * (the drop side of d11's keep-one-representative rule; same
+    * quantizer, same blocking, same τ). d11's census is the gated
+    * face; e01's semantic stage consumes the ids themselves. */
+  private[graft] def d11DroppedIds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val k = d11CellCount(Tables(spark, dir, "embeddings").count())
+    val assigned = assignCells(all, trainedCentroids(spark, dir, LloydRounds, k))
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
+    a.hint("shuffle_hash").join(b, Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        Dedup.cosine(col("ea"), col("eb")) >= D11Tau)
+      .select(col("idb").as("vec_id")).distinct()
   }
 
   /** d12 cell policy — the TWO-LEVEL quantizer's answer to

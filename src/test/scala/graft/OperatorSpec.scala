@@ -1155,23 +1155,56 @@ class OperatorSpec extends AnyFunSuite {
   test("e01 curation chain: stages link, every count monotone, dropping a stage propagates") {
     val census = Pipeline.e01Curation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(census.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(census.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     // chain property: each stage's n_in IS the previous stage's n_out —
     // the interop guarantee this gate exists for
     for (Seq(a, b) <- census.toSeq.sliding(2))
       assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out: $census")
-    // retention is monotone (doc stages only; stage 4 converts units)
-    census.take(3).foreach { case (st, _, nIn, nOut) =>
+    // retention is monotone (doc stages only; stage 5 converts units)
+    census.take(4).foreach { case (st, _, nIn, nOut) =>
       assert(nOut <= nIn, s"stage $st grew the corpus: $census") }
     assert(census(0)._4 < census(0)._3, "quality stage must drop something")
-    assert(census(3)._4 > 0, "packing must emit sequences")
+    assert(census(4)._4 > 0, "packing must emit sequences")
     // counterfactual: DISABLE stage 1 (bar = 0) — its survivors feed
     // every later stage, so the downstream census must change too
     val noQ = Pipeline.e01CurationAt(spark, sf, 0L).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(noQ(0)._3 == noQ(0)._2, "bar 0 must pass every doc")
-    assert(noQ(1)._3 != census(1)._4 || noQ(3)._3 != census(3)._4,
+    assert(noQ(1)._3 != census(1)._4 || noQ(4)._3 != census(4)._4,
       s"disabling the quality stage must propagate downstream: $census vs ${noQ.toSeq}")
+  }
+
+  test("e01 semantic stage bites on lexically-distinct, embedding-near docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the gate corpus never exercises the semantic drop — its planted
+    // embedding near-dups are lexical dups too, and the LEXICAL stage
+    // correctly removes them first (SemDeDup-after-MinHash). This
+    // fixture plants the case only the semantic tier can catch: docs
+    // 30 and 35 share a near-identical embedding (cos ≈ 0.9999) while
+    // every text is vocab-disjoint (no shingle collisions at all)
+    def words(base: Int): String = (0 until 40).map(i => s"w${base + i}").mkString(" ")
+    val docs = (0L until 40L).map(i => i -> words(i.toInt * 1000)).toDF("doc_id", "text")
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val emb = spark.range(40).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(when(col("vec_id") === 35L, lit(30L)).otherwise(col("vec_id")), i) +
+            when(col("vec_id") === 35L, lit(0.0005)).otherwise(lit(0.0))).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("e01sem").toString
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    emb.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    // bar 0: every doc passes quality; vocab-disjoint texts pass the
+    // lexical stage whole — the SEMANTIC stage must drop exactly the
+    // higher-id twin (35), nothing else
+    val census = Pipeline.e01CurationAt(spark, fixture, 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(census(1) == ((2L, "dedup_canonical", 40L, 40L)),
+      s"lexical stage must pass the vocab-disjoint corpus whole: ${census.toSeq}")
+    assert(census(2) == ((3L, "semantic", 40L, 39L)),
+      s"semantic stage must drop exactly the planted embedding twin: ${census.toSeq}")
   }
 
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
