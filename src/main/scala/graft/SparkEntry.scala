@@ -263,6 +263,11 @@ object SparkEntry {
     // q33: retention cohorts — distinct actives per (signup-week
     // cohort, week offset); one keyed join, window-free
     "q33_retention_cohorts" -> (Relational.q33 _),
+    // t17: LEARNED quality classifier — logistic regression trained as
+    // DataFrame aggs (integer micro-unit GD rounds on the teacher-
+    // labeled sample), applied map-side corpus-wide; the FineWeb-Edu
+    // operator shape with t02's blend as the stand-in teacher
+    "t17_quality_classifier" -> (TextOps.t17QualityClassifier _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

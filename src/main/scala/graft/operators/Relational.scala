@@ -655,10 +655,18 @@ object Relational {
 
   /** Floor division of a micros expression by [[WeekUs]] — pmod makes
     * the numerator an exact non-negative-remainder multiple, so the
-    * truncating `div` equals mathematical floor division for any sign
-    * (DuckDB's `//` semantics). */
+    * truncating `div` equals mathematical floor division for any sign.
+    * BOTH engines truncate toward zero on bare integer division (Spark
+    * `div`, DuckDB `//` — measured: -7 // 2 = -3), so both sides use
+    * this same positive-remainder construction ([[floorDivUsSql]]). */
   private def floorDivUs(usExpr: String): org.apache.spark.sql.Column =
     expr(s"($usExpr - pmod($usExpr, ${WeekUs}L)) div ${WeekUs}L")
+
+  /** [[floorDivUs]]'s DuckDB twin — positive remainder via the double-%
+    * construction (DuckDB % keeps the dividend's sign), then the exact-
+    * multiple truncating `//` equals floor for any sign. */
+  private def floorDivUsSql(x: String): String =
+    s"(($x) - ((($x) % $WeekUs + $WeekUs) % $WeekUs)) // $WeekUs"
 
   /** q33: retention cohorts — the second canonical event-analytics
     * question after q32's funnel ("of the users who signed up in week
@@ -695,13 +703,13 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q33_retention_cohorts" ->
-      ("WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) // 604800000000 AS BIGINT) AS cohort_week " +
+      (s"WITH f AS (SELECT user_id, CAST(${floorDivUsSql("min(epoch_us(ts))")} AS BIGINT) AS cohort_week " +
         "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +
         "SELECT f.cohort_week, " +
-        "CAST(epoch_us(e.ts) // 604800000000 - f.cohort_week AS BIGINT) AS week_offset, " +
+        s"CAST(${floorDivUsSql("epoch_us(e.ts)")} - f.cohort_week AS BIGINT) AS week_offset, " +
         "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active " +
         "FROM f JOIN events e ON e.user_id = f.user_id " +
-        "WHERE epoch_us(e.ts) // 604800000000 >= f.cohort_week " +
+        s"WHERE ${floorDivUsSql("epoch_us(e.ts)")} >= f.cohort_week " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q32_funnel" ->
       ("WITH f AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us " +

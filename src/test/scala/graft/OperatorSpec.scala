@@ -1207,6 +1207,42 @@ class OperatorSpec extends AnyFunSuite {
       s"semantic stage must drop exactly the planted embedding twin: ${census.toSeq}")
   }
 
+  test("t17 learned scorer separates planted quality extremes and orders the natural classes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted counterfactual: rich docs (50 distinct words, stopword
+    // coverage, full length) vs degenerate spam ("spam spam ...") —
+    // the teacher labels them 1/0 and the LEARNED score must put every
+    // rich doc above every degenerate one after training ON the
+    // fixture's own id%5 sample (which contains both kinds)
+    def rich(i: Int): String =
+      (s"the and of to a in is on for with" +: (0 until 40).map(j => s"word${i}x$j")).mkString(" ")
+    def spam(i: Int): String = Seq.fill(30)(s"spam$i").mkString(" ")
+    val docs = (0L until 40L).map(i =>
+      i -> (if (i % 2 == 0) rich(i.toInt) else spam(i.toInt))).toDF("doc_id", "text")
+    val fixture = java.nio.file.Files.createTempDirectory("t17fix").toString
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t17QualityClassifier(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val richScores = rows.filter(_._1 % 2 == 0).map(_._3)
+    val spamScores = rows.filter(_._1 % 2 == 1).map(_._3)
+    assert(rows.filter(_._1 % 2 == 0).forall(_._2 == 1L) &&
+      rows.filter(_._1 % 2 == 1).forall(_._2 == 0L),
+      s"teacher must label the extremes 1/0: ${rows.take(6).toSeq}")
+    assert(richScores.min > spamScores.max,
+      s"every rich doc must outscore every spam doc: " +
+        s"rich min ${richScores.min} vs spam max ${spamScores.max}")
+    // natural corpus: the learned score must order the classes on
+    // average (AUC 0.77 measured at sf0.01, round-13 NOTES — here just
+    // the sign, the fixture above carries the sharp margin)
+    val nat = TextOps.t17QualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    def avg(xs: Array[Long]) = xs.sum.toDouble / xs.length
+    val (pos, neg) = (nat.filter(_._1 == 1L).map(_._2), nat.filter(_._1 == 0L).map(_._2))
+    assert(pos.nonEmpty && neg.nonEmpty && avg(pos) > avg(neg),
+      s"label-1 docs must outscore label-0 on average: ${avg(pos)} vs ${avg(neg)}")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
