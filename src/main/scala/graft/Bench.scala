@@ -227,7 +227,10 @@ object Bench {
     // "deliberate_global_windows" in the bench JSON, so a cold reader
     // of the artifact sees the annotation even if a warning leaks.
     val deliberateGlobalWindows =
-      Seq("q25_moving_window", "p06_size_bins", "t16_seq_packing")
+      Seq("q25_moving_window", "p06_size_bins", "t16_seq_packing",
+        // m09's dense frame-id assignment over the bounded frame
+        // catalog (Multimodal.m09CrossModalSearch scaladoc)
+        "m09_cross_modal")
     def windowExecLevel(l: org.apache.logging.log4j.Level): Unit =
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.window.WindowExec", l)

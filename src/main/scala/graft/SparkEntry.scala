@@ -254,6 +254,11 @@ object SparkEntry {
     // space: delta payloads dedup against the persisted (band, bh)-
     // bucketed dHash index, corpus never re-decoded or re-shuffled
     "m08_incremental_media_dedup" -> (Multimodal.m08IncrementalMediaDedup _),
+    // m09: cross-modal retrieval — "find videos containing a frame
+    // similar to this image": m03 frame fingerprints → encoder
+    // stand-in embeddings → the s11 persisted IVF-PQ serving path,
+    // composed end to end (the e01 interop argument across surfaces)
+    "m09_cross_modal" -> (Multimodal.m09CrossModalSearch _),
     // p09: dynamic partition overwrite — backfill one partition in
     // place; siblings must survive (the lakehouse rewrite primitive)
     "p09_dynamic_overwrite" -> (Sinks.p09DynamicOverwrite _),

@@ -1211,6 +1211,76 @@ object Multimodal {
     m08DeltaVsIndex(spark, delta, bandT, contT)
   }
 
+  // ---- m09: cross-modal retrieval (image query → video frames) ------
+
+  /** Deterministic frame-content EMBEDDING — the clearly-marked
+    * stand-in for a real image encoder (CLIP-class; no such model is
+    * public-knowledge-available in this container): dim j of a frame
+    * with fingerprint value h is ((h mod 1000003)·(j+1) + j) mod
+    * 2000003 / 1e6 − 1 — pure integer arithmetic, bit-identical in
+    * both engines, and EQUAL FINGERPRINTS ⇒ EQUAL VECTORS (the
+    * property the cross-modal canary needs). At deploy the real
+    * encoder replaces exactly this expression; the id assignment /
+    * index build / search plumbing on either side stays unchanged. */
+  private def frameEmbedding(h: Column): Column =
+    transform(sequence(lit(0), lit(63)), j =>
+      ((pmod(h, lit(1000003L)) * (j + lit(1)) + j) % lit(2000003L))
+        .cast("double") / lit(1e6) - lit(1.0))
+
+  /** m09: CROSS-MODAL retrieval — "find the videos containing a frame
+    * similar to this image", the query shape multimodal training-data
+    * curation runs for clip-level dedup and retrieval-augmented
+    * filtering. Composes three existing seams end to end (the e01
+    * argument, across modalities): [[m03FrameSample]]'s per-frame
+    * fingerprints → [[frameEmbedding]]'s encoder stand-in →
+    * [[Similarity.s11BuildIndex]]/[[Similarity.s11Search]]'s persisted
+    * IVF-PQ serving path — so interop drift between the multimodal and
+    * similarity surfaces breaks THIS gate even when each per-operator
+    * gate stays green.
+    *
+    * Mechanics: every VIDEO-modality media item's sampled frames get
+    * dense vec_ids from 10 up (row_number over the bounded frame
+    * catalog — a deliberate global window, the t16 precedent; at
+    * deploy frame ids come from the ingest catalog), the query image
+    * occupies the vec_id < 10 query space, and the frame embeddings
+    * land as a scratch corpus so the UNCHANGED s11 build+serve
+    * machinery indexes and searches them. The canary query (vec 0) is
+    * an image whose content equals the FIRST video frame, so its
+    * embedding equals that frame's vector exactly: the frame's PQ code
+    * is the per-subspace argmin of the query itself — the minimum
+    * possible ADC sum — and its cell is the query's own top probe, so
+    * rank 1 is structural (OperatorSpec pins it; ties break to the
+    * canary's minimal id). The DuckDB oracle replays the ENTIRE chain
+    * — frame sampling, embedding arithmetic, two-level + PQ training,
+    * hierarchical probe, cell-restricted ADC — row for row. */
+  def m09CrossModalSearch(spark: SparkSession, dir: String): DataFrame = {
+    val vids = media(spark, dir)
+      .select(col("media_id"), modality(col("payload")).as("mod"))
+      .filter(col("mod") === "video").select("media_id")
+    val frames = m03FrameSample(spark, dir).join(vids, "media_id")
+      .select(col("media_id"), col("frame_no"), col("frame_hex"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("media_id"), col("frame_no"))
+    val ids = frames.withColumn("vec_id",
+      row_number().over(w).cast("long") + 9L)
+    val query = ids.filter(col("vec_id") === 10L)
+      .select(lit(0L).as("vec_id"), col("frame_hex"))
+    val h = conv(rpad(col("frame_hex"), 8, "0"), 16, 10).cast("long")
+    val emb = query.unionByName(ids.select(col("vec_id"), col("frame_hex")))
+      .select(col("vec_id"), frameEmbedding(h).as("embedding"))
+    val m09Dir = graft.core.IO.scratchDir("graft-m09")
+    emb.write.mode("overwrite").parquet(s"$m09Dir/embeddings.parquet")
+    val (codesT, ccT, fcT, cbT) = Similarity.s11BuildIndex(spark, m09Dir)
+    val (_, k2) = Similarity.d12Factors(
+      graft.core.Tables(spark, m09Dir, "embeddings").count())
+    Similarity.s11Search(spark, m09Dir, codesT, ccT, fcT, cbT, k2)
+      .join(ids.select(col("vec_id").as("neighbor_id"),
+        col("media_id").as("video_id"), col("frame_no")), "neighbor_id")
+      .select(col("query_id"), col("rnk"), col("video_id"),
+        col("frame_no"), col("adc_units"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** m04: exact MEDIA dedup census — the multimodal face of d01: blobs
     * are identical iff their content hash is, so the census is one
     * map-side md5 over the binary column + a per-modality aggregate
@@ -1241,7 +1311,51 @@ object Multimodal {
       "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
   }
 
+  /** m09 oracle: the WHOLE cross-modal chain in one WITH — the m03
+    * frame formula filtered to video modality, dense ids, the canary
+    * union, the integer embedding arithmetic, then the s09/s11 oracle's
+    * own two-level + PQ + probe + cell-restricted-ADC CTE blocks over
+    * THIS `e` (the [[graft.operators.Similarity.trainCtesBody]] /
+    * twoLevelCtesBody seams), and the final join back to
+    * (video_id, frame_no). Frame hex parses via the m02 digit trick
+    * (rpad to 8, so the engine's conv(rpad(...)) sees the same value). */
+  private val m09Sql: String = {
+    def digit(i: Int) = s"(strpos('0123456789ABCDEF', substring(h8, $i, 1)) - 1)"
+    val hParse = (1 to 8).map(i =>
+      s"${digit(i)} * ${1L << (4 * (8 - i))}").mkString(" + ")
+    val lr = Similarity.LloydRounds
+    "WITH fr0 AS MATERIALIZED (SELECT media_id, frame_no, frame_hex FROM (" +
+      "SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no, " +
+      "substring(hex(encode(text)), frame_no * 32 + 1, 8) AS frame_hex, " +
+      s"$modalitySql AS mod " +
+      "FROM (SELECT doc_id, text, unnest(range(0, CAST(floor((length(text) - 1) / 16.0) AS BIGINT) + 1, 4)) AS frame_no " +
+      "FROM documents)) WHERE mod = 'video'), " +
+      "ids AS MATERIALIZED (SELECT media_id, frame_no, frame_hex, " +
+      "row_number() OVER (ORDER BY media_id, frame_no) + 9 AS vec_id FROM fr0), " +
+      "hx AS (SELECT vec_id, rpad(frame_hex, 8, '0') AS h8 FROM (" +
+      "SELECT vec_id, frame_hex FROM ids " +
+      "UNION ALL SELECT CAST(0 AS BIGINT), frame_hex FROM ids WHERE vec_id = 10)), " +
+      "e AS MATERIALIZED (SELECT vec_id, list_transform(range(0, 64), " +
+      s"j -> CAST(((($hParse) % 1000003) * (j + 1) + j) % 2000003 AS DOUBLE) / 1e6 - 1.0) AS emb FROM hx), " +
+      Similarity.trainCtesBody(lr, Similarity.d12K1SqlOf("e")) +
+      Similarity.twoLevelCtesBody(lr) +
+      Similarity.pqCtesSql(Similarity.S07Rounds) +
+      Similarity.probeCtesSql(lr) + " " +
+      "SELECT t.qid AS query_id, t.rn AS rnk, i.media_id AS video_id, " +
+      "i.frame_no, t.adc_units FROM (" +
+      "SELECT qid, nid, adc_units, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM (" +
+      "SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id)) t " +
+      "JOIN ids i ON i.vec_id = t.nid " +
+      "WHERE t.rn <= 5 ORDER BY query_id, rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "m09_cross_modal" -> m09Sql,
     "m08_incremental_media_dedup" ->
       // the d13 oracle argument, in hash space: the persisted-index
       // candidate generation must be semantically invisible, so the

@@ -660,7 +660,7 @@ object Similarity {
 
   /** k1 as a DuckDB expression over the oracle's own corpus scan —
     * the coarse half of [[d12Factors]]. */
-  private def d12K1SqlOf(src: String) =
+  private[graft] def d12K1SqlOf(src: String) =
     s"CAST(ceil(sqrt(greatest((SELECT count(*) FROM $src) // $D11CellTarget, 16))) AS BIGINT)"
   private val D12K1Sql = d12K1SqlOf("e")
 
@@ -684,7 +684,15 @@ object Similarity {
     * assigned with the FROZEN final centroids — exactly what the s12
     * engine's fold-in produces by construction (base rows keep their
     * build-time assignment because the final model IS the frozen one). */
-  private[graft] def twoLevelCtesSql(rounds: Int, src: String = "e"): String = {
+  private[graft] def twoLevelCtesSql(rounds: Int, src: String = "e"): String =
+    trainCtesSql(rounds, d12K1SqlOf(src), src) + twoLevelCtesBody(rounds, src)
+
+  /** [[twoLevelCtesSql]] WITHOUT the WITH/train prefix — for embedding
+    * the two-level chain into a WITH that defines its own `e` and
+    * coarse-train CTEs (m09's frame-embedding corpus). Assumes
+    * `e`/`cent{rounds}` are in scope (i.e. [[trainCtesBody]] with the
+    * [[d12K1SqlOf]] cell count already emitted). */
+  private[graft] def twoLevelCtesBody(rounds: Int, src: String = "e"): String = {
     val fine = (1 to rounds).map { r =>
       s"fa${r - 1} AS (SELECT vec_id, emb, ccid, fcid FROM (" +
         s"SELECT f.vec_id, f.emb, f.ccid, c.fcid, " +
@@ -702,8 +710,7 @@ object Similarity {
     val fullAssign = if (src == "e") "" else
       assignCteSql("acfull", s"cent$rounds", "cf2") +
         "frf AS (SELECT vec_id, emb, cid AS ccid FROM acfull), "
-    trainCtesSql(rounds, d12K1SqlOf(src), src) +
-      assignCteSql("acoarse", s"cent$rounds", "cc", src) +
+    assignCteSql("acoarse", s"cent$rounds", "cc", src) +
       // k2 = ceil(K / k1) in the integer (K + k1 - 1) // k1 form
       s"kf AS (SELECT k1, (kk + k1 - 1) // k1 AS k2 FROM " +
       s"(SELECT kk, CAST(ceil(sqrt(kk)) AS BIGINT) AS k1 FROM " +

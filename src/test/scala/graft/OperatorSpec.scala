@@ -1243,6 +1243,25 @@ class OperatorSpec extends AnyFunSuite {
       s"label-1 docs must outscore label-0 on average: ${avg(pos)} vs ${avg(neg)}")
   }
 
+  test("m09 cross-modal canary: the image's source video comes back at rank 1") {
+    import org.apache.spark.sql.functions._
+    val res = operators.Multimodal.m09CrossModalSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the canary image's content equals the FIRST video's frame 0, so
+    // that (video, frame) must be the rank-1 hit: its PQ code is the
+    // query's own per-subspace argmin (minimum possible ADC sum), its
+    // cell the query's own top probe, and ties break to its minimal id
+    val firstVideo = operators.Multimodal.media(spark, sf)
+      .select(col("media_id"),
+        operators.Multimodal.modality(col("payload")).as("m"))
+      .filter(col("m") === "video").agg(min(col("media_id"))).head().getLong(0)
+    val top = res.find(r => r._1 == 0L && r._2 == 1L).get
+    assert((top._3, top._4) == ((firstVideo, 0L)),
+      s"rank-1 must be the canary's source (video $firstVideo, frame 0): ${res.toSeq}")
+    // and the rank-1 ADC sum is the global minimum of the result set
+    assert(res.forall(_._5 >= top._5), s"rank-1 must carry the minimal ADC: ${res.toSeq}")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
