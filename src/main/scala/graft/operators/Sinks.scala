@@ -20,6 +20,14 @@ object Sinks {
   def p01PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.core.IO.scratchDir("graft-part")
     Tables.events(spark, dir)
+      // pre-shuffle on (partition column, bounded salt) so each output
+      // task owns whole hive partitions: WITHOUT this, every one of
+      // the shuffle-partition tasks writes a sliver into EVERY
+      // partition dir — tasks × partitions small files whose commit
+      // overhead dominates the write (the classic small-files problem;
+      // at 100 TB the salt count scales with volume to bound file
+      // size, and skewed partition values spread across their salts)
+      .repartition(col("event_type"), pmod(col("event_id"), lit(4)))
       .write.mode("overwrite").partitionBy("event_type")
       .option("compression", "zstd").parquet(tmp)
     spark.read.parquet(tmp)
