@@ -268,6 +268,11 @@ object SparkEntry {
     // q33: retention cohorts — distinct actives per (signup-week
     // cohort, week offset); one keyed join, window-free
     "q33_retention_cohorts" -> (Relational.q33 _),
+    // t06b: REAL BPE merge trainer — iterative pair-count aggregations
+    // over the frequency-weighted word vocabulary, most-frequent pair
+    // merged per round via identical literal-replace semantics in both
+    // engines; output = the merge table + the compression curve
+    "t06b_bpe_merges" -> (TextOps.t06bBpeMerges _),
     // t17: LEARNED quality classifier — logistic regression trained as
     // DataFrame aggs (integer micro-unit GD rounds on the teacher-
     // labeled sample), applied map-side corpus-wide; the FineWeb-Edu

@@ -92,8 +92,16 @@ object Pipeline {
     Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
       .join(s2.select(col("doc_id").as("vec_id")), "vec_id")
       .write.mode("overwrite").parquet(s"$semDir/embeddings.parquet")
-    val semDropped = Similarity.d11DroppedIds(spark, semDir)
+    // the drop set PERSISTS like the embeddings above: the census
+    // evaluates s3 through several downstream branches (n3/n4/nseq/
+    // contamination), and an unmaterialized drop set would re-run the
+    // whole quantizer training once per branch (measured: 13.3 s vs
+    // 5.2 s at sf0.1 before this landing) — persisting stage artifacts
+    // is also exactly what the deploy pipeline does between stages
+    Similarity.d11DroppedIds(spark, semDir)
       .select(col("vec_id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$semDir/dropped.parquet")
+    val semDropped = spark.read.parquet(s"$semDir/dropped.parquet")
     val s3 = s2.join(semDropped, Seq("doc_id"), "left_anti")
     val n3 = s3.count() // routing scalar: decontam's corpus-relative cap
     // stage 4: holdout-overlap decontamination over the survivors

@@ -748,6 +748,126 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- t06b: REAL BPE — learned merge table -------------------------
+
+  private[graft] val T06bMerges = 8
+
+  /** t06b: a REAL byte-pair-encoding TRAINER (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the algorithm behind GPT/Llama tokenizers),
+    * expressed as DataFrame aggregations over the word VOCABULARY
+    * (distinct words with corpus frequencies — vocabulary-sized state,
+    * never corpus-sized, exactly how production BPE trainers run):
+    * each word starts as its space-joined character sequence, and each
+    * of the [[T06bMerges]] rounds (1) counts adjacent symbol pairs
+    * across the vocabulary weighted by word frequency (one
+    * partial-aggregated pass), (2) picks the most frequent pair
+    * (tie → lexicographically smallest — deterministic cross-engine:
+    * both engines compare binary UTF-8), and (3) merges it everywhere
+    * via literal left-to-right non-overlapping string replacement —
+    * the SAME replace semantics in Spark and DuckDB, and the standard
+    * BPE application order. The chosen (pair, count) per round is the
+    * MODEL — 2 strings + a long read driver-side per round, the t17
+    * treeAggregate-then-update shape (chaining through frames would
+    * double the plan per round).
+    *
+    * Output: one row per merge round — (round, pair, pair_n,
+    * corpus_pieces) where corpus_pieces is the frequency-weighted
+    * total symbol count after applying merges 1..r: the BPE
+    * COMPRESSION CURVE, the artifact a tokenizer designer actually
+    * reads (how much each additional merge buys). The DuckDB oracle
+    * ([[t06bOracleSql]]) replays every round as generated MATERIALIZED
+    * CTEs — pair census, argmax, replace, piece count — in lockstep
+    * with [[T06bMerges]]. t06's native census remains the fast
+    * pre-merge accounting pass; this is the LEARNED layer above it
+    * (round-12 verdict item 7). */
+  def t06bBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    t06bAt(spark, dir, T06bMerges)
+
+  /** [[t06bBpeMerges]] at an explicit merge count — the OperatorSpec
+    * hand-fixture seam.
+    *
+    * Sequence representation: single-space SENTINELS at the ends,
+    * DOUBLE-space separators between symbols — " b  a  n  a  n  a ".
+    * A merge of (l, r) replaces " l  r " with " lr ": the match
+    * consumes ONE of the two separator spaces on each side, so (a) it
+    * can only align on whole symbols (symbol prefixes are common once
+    * merges stack — with bare separators the pair string "an a" would
+    * also match inside "b an an a" and corrupt the second an), and
+    * (b) each replacement LEAVES one space on each flank, so
+    * back-to-back occurrences ("a n a n" merging (a, n)) all merge in
+    * the same left-to-right pass — EXACTLY canonical BPE application
+    * order, with a single-space sentinel the first/last symbols would
+    * miss the second property (measured: the overlap merge deferred a
+    * round). Both engines' replace() is the same scan-left,
+    * continue-after-replacement algorithm, so the sequences stay
+    * bit-identical. Pair extraction and piece counts split trim(seq)
+    * on the double separator, so sentinels never pollute the census. */
+  private[graft] def t06bAt(spark: SparkSession, dir: String,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    val w0 = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var seqDf = w0.select(col("n"),
+      concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
+        lit(" ")).as("seq")).cache()
+    val pairsOf = expr(
+      "transform(sequence(1, size(split(trim(seq), '  ')) - 1), " +
+        "i -> concat(element_at(split(trim(seq), '  '), i), ' ', " +
+        "element_at(split(trim(seq), '  '), i + 1)))")
+    val rows = (1 to merges).map { r =>
+      // single-symbol words shed no pairs — and must be filtered
+      // BEFORE the transform: Spark's sequence(1, 0) runs DESCENDING
+      // (it would index element 0/2 of a 1-element array), where
+      // DuckDB's range(1, 1) is simply empty
+      val best = seqDf
+        .filter(size(split(trim(col("seq")), "  ")) >= 2)
+        .select(col("n"), explode(pairsOf).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("pn"))
+        .orderBy(col("pn").desc, col("pair").asc).limit(1).head()
+      val (pair, pn) = (best.getString(0), best.getLong(1))
+      val next = seqDf.select(col("n"),
+        replace(col("seq"), lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")).as("seq"))
+        .cache()
+      val pieces = next
+        .agg(sum(col("n") * size(split(trim(col("seq")), "  "))).cast("long"))
+        .head().getLong(0)
+      seqDf.unpersist()
+      seqDf = next
+      (r.toLong, pair, pn, pieces)
+    }
+    seqDf.unpersist()
+    rows.toDF("round", "pair", "pair_n", "corpus_pieces").orderBy("round")
+  }
+
+  /** The t06b trainer in DuckDB — per-round CTEs GENERATED in lockstep
+    * with [[T06bMerges]] (the s04/t17 rule), all MATERIALIZED (each
+    * round references the previous sequence table twice — uninlined
+    * the chain re-evaluates exponentially, the t17 lesson). */
+  private[graft] def t06bOracleSql(merges: Int): String = {
+    val roundsSql = (1 to merges).map { r =>
+      s"pc$r AS MATERIALIZED (SELECT p AS pair, CAST(sum(n) AS BIGINT) AS pn FROM (" +
+        "SELECT n, unnest(list_transform(range(1, len(string_split(trim(seq), '  '))), " +
+        "i -> string_split(trim(seq), '  ')[i] || ' ' || string_split(trim(seq), '  ')[i + 1])) AS p " +
+        s"FROM s${r - 1}) GROUP BY p), " +
+        s"b$r AS MATERIALIZED (SELECT pair, pn FROM pc$r ORDER BY pn DESC, pair LIMIT 1), " +
+        s"s$r AS MATERIALIZED (SELECT n, replace(seq, " +
+        s"' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ', " +
+        s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM s${r - 1}), " +
+        s"z$r AS MATERIALIZED (SELECT CAST(sum(n * len(string_split(trim(seq), '  '))) AS BIGINT) AS pieces FROM s$r), "
+    }.mkString
+    val rows = (1 to merges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM b$r) AS pair, " +
+        s"(SELECT pn FROM b$r) AS pair_n, (SELECT pieces FROM z$r) AS corpus_pieces"
+    }.mkString(" UNION ALL ")
+    "WITH w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM (" +
+      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents) GROUP BY w), " +
+      "s0 AS MATERIALIZED (SELECT n, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS seq FROM w0), " +
+      roundsSql.stripSuffix(", ") + " " +
+      rows + " ORDER BY round"
+  }
+
   /** The t17 train+apply pipeline in DuckDB — GD-round CTEs GENERATED
     * per round (the s04 rule: changing [[T17Rounds]] cannot
     * desynchronize engine and oracle). `f`/`tr` materialized so the
@@ -792,6 +912,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
     "t17_quality_classifier" -> t17OracleSql(T17Rounds),
     "t16_seq_packing" ->
       // one SQL running sum replays the two-phase prefix sum exactly

@@ -1262,6 +1262,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(res.forall(_._5 >= top._5), s"rank-1 must carry the minimal ADC: ${res.toSeq}")
   }
 
+  test("t06b BPE trainer matches the hand-computed merges and the curve is monotone") {
+    import spark.implicits._
+    // vocab {banana:2, apple:1}; round 1 adjacencies: (a,n) and (n,a)
+    // both count 4 (2 per banana × freq 2) — lex tie-break picks "a n";
+    // banana → [b, an, an, a] (sentinel-wrapped replace merges BOTH,
+    // and must NOT corrupt the second an when round 2 merges (an, a)).
+    // Round 2: (b,an)/(an,an)/(an,a) all count 2 — lex picks "an a";
+    // banana → [b, an, ana]. Pieces: 13 = 2·4+5, then 11 = 2·3+5.
+    val fixture = java.nio.file.Files.createTempDirectory("t06bfix").toString
+    Seq(1L -> "banana banana apple").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t06bAt(spark, fixture, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "a n", 4L, 13L), (2L, "an a", 2L, 11L)),
+      s"hand-computed merge table mismatch: $rows")
+    // natural corpus: the argmax count can never increase round over
+    // round (new pairs created by a merge occur at most as often as
+    // the merged pair did), and every merge strictly shrinks the
+    // corpus piece count
+    val nat = TextOps.t06bBpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(nat.map(_._1).sliding(2).forall { case Seq(a, b) => b <= a },
+      s"pair counts must be non-increasing: $nat")
+    assert(nat.map(_._2).sliding(2).forall { case Seq(a, b) => b < a },
+      s"each merge must strictly shrink the corpus: $nat")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
