@@ -176,6 +176,11 @@ object SparkEntry {
     // FROZEN centroids/codebooks (the FAISS add() contract), and the
     // search runs over the folded store through s11's serve path
     "s12_ivf_pq_foldin" -> (Similarity.s12IncrementalIvfPq _),
+    // s13: compaction of the folded code store — build base, fold the
+    // delta, REWRITE each bucket's sliver pile as one sorted file
+    // (zero-exchange bucketed-scan→bucketed-write), then search the
+    // compacted store; must hash-match the fragmented-store search
+    "s13_compacted_ivf_pq" -> (Similarity.s13CompactedIvfPq _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),
@@ -278,6 +283,18 @@ object SparkEntry {
     // labeled sample), applied map-side corpus-wide; the FineWeb-Edu
     // operator shape with t02's blend as the stand-in teacher
     "t17_quality_classifier" -> (TextOps.t17QualityClassifier _),
+    // t18: BM25 lexical retrieval — keyword top-k through an inverted
+    // index (postings-lookup first, never a corpus scan); rational-idf
+    // BM25 on the integer micro-unit grid so both engines rank
+    // identically (ln is the one op IEEE leaves engine-defined)
+    "t18_bm25" -> (TextOps.t18Bm25 _),
+    // t19: domain-mixture resampling — weighted per-domain targets on
+    // the integer grid, hash-membership sampling (p05 discipline)
+    "t19_domain_mix" -> (TextOps.t19DomainMix _),
+    // p10: hive-partitioned sink compaction — deterministic
+    // fragmentation contract (4 files/partition) collapsed to 1,
+    // content invariance pinned by the cents sum
+    "p10_sink_compaction" -> (Sinks.p10SinkCompaction _),
     // t16: sequence-packing census — docs concatenated in id order,
     // cut into fixed 512-token training sequences; per-doc global
     // offset + spanned sequences (p06's two-phase prefix sum)

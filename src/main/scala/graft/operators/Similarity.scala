@@ -1306,6 +1306,63 @@ object Similarity {
     s11Search(spark, dir, codesT, ccT, fcT, cbT, k2)
   }
 
+  // ---- s13: compaction of the folded IVF-PQ code store --------------
+
+  /** COMPACT the folded code store into a fresh table with the
+    * IDENTICAL bucket spec — the maintenance op every fold-in index
+    * eventually needs: each [[s12FoldIn]] append lands its own files
+    * into every bucket (and the base build itself writes one file per
+    * writing task per bucket), so after many ingest cycles a bucket is
+    * a pile of slivers and the serve scan's open/seek overhead grows
+    * with ingest COUNT rather than data size. Compaction reads each
+    * bucket back as ONE partition (the bucketed scan is forced on via
+    * `autoBucketedScan.enabled=false` — with no join in the plan Spark
+    * would otherwise fall back to size-split reads and the rewrite
+    * would re-fragment) and rewrites it as exactly one sorted file,
+    * with ZERO exchange: the scan's bucket partitioning already
+    * matches the writer's spec, so the whole rewrite is a per-bucket
+    * local sort + stream (PlanSpec pins no-Exchange; OperatorSpec pins
+    * files-after == [[graft.operators.Dedup.D13Buckets]] < files-
+    * before). At 100 TB this is the compaction job a storage service
+    * schedules off-peak — O(store) sequential I/O, no shuffle, and
+    * queries keep working against the old table until the new one
+    * swaps in (the rewrite lands under a fresh name, never in place). */
+  private[graft] def s13Compact(spark: SparkSession, codesT: String): String = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outT = s"graft_s13_codes_$tag"
+    val wh = graft.core.IO.scratchDir("graft-s13")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      spark.table(codesT)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Dedup.D13Buckets, "cell").sortBy("cell")
+        .option("path", s"$wh/codes_$tag").saveAsTable(outT)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    outT
+  }
+
+  /** s13: serve over the COMPACTED store — the full lifecycle gate
+    * (build base → fold delta → compact → search). Compaction is pure
+    * physical-layout maintenance, so its oracle IS [[s12OracleSql]]
+    * verbatim: the search over the compacted store must hash-match the
+    * search over the fragmented one row for row — one sliver lost or
+    * duplicated during the rewrite and the gate breaks. Together with
+    * d13/m08 fold-in and s12, this closes the ingest lifecycle:
+    * build → fold → compact → serve, every step plan-pinned and
+    * semantically invisible. */
+  def s13CompactedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codesT, ccT, fcT, cbT, nBase, k2) = s12BuildBase(spark, dir)
+    s12FoldIn(spark, emb(spark, dir).filter(col("vec_id") >= nBase),
+      codesT, ccT, fcT, cbT, k2)
+    val compactT = s13Compact(spark, codesT)
+    s11Search(spark, dir, compactT, ccT, fcT, cbT, k2)
+  }
+
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
   private def s07DistSql(a: String, b: String) =
@@ -1460,6 +1517,10 @@ object Similarity {
     // folded index must equal a full-corpus index whose model trained
     // on the base slice
     "s12_ivf_pq_foldin" -> s12OracleSql(LloydRounds, S07Rounds),
+    // compaction is physical-layout maintenance only: the search over
+    // the compacted store must equal the search over the fragmented
+    // folded store row for row — s13 shares s12's oracle verbatim
+    "s13_compacted_ivf_pq" -> s12OracleSql(LloydRounds, S07Rounds),
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

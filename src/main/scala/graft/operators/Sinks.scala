@@ -162,6 +162,61 @@ object Sinks {
   private[graft] def splitBucket(id: Column): Column =
     pmod(pmod(id, lit(1000)) * lit(2654435761L % 1000), lit(1000))
 
+  /** The p10 fragmentation contract: the gate lands the feed in
+    * [[P10Appends]] ingest cycles, each pre-shuffled on the partition
+    * column, so every partition dir holds EXACTLY this many files
+    * before compaction — a number the oracle can state. */
+  private[graft] val P10Appends = 4
+
+  /** p10: small-file COMPACTION for a hive-partitioned sink — the
+    * maintenance job every append-mode lake table eventually needs
+    * (s13's compaction, applied to the DATA side): each ingest cycle
+    * appends its own files into every partition dir, so after k cycles
+    * a partition holds k files and scan cost grows with ingest COUNT,
+    * not data size. The gate simulates [[P10Appends]] ingest cycles
+    * (each append pre-shuffled on event_type → exactly one file per
+    * partition per cycle — a DETERMINISTIC fragmentation the oracle
+    * states), then compacts: one read, `repartition(partition col)` so
+    * each task owns whole partitions, rewrite → exactly ONE file per
+    * partition dir. The census proves both halves from the data
+    * itself: n_files_before/after are `count(distinct
+    * _metadata.file_path)` read DISTRIBUTED from the scans (no
+    * driver-side listing), and value_cents pins content invariance —
+    * compaction that loses or duplicates a sliver breaks the hash.
+    *
+    * 100 TB: one file per partition is the SMALL-partition rule; a
+    * skewed partition would instead split by a bounded salt sized
+    * target_bytes/file (p01's salt, p06's size bins) — the contract
+    * generalizes to `ceil(partition_bytes / target)` files. The
+    * rewrite is one full-sink shuffle, which is what an off-peak
+    * compaction job pays by design (and why lakehouses schedule it,
+    * not inline it). */
+  def p10SinkCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.core.IO.scratchDir("graft-p10")
+    val ev = Tables.events(spark, dir)
+    for (s <- 0 until P10Appends)
+      ev.filter(pmod(col("event_id"), lit(P10Appends)) === s)
+        .repartition(col("event_type"))
+        .write.mode("append").partitionBy("event_type")
+        .option("compression", "zstd").parquet(s"$tmp/frag")
+    val before = spark.read.parquet(s"$tmp/frag")
+      .groupBy("event_type")
+      .agg(countDistinct(col("_metadata.file_path")).as("n_files_before"))
+    spark.read.parquet(s"$tmp/frag")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type")
+      .option("compression", "zstd").parquet(s"$tmp/compact")
+    spark.read.parquet(s"$tmp/compact")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct(col("_metadata.file_path")).as("n_files_after"))
+      .join(before, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("value_cents"),
+        col("n_files_before"), col("n_files_after"))
+      .orderBy("event_type")
+  }
+
   def p04SplitCensus(spark: SparkSession, dir: String): DataFrame = {
     val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
@@ -451,6 +506,15 @@ object Sinks {
       // every sibling partition untouched
       ("SELECT event_type, count(*) AS n, " +
         "round(sum(CASE WHEN event_type = 'purchase' THEN -value ELSE value END), 2) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "p10_sink_compaction" ->
+      // the whole fragmentation/compaction contract is deterministic,
+      // so the oracle states it: 4 files per partition before (one per
+      // pre-shuffled ingest cycle), exactly 1 after; rows and cents
+      // must survive the rewrite untouched
+      (s"SELECT event_type, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+        s"CAST(${P10Appends} AS BIGINT) AS n_files_before, CAST(1 AS BIGINT) AS n_files_after " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "p01_partitioned_sink" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +

@@ -911,8 +911,176 @@ object TextOps {
       s"SELECT doc_id, label, $sig FROM f, wr$rounds) ORDER BY doc_id"
   }
 
+  // ---- t18: BM25 lexical retrieval ---------------------------------
+
+  /** The t18 query workload: a fixed batch of keyword queries (the
+    * lexical analogue of s01's vec_id < 10 query slice). Terms within
+    * a query are distinct, so per-term scores sum without a
+    * query-side-tf weight. */
+  private[graft] val T18Queries: Seq[(String, String)] = Seq(
+    "lex0" -> "spark join fast",
+    "lex1" -> "window agg",
+    "lex2" -> "customer order value",
+    "lex3" -> "stream filter hash",
+    "lex4" -> "table scan merge")
+
+  private[graft] val T18TopK = 10
+
+  /** t18: BM25-family LEXICAL retrieval — keyword top-k search through
+    * an inverted index, the lexical tier next to the s-series vector
+    * chain (production retrieval runs both and fuses). The index is
+    * the classic postings shape, each piece one aggregation over the
+    * tokenized corpus: tf(doc, term), dl(doc), df(term) and the corpus
+    * (N, avgdl) row. A query batch restricts the postings FIRST (tf ⋈
+    * broadcast query terms — the postings-lookup, never a corpus
+    * scan), attaches df/stats by broadcast, dl by one keyed join, then
+    * per-(query, doc) scores sum and a per-query window takes top-k.
+    *
+    * Scoring is BM25 with k1 = 1.2, b = 0.75 and a RATIONAL idf
+    * (N + 1)/(df + 0.5) in place of the classic ln((N - df + 0.5)/
+    * (df + 0.5)) — a deliberate determinism decision, not an
+    * approximation bug: ln routes through each engine's libm (no
+    * cross-engine bit guarantee, the one operation IEEE 754 leaves
+    * implementation-defined), while +, ×, ÷ are correctly-rounded and
+    * bit-identical everywhere. Both factors are monotone in df, so
+    * rare terms still dominate; per-term scores land on the integer
+    * micro-unit grid (floor ×1e6 — the t14/t17 discipline) BEFORE the
+    * per-doc sum, so aggregation order cannot perturb ranking in
+    * either engine.
+    *
+    * 100 TB: tf/dl/df are one tokenize pass + three partial-agg
+    * shuffles, computed ONCE (at deploy: persisted term-bucketed, the
+    * d13 pattern — queries then join the bucketed postings with zero
+    * index-side exchange, exactly s11's serve shape); per-batch cost
+    * is |terms ∩ postings| rows, never O(corpus). */
+  def t18Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val qterms = T18Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    // postings lookup first: everything downstream is candidate-sized
+    val cand = tf.join(broadcast(qterms), Seq("term"))
+    // df only for the looked-up terms (the oracle's corpus-wide df
+    // agrees on exactly these)
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val dfd = col("df").cast("double")
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("tot").cast("double") / nd
+    val sMu = floor(lit(1000000.0) *
+      ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))) *
+      ((nd + lit(1.0)) / (dfd + lit(0.5))))
+    val perDoc = cand
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1-row corpus stats attach
+      .select(col("query_id"), col("doc_id"), sMu.as("s_mu"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_mu")).as("score_mu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+    perDoc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= T18TopK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score_mu"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** t18 oracle: the same postings/df/dl/stats CTEs, the query batch
+    * as VALUES, and the IDENTICAL parenthesization of the score (so
+    * both engines execute the same correctly-rounded double op tree),
+    * floored to micro-units before the per-doc sum. */
+  private[graft] val t18OracleSql: String = {
+    val qvals = T18Queries.flatMap { case (qid, qtext) =>
+      qtext.split(" ").map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      s"q(query_id, term) AS (VALUES $qvals), " +
+      "contrib AS (SELECT q.query_id, t.doc_id, CAST(floor(1000000.0 * " +
+      "((CAST(t.tf AS DOUBLE) * 2.2) / (CAST(t.tf AS DOUBLE) + 1.2 * " +
+      "(0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) * " +
+      "((CAST(s.n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 0.5))) AS BIGINT) AS s_mu " +
+      "FROM tf t JOIN q ON q.term = t.term JOIN df f ON f.term = t.term " +
+      "JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s), " +
+      "sc AS (SELECT query_id, doc_id, CAST(sum(s_mu) AS BIGINT) AS score_mu FROM contrib GROUP BY 1, 2) " +
+      "SELECT query_id, rn AS rnk, doc_id, score_mu FROM (" +
+      "SELECT query_id, doc_id, score_mu, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score_mu DESC, doc_id) AS rn FROM sc) " +
+      s"WHERE rn <= $T18TopK ORDER BY query_id, rnk"
+  }
+
+  // ---- t19: domain-mixture sampler ---------------------------------
+
+  /** t19: DOMAIN-MIXTURE resampling — the "data mixing" step between
+    * curation and training (DoReMi / The Pile-style recipes): given
+    * per-domain target WEIGHTS, compute each domain's share of a total
+    * token/doc budget, derive a per-domain keep rate, and sample
+    * membership as a pure hash function of doc_id (p05's discipline:
+    * engine/partitioning/re-run invariant, no stored sample to join).
+    * Weights here are a fixed 3-tier policy on the source id (sources
+    * 0-4 upweighted 3×, 5-9 2×, the rest 1×) against a budget of half
+    * the corpus; targets are frequency-weighted (w·n normalized — the
+    * DoReMi shape) and capped at availability, all on the INTEGER grid
+    * (div, not /, both engines) so the census hash-matches exactly.
+    *
+    * 100 TB: per-domain counts are a tiny agg (domains ≪ rows) that
+    * broadcasts back; membership is map-only per row; the census is
+    * one more tiny agg. The bigint product n·w·T needs headroom —
+    * at n ≈ 1e12 docs reduce T/denom first (or go DECIMAL(38)); the
+    * gate keeps the raw order because both engines must execute the
+    * IDENTICAL integer expression. */
+  def t19DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val wt = when(srcNum < 5, lit(3L)).when(srcNum < 10, lit(2L)).otherwise(lit(1L))
+    val c = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n")).withColumn("wt", wt)
+    val tot = c.agg(sum(col("n")).as("n_total"),
+      sum(col("wt") * col("n")).as("denom"))
+    val tgt = c.crossJoin(broadcast(tot)) // 1-row budget attach
+      .select(col("source"), col("n"),
+        least(col("n"),
+          expr("(n * wt * (n_total div 2)) div denom")).as("n_target"))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("(1000 * n_target) div n")))
+    val kept = docs(spark, dir)
+      .join(broadcast(tgt.select("source", "rate_pm")), Seq("source"))
+      .filter(Sinks.splitBucket(col("doc_id")) < col("rate_pm"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    tgt.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n").as("n_in"), col("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** t19 oracle: the same integer-grid targets and the same modular
+    * hash membership (p04/p05's overflow-safe bucket). */
+  private[graft] val t19OracleSql: String =
+    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+      "w AS (SELECT source, n, CASE WHEN CAST(source[4:] AS INT) < 5 THEN 3 " +
+      "WHEN CAST(source[4:] AS INT) < 10 THEN 2 ELSE 1 END AS wt FROM c), " +
+      "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, CAST(sum(wt * n) AS BIGINT) AS denom FROM w), " +
+      "tgt AS (SELECT source, n, least(n, (n * wt * (n_total // 2)) // denom) AS n_target FROM w, tot), " +
+      "r AS (SELECT source, n, n_target, least(1000, (1000 * n_target) // n) AS rate_pm FROM tgt), " +
+      "k AS (SELECT d.source, count(*) AS n_kept FROM documents d JOIN r USING (source) " +
+      "WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate_pm GROUP BY d.source) " +
+      "SELECT r.source, CAST(r.n AS BIGINT) AS n_in, CAST(r.n_target AS BIGINT) AS n_target, " +
+      "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
+      "FROM r LEFT JOIN k USING (source) ORDER BY source"
+
   val oracles: Map[String, String] = Map(
     "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
+    "t18_bm25" -> t18OracleSql,
+    "t19_domain_mix" -> t19OracleSql,
     "t17_quality_classifier" -> t17OracleSql(T17Rounds),
     "t16_seq_packing" ->
       // one SQL running sum replays the two-phase prefix sum exactly

@@ -226,6 +226,36 @@ class OperatorSpec extends AnyFunSuite {
       s"each folded copy must be its query's rank-1 ADC neighbor: $after")
   }
 
+  test("s13 compaction: one sorted file per bucket, search invariant") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val (codesT, ccT, fcT, cbT, nBase, k2) = Similarity.s12BuildBase(spark, sf)
+    val delta = graft.core.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= nBase)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    Similarity.s12FoldIn(spark, delta, codesT, ccT, fcT, cbT, k2)
+    def dataFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      java.nio.file.Files.list(java.nio.file.Paths.get(loc)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = dataFiles(codesT)
+    val compactT = Similarity.s13Compact(spark, codesT)
+    val after = dataFiles(compactT)
+    // base build (one file per writing task per bucket) + the fold-in
+    // append fragment the store; compaction collapses each bucket to
+    // EXACTLY one file (≤ numBuckets total — an empty bucket writes none)
+    assert(after <= Dedup.D13Buckets,
+      s"compaction must leave one file per bucket: $after > ${Dedup.D13Buckets}")
+    assert(after < before, s"compaction must shrink the file count ($before -> $after)")
+    // and it is layout-only: the serve path must return identical rows
+    val frag = Similarity.s11Search(spark, sf, codesT, ccT, fcT, cbT, k2).collect().toSeq
+    val comp = Similarity.s11Search(spark, sf, compactT, ccT, fcT, cbT, k2).collect().toSeq
+    assert(frag == comp, "search over compacted store must equal fragmented store")
+  }
+
   test("p08 z-order layout: user-dim skipping wins, ts-sort keeps its own dimension") {
     val rows = Sinks.p08ZorderLayout(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -444,6 +444,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t18 BM25: postings lookup is a broadcast term join, no product beyond the 1-row stats attach") {
+    val p = plan(operators.TextOps.t18Bm25(spark, sf))
+    // the query batch must broadcast INTO the postings (an exchange of
+    // tf keyed on term for the lookup would shuffle the whole index
+    // per query batch), and nothing may degrade to a cartesian — the
+    // only nested-loop allowed is the broadcast 1-row corpus-stats
+    // attach
+    assert("BroadcastHashJoin \\[term".r.findFirstIn(p).isDefined,
+      s"query terms must broadcast against the postings:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"only the 1-row stats attach may nested-loop:\n$p")
+  }
+
   test("q32 funnel: one keyed join on user_id, window predicate inline, no self-join blowup") {
     val p = plan(operators.Relational.q32(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
@@ -547,6 +561,18 @@ class PlanSpec extends AnyFunSuite {
       s"probe set must broadcast against the folded code store:\n$p")
     assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
       s"the folded code store must never shuffle on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
+  test("s13 search over the COMPACTED store keeps the serving pins") {
+    val p = plan(Similarity.s13CompactedIvfPq(spark, sf))
+    // compaction rewrites the physical layout only — the serve plan
+    // over the compacted table must keep s11's properties verbatim:
+    // probe set broadcasts in, the store never exchanges on cell
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"probe set must broadcast against the compacted code store:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
+      s"the compacted code store must never shuffle on cell:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
   }
 
