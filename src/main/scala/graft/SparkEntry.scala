@@ -320,6 +320,11 @@ object SparkEntry {
     // run as ONE job with per-stage retention census — the gate that
     // catches stage-interop drift per-operator gates can't see
     "e01_curation_pipeline" -> (Pipeline.e01Curation _),
+    // e02: INCREMENTAL curation — the delta-only run of the chain
+    // against persisted base state (quality → dedup-vs-base →
+    // dedup-within → global-holdout decontam → pack), every stage
+    // delta-sized; the fold-in discipline applied to the pipeline
+    "e02_incremental_curation" -> (Pipeline.e02IncrementalCuration _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -135,6 +135,195 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** The e02 base/delta split: delta = the last tenth of the corpus by
+    * doc_id, both engines re-deriving the bound from their own count
+    * (the s12 discipline). */
+  private[graft] val E02BaseNum = 9L
+  private[graft] val E02BaseDen = 10L
+
+  /** e02: INCREMENTAL curation — e01's chain run the way a deployment
+    * actually runs it after day one: the corpus state is already
+    * curated and persisted, and each ingest cycle curates ONLY the
+    * delta against that state (the d13/m08/s12 fold-in discipline
+    * applied to the whole pipeline). Base state here is the
+    * quality-surviving first [[E02BaseNum]]/[[E02BaseDen]] of the
+    * corpus (at deploy: the persisted survivor set + its shingle
+    * index); the delta (the remaining tail) flows through four
+    * delta-sized stages, each emitting a census row:
+    *
+    *  1. quality        — t02's bar, map-only over the DELTA;
+    *  2. dedup_vs_base  — drop delta docs whose df-capped 3-gram
+    *     Jaccard against ANY base survivor reaches d08's bar (the
+    *     postings join is delta×index, never base×base — at deploy the
+    *     base side is the persisted d13-bucketed index and this join
+    *     exchanges nothing corpus-side);
+    *  3. dedup_within   — d08 pairs among the stage-2 survivors → CC →
+    *     d14's canonical rule (the delta can carry its own dup
+    *     clusters — a delta-vs-index check alone would admit every
+    *     member of a new cluster);
+    *  4. decontam       — the stage-3 survivors against the PERSISTED
+    *     holdout split of the whole corpus (the eval set is global
+    *     state, not delta state: a delta doc contaminated against
+    *     last month's benchmark must still drop);
+    *  5. pack           — t16's sequence count over the shipped delta.
+    *
+    * Lexical + decontamination tiers only, by design: they are the
+    * tiers with persisted-index fold-in forms (d13/d10); the semantic
+    * tier's incremental form is s12's frozen-model assignment and is
+    * gated there. The oracle replays the WHOLE thing — base survivor
+    * derivation included — as one WITH; the engine's per-stage
+    * `count()`s are the documented corpus-relative cap scalars (e01's
+    * precedent). 100 TB: every stage is delta-sized except the one
+    * base-survivor shingle pass, which at deploy is the ALREADY
+    * PERSISTED index (the gate re-derives it because the gate owns no
+    * cross-round state). */
+  def e02IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val n = d.count() // parquet metadata count
+    val nb = n * E02BaseNum / E02BaseDen
+    val qual = TextOps.t02Quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    val passing = qual.filter(col("quality_bp") >= E01QualityBp).select("doc_id")
+    val baseS = d.filter(col("doc_id") < nb).join(passing, "doc_id")
+    val deltaAll = d.filter(col("doc_id") >= nb)
+    // stage 1: quality gate on the delta
+    val s1 = deltaAll.join(passing, "doc_id")
+    val u = baseS.unionByName(s1)
+    val nu = u.count() // routing scalar: the corpus-relative df cap
+    // one shingle pass over base survivors ∪ delta survivors; pairs
+    // with ida < nb ≤ idb are delta-vs-base hits, pairs with nb ≤ ida
+    // are within-delta
+    val pairs = Dedup.ngramJaccardPairs(Dedup.shingledOf(u), Some(Dedup.capDf(nu)))
+      .select(col("ida"), col("idb"))
+    // stage 2: drop delta docs near-dup of a base survivor
+    val crossDrop = pairs.filter(col("ida") < nb && col("idb") >= nb)
+      .select(col("idb").as("doc_id")).distinct()
+    val s2 = s1.join(crossDrop, Seq("doc_id"), "left_anti")
+    // stage 3: within-delta pairs among stage-2 survivors → CC → d14
+    val p3 = pairs.filter(col("ida") >= nb)
+      .join(s2.select(col("doc_id").as("ida")), "ida")
+      .join(s2.select(col("doc_id").as("idb")), "idb")
+      .select("ida", "idb")
+    val labels = Dedup.connectedComponents(p3)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val canonIds = s2.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
+      .select("doc_id")
+    val s3 = s2.join(canonIds, "doc_id")
+    // stage 4: survivors vs the GLOBAL holdout split (identical rows
+    // dedupe, so dropDuplicates is deterministic here)
+    val holdoutAll = d.filter(Sinks.splitBucket(col("doc_id")) >= 980)
+    val u4 = s3.unionByName(holdoutAll).dropDuplicates("doc_id")
+    val n4c = u4.count() // routing scalar: decontam's cap
+    val contaminated = Dedup.decontaminate(u4, n4c)
+      .select(col("train_id").as("doc_id")).distinct()
+    val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5: packed-sequence count over the shipped delta
+    val packed = s4.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .agg(expr(s"(coalesce(sum(n_tokens), 0) + ${TextOps.T16SeqLen - 1}) " +
+        s"div ${TextOps.T16SeqLen}").as("nseq"))
+    val counts = deltaAll.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .crossJoin(s4.agg(count(lit(1)).as("n4")))
+      .crossJoin(packed)
+    counts.select(explode(array(
+        struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2L).as("stage"), lit("dedup_vs_base").as("stage_name"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3L).as("stage"), lit("dedup_within").as("stage_name"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4L).as("stage"), lit("decontam").as("stage_name"),
+          col("n3").as("n_in"), col("n4").as("n_out")),
+        struct(lit(5L).as("stage"), lit("pack").as("stage_name"),
+          col("n4").as("n_in"), col("nseq").as("n_out")))).as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_in"), col("r.n_out"))
+      .orderBy("stage")
+  }
+
+  /** e02 oracle: the delta chain as ONE WITH — base-survivor
+    * derivation, delta quality, the shared shingle pass with the
+    * df cap over base∪delta survivors, cross/within pair splits, the
+    * recursive-CTE components + d14 window, the global-holdout 8-gram
+    * overlap, and the packed count — caps re-derived from the oracle's
+    * OWN counts (the e01 rule). */
+  private[graft] val e02Sql: String = {
+    val capU = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
+      "(SELECT count(*) FROM u)) AS BIGINT))"
+    val cap4 = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
+      "(SELECT count(*) FROM u4)) AS BIGINT))"
+    val k = Dedup.DecontamShingleK
+    val nbv = s"(SELECT v FROM nb)"
+    "WITH qual AS (" + TextOps.qualityBpSql + "), " +
+      s"nb AS (SELECT (count(*) * $E02BaseNum) // $E02BaseDen AS v FROM documents), " +
+      "bs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN qual q USING (doc_id) " +
+      s"WHERE q.quality_bp >= $E01QualityBp AND d.doc_id < $nbv), " +
+      "s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN qual q USING (doc_id) " +
+      s"WHERE q.quality_bp >= $E01QualityBp AND d.doc_id >= $nbv), " +
+      "u AS MATERIALIZED (SELECT * FROM bs UNION ALL SELECT * FROM s1), " +
+      "tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM u), " +
+      "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), " +
+      "i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+      s"sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ($capU))), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT ida, idb FROM (" +
+      "SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) x " +
+      "JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb " +
+      "WHERE i / (ca.n + cb.n - i) >= 0.6), " +
+      "crossdrop AS (SELECT DISTINCT idb AS doc_id FROM pairs " +
+      s"WHERE ida < $nbv AND idb >= $nbv), " +
+      "s2 AS MATERIALIZED (SELECT * FROM s1 " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)), " +
+      s"p3 AS (SELECT ida, idb FROM pairs WHERE ida >= $nbv " +
+      "AND ida IN (SELECT doc_id FROM s2) AND idb IN (SELECT doc_id FROM s2)), " +
+      "edges AS (SELECT ida AS src, idb AS dst FROM p3 " +
+      "UNION ALL SELECT idb, ida FROM p3), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+      "SELECT doc, doc FROM nodes " +
+      "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+      "SELECT * FROM r), " +
+      "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), " +
+      "full0 AS (SELECT s.doc_id, coalesce(l.lbl, s.doc_id) AS cluster_id, q.quality_bp " +
+      "FROM s2 s LEFT JOIN lab l ON l.doc_id = s.doc_id " +
+      "JOIN qual q ON q.doc_id = s.doc_id), " +
+      "canon AS (SELECT doc_id FROM full0 " +
+      "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
+      "s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2 JOIN canon USING (doc_id)), " +
+      "u4 AS MATERIALIZED (SELECT doc_id, text FROM s3 " +
+      "UNION SELECT doc_id, text FROM documents WHERE ((doc_id % 1000) * 761) % 1000 >= 980), " +
+      "dtok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
+      "string_split_regex(rtrim(text), '\\s+') AS w FROM u4), " +
+      s"dsh0 AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - ${k - 2}), " +
+      s"i -> array_to_string(w[i:i+${k - 1}], ' ')))) AS s FROM dtok WHERE len(w) >= $k), " +
+      s"dsh AS (SELECT doc_id, b, s FROM dsh0 WHERE s IN (SELECT s FROM dsh0 GROUP BY s HAVING count(*) <= ($cap4))), " +
+      "contam AS (SELECT DISTINCT tr.doc_id FROM (SELECT doc_id, s FROM dsh WHERE b < 980) tr " +
+      "JOIN (SELECT doc_id, s FROM dsh WHERE b >= 980) ho USING (s) " +
+      s"GROUP BY tr.doc_id, ho.doc_id HAVING count(*) >= ${Dedup.DecontamMinShared}), " +
+      "s4 AS (SELECT d2.doc_id, d2.text FROM s3 d2 " +
+      "WHERE ((d2.doc_id % 1000) * 761) % 1000 < 980 " +
+      "AND d2.doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      s"counts AS (SELECT (SELECT count(*) FROM documents WHERE doc_id >= $nbv) AS n0, " +
+      "(SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2, " +
+      "(SELECT count(*) FROM s3) AS n3, " +
+      "(SELECT count(*) FROM s4) AS n4, " +
+      "(SELECT CAST((coalesce(sum(len(string_split_regex(rtrim(text), '\\s+'))), 0) " +
+      s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s4) AS nseq) " +
+      "SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name, n0 AS n_in, n1 AS n_out FROM counts " +
+      "UNION ALL SELECT 2, 'dedup_vs_base', n1, n2 FROM counts " +
+      "UNION ALL SELECT 3, 'dedup_within', n2, n3 FROM counts " +
+      "UNION ALL SELECT 4, 'decontam', n3, n4 FROM counts " +
+      "UNION ALL SELECT 5, 'pack', n4, nseq FROM counts " +
+      "ORDER BY stage"
+  }
+
   /** The whole chain replayed in DuckDB as ONE WITH: the SAME stage
     * CTEs the four per-operator oracles use (t02's quality blend, d08's
     * capped Jaccard, d07/d14's recursive-CTE components + survivor
@@ -218,5 +407,7 @@ object Pipeline {
       "ORDER BY stage"
   }
 
-  val oracles: Map[String, String] = Map("e01_curation_pipeline" -> e01Sql)
+  val oracles: Map[String, String] = Map(
+    "e01_curation_pipeline" -> e01Sql,
+    "e02_incremental_curation" -> e02Sql)
 }

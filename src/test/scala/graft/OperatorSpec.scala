@@ -1204,6 +1204,40 @@ class OperatorSpec extends AnyFunSuite {
       s"disabling the quality stage must propagate downstream: $census vs ${noQ.toSeq}")
   }
 
+  test("e02 incremental curation: each delta stage bites on its planted case") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 docs → nb = 36: base = 0-35, delta = 36-39, each delta doc
+    // planted to trip exactly one stage:
+    //   36 = degenerate spam (uniq ratio ~0)      → stage-1 drop
+    //   37 = verbatim copy of BASE doc 1          → stage-2 drop
+    //   38 ≈ 39 verbatim twins of EACH OTHER only → stage-3 keeps 38
+    // (fresh vocab per doc otherwise — ranges never collide)
+    def words(base: Int): String = (0 until 60).map(i => s"w${base + i}").mkString(" ")
+    val texts: Long => String = {
+      case 36L => Seq.fill(60)("x").mkString(" ")
+      case 37L => words(1000)
+      case 38L => words(50000)
+      case 39L => words(50000)
+      case i   => words(i.toInt * 1000)
+    }
+    val docs = (0L until 40L).map(i => i -> texts(i)).toDF("doc_id", "text")
+    val fixture = java.nio.file.Files.createTempDirectory("e02fix").toString
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val census = Pipeline.e02IncrementalCuration(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(census(0) == ((1L, "quality", 4L, 3L)),
+      s"quality must drop exactly the spam doc: ${census.toSeq}")
+    assert(census(1) == ((2L, "dedup_vs_base", 3L, 2L)),
+      s"vs-base must drop exactly the base copy: ${census.toSeq}")
+    assert(census(2) == ((3L, "dedup_within", 2L, 1L)),
+      s"within-delta must collapse the twin pair: ${census.toSeq}")
+    assert(census(3) == ((4L, "decontam", 1L, 1L)),
+      s"no cross-split overlap planted — decontam must pass: ${census.toSeq}")
+    assert(census(4) == ((5L, "pack", 1L, 1L)),
+      s"60 tokens pack into one 512-token sequence: ${census.toSeq}")
+  }
+
   test("e01 semantic stage bites on lexically-distinct, embedding-near docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
