@@ -288,6 +288,10 @@ object SparkEntry {
     // BM25 on the integer micro-unit grid so both engines rank
     // identically (ln is the one op IEEE leaves engine-defined)
     "t18_bm25" -> (TextOps.t18Bm25 _),
+    // t18b: BM25 against the PERSISTED term-bucketed inverted index —
+    // tokenize once at ingest, serve from stored artifacts only (the
+    // s11 lifecycle on the lexical side); shares t18's oracle verbatim
+    "t18b_persisted_bm25" -> (TextOps.t18bPersistedBm25 _),
     // t19: domain-mixture resampling — weighted per-domain targets on
     // the integer grid, hash-membership sampling (p05 discipline)
     "t19_domain_mix" -> (TextOps.t19DomainMix _),

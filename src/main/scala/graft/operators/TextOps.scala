@@ -1019,6 +1019,87 @@ object TextOps {
       s"WHERE rn <= $T18TopK ORDER BY query_id, rnk"
   }
 
+  /** Build the PERSISTED inverted index — the train-once/serve-many
+    * lifecycle (s11's pattern applied to LEXICAL search): postings
+    * (doc_id, term, tf) land term-bucketed and term-sorted, df/dl/
+    * corpus-stats land as their own tiny tables, and the corpus is
+    * tokenized EXACTLY once, at ingest. Every stored piece is what
+    * [[t18Bm25]] recomputes per run. */
+  private[graft] def t18bBuildIndex(
+      spark: SparkSession, dir: String): (String, String, String, String) = {
+    val wh = graft.core.IO.scratchDir("graft-t18b")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tfT, dlT, dfT, stT) = (s"graft_t18b_tf_$tag", s"graft_t18b_dl_$tag",
+      s"graft_t18b_df_$tag", s"graft_t18b_st_$tag")
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.write.mode("overwrite").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "term").sortBy("term")
+      .option("path", s"$wh/tf_$tag").saveAsTable(tfT)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/dl_$tag").saveAsTable(dlT)
+    spark.table(tfT).groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/df_$tag").saveAsTable(dfT)
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/st_$tag").saveAsTable(stT)
+    (tfT, dlT, dfT, stT)
+  }
+
+  /** The SERVE half: a query batch against the ALREADY-persisted index
+    * — identical scoring to [[t18Bm25]], but the plan touches ONLY the
+    * stored tables: no tokenize pass, no corpus scan, no Generate node
+    * anywhere (PlanSpec pins it). Per-batch cost is the broadcast
+    * postings lookup + candidate-sized joins. */
+  private[graft] def t18bServe(spark: SparkSession,
+      tfT: String, dlT: String, dfT: String, stT: String): DataFrame = {
+    import spark.implicits._
+    // (query, term) pairs materialized driver-side — a literal local
+    // relation, so the serve plan carries NO Generate node at all
+    val qterms = T18Queries
+      .flatMap { case (qid, qtext) => qtext.split(" ").map(qid -> _) }
+      .toDF("query_id", "term")
+    val qdistinct = T18Queries.flatMap(_._2.split(" ")).distinct.toDF("term")
+    val cand = spark.table(tfT).join(broadcast(qterms), Seq("term"))
+    val dfq = spark.table(dfT).join(broadcast(qdistinct), Seq("term"))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val dfd = col("df").cast("double")
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("tot").cast("double") / nd
+    val sMu = floor(lit(1000000.0) *
+      ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))) *
+      ((nd + lit(1.0)) / (dfd + lit(0.5))))
+    val perDoc = cand
+      .join(broadcast(dfq), Seq("term"))
+      .join(spark.table(dlT), Seq("doc_id"))
+      .crossJoin(broadcast(spark.table(stT)))
+      .select(col("query_id"), col("doc_id"), sMu.as("s_mu"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_mu")).as("score_mu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+    perDoc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= T18TopK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score_mu"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** t18b: BM25 against the PERSISTED inverted index — build once
+    * ([[t18bBuildIndex]]), then serve the query batch from the stored
+    * artifacts alone. Deterministic indexing ⇒ the stored postings
+    * equal the fresh ones, so t18b shares [[t18OracleSql]] VERBATIM:
+    * persistence must be semantically invisible (the s11 argument, on
+    * the lexical side). */
+  def t18bPersistedBm25(spark: SparkSession, dir: String): DataFrame = {
+    val (tfT, dlT, dfT, stT) = t18bBuildIndex(spark, dir)
+    t18bServe(spark, tfT, dlT, dfT, stT)
+  }
+
   // ---- t19: domain-mixture sampler ---------------------------------
 
   /** t19: DOMAIN-MIXTURE resampling — the "data mixing" step between
@@ -1080,6 +1161,9 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
     "t18_bm25" -> t18OracleSql,
+    // persistence must be semantically invisible: t18b shares t18's
+    // oracle verbatim (deterministic indexing ⇒ stored == fresh)
+    "t18b_persisted_bm25" -> t18OracleSql,
     "t19_domain_mix" -> t19OracleSql,
     "t17_quality_classifier" -> t17OracleSql(T17Rounds),
     "t16_seq_packing" ->

@@ -458,6 +458,20 @@ class PlanSpec extends AnyFunSuite {
     assert(nlj <= 1, s"only the 1-row stats attach may nested-loop:\n$p")
   }
 
+  test("t18b serve: stored postings only — no tokenize pass, index never shuffles on term") {
+    val (tfT, dlT, dfT, stT) = operators.TextOps.t18bBuildIndex(spark, sf)
+    val p = plan(operators.TextOps.t18bServe(spark, tfT, dlT, dfT, stT))
+    // the serve plan must touch ONLY the stored artifacts: a Generate
+    // (explode) node would mean the corpus is being re-tokenized per
+    // query batch — the exact cost persistence exists to amortize
+    assert(!p.contains("Generate"), s"serve must not re-tokenize the corpus:\n$p")
+    assert("BroadcastHashJoin \\[term".r.findFirstIn(p).isDefined,
+      s"query terms must broadcast against the stored postings:\n$p")
+    assert("Exchange hashpartitioning\\(term".r.findFirstIn(p).isEmpty,
+      s"the postings store must never shuffle on term:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("q32 funnel: one keyed join on user_id, window predicate inline, no self-join blowup") {
     val p = plan(operators.Relational.q32(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
