@@ -181,6 +181,10 @@ object SparkEntry {
     // (zero-exchange bucketed-scan→bucketed-write), then search the
     // compacted store; must hash-match the fragmented-store search
     "s13_compacted_ivf_pq" -> (Similarity.s13CompactedIvfPq _),
+    // s14: HYBRID retrieval — BM25 and cosine pools ranked
+    // independently, merged by exact-integer reciprocal rank fusion
+    // (no cross-system score calibration; ranks always compare)
+    "s14_hybrid_rrf" -> (Similarity.s14HybridRrf _),
     // Multimodal binary-column plumbing (north-star)
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_features" -> (Multimodal.m02Features _),

@@ -1363,6 +1363,134 @@ object Similarity {
     s11Search(spark, dir, compactT, ccT, fcT, cbT, k2)
   }
 
+  // ---- s14: hybrid retrieval — lexical ∪ vector, RRF-fused ----------
+
+  private[graft] val S14Queries = 5
+  private[graft] val S14PoolK = 10
+  private[graft] val S14K = 5
+  private[graft] val S14RrfK = 60
+
+  /** s14: HYBRID retrieval — the fusion stage a production RAG stack
+    * runs on top of the two tiers this engine now has (t18's BM25
+    * postings and the s-series vector chain): both systems rank
+    * independently, then RECIPROCAL RANK FUSION (Cormack et al.,
+    * SIGIR 2009) merges the pools — score(d) = Σ 1/(k + rank_sys(d)),
+    * k = [[S14RrfK]] — which needs no cross-system score calibration
+    * (BM25 micro-units and cosines are incomparable; ranks always
+    * compare). Queries are docs 0-4 through BOTH their modalities at
+    * once — the doc's leading distinct terms drive the lexical side,
+    * its embedding row (vec_id == doc_id, the e01 join convention)
+    * drives the vector side, self excluded from both pools.
+    *
+    * RRF lands on the integer grid outright: ranks are small ints, so
+    * 1e6 div (k + rank) is EXACT integer arithmetic — no doubles
+    * anywhere in the fusion, the strongest determinism tier available
+    * (t14/t17 only get floor-of-double). Missing-from-pool
+    * contributes 0 (null-safe coalesce on the full outer join).
+    *
+    * 100 TB: each side is its own gated scale path (t18b's persisted
+    * postings, s11's persisted IVF-PQ); the fusion itself joins two
+    * (queries × poolK)-sized frames — constant per query batch. The
+    * gate runs the exact tiers so the oracle replays row-for-row; a
+    * deployment swaps in the approximate tiers unchanged (rank
+    * columns are rank columns). */
+  def s14HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    // lexical side: t18's scoring pipeline, query terms = each query
+    // doc's first 3 distinct tokens, self excluded
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val qterms = d.filter(col("doc_id") < S14Queries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(tokens(col("text")), 1, 3))).as("term"))
+    val cand = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val dfd = col("df").cast("double")
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("tot").cast("double") / nd
+    val sMu = floor(lit(1000000.0) *
+      ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))) *
+      ((nd + lit(1.0)) / (dfd + lit(0.5))))
+    val scLex = cand
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), sMu.as("s_mu"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_mu")).as("score_mu"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+    val lex = scLex.withColumn("rl", row_number().over(wLex))
+      .filter(col("rl") <= S14PoolK).select("query_id", "doc_id", "rl")
+    // vector side: s01's exact cosine ranking over the same query ids
+    val all = emb(spark, dir)
+    val vq = all.filter(col("vec_id") < S14Queries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val vscored = all.join(broadcast(vq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("c"), 6).desc, col("doc_id").asc)
+    val vec = vscored.withColumn("rv", row_number().over(wVec))
+      .filter(col("rv") <= S14PoolK).select("query_id", "doc_id", "rv")
+    // fusion: exact integer RRF over the outer-joined pools
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($S14RrfK + rl)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($S14RrfK + rv)"), lit(0L)))
+          .cast("long").as("rrf_mu"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_mu").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= S14K)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("rrf_mu"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s14 oracle: the t18-style lexical CTEs (query terms from the
+    * query docs themselves), the s01-style vector CTEs, and the
+    * integer RRF fusion over the full-outer-joined pools. */
+  private[graft] val s14OracleSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "q AS (SELECT doc_id AS query_id, unnest(list_distinct(string_split_regex(rtrim(text), '\\s+')[1:3])) AS term " +
+      s"FROM documents WHERE doc_id < $S14Queries), " +
+      "contrib AS (SELECT q.query_id, t.doc_id, CAST(floor(1000000.0 * " +
+      "((CAST(t.tf AS DOUBLE) * 2.2) / (CAST(t.tf AS DOUBLE) + 1.2 * " +
+      "(0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) * " +
+      "((CAST(s.n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 0.5))) AS BIGINT) AS s_mu " +
+      "FROM tf t JOIN q ON q.term = t.term AND t.doc_id <> q.query_id " +
+      "JOIN df f ON f.term = t.term JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s), " +
+      "sc AS (SELECT query_id, doc_id, CAST(sum(s_mu) AS BIGINT) AS score_mu FROM contrib GROUP BY 1, 2), " +
+      "lex AS (SELECT query_id, doc_id, rl FROM (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score_mu DESC, doc_id) AS rl FROM sc) " +
+      s"WHERE rl <= $S14PoolK), " +
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      s"vq AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $S14Queries), " +
+      "vsc AS (SELECT q.query_id, x.vec_id AS doc_id, list_cosine_similarity(q.qe, x.emb) AS c " +
+      "FROM vq q JOIN e x ON x.vec_id <> q.query_id), " +
+      "vec AS (SELECT query_id, doc_id, rv FROM (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY round(c, 6) DESC, doc_id) AS rv FROM vsc) " +
+      s"WHERE rv <= $S14PoolK), " +
+      "fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, " +
+      "coalesce(l.doc_id, v.doc_id) AS doc_id, " +
+      s"CAST(coalesce(1000000 // ($S14RrfK + l.rl), 0) + coalesce(1000000 // ($S14RrfK + v.rv), 0) AS BIGINT) AS rrf_mu " +
+      "FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id) " +
+      "SELECT query_id, rn AS rnk, doc_id, rrf_mu FROM (SELECT query_id, doc_id, rrf_mu, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rrf_mu DESC, doc_id) AS rn FROM fus) " +
+      s"WHERE rn <= $S14K ORDER BY query_id, rnk"
+
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
   private def s07DistSql(a: String, b: String) =
@@ -1521,6 +1649,7 @@ object Similarity {
     // the compacted store must equal the search over the fragmented
     // folded store row for row — s13 shares s12's oracle verbatim
     "s13_compacted_ivf_pq" -> s12OracleSql(LloydRounds, S07Rounds),
+    "s14_hybrid_rrf" -> s14OracleSql,
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->
       // same generated train/assign CTEs as s04 but with the

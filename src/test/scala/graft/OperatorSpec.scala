@@ -1204,6 +1204,42 @@ class OperatorSpec extends AnyFunSuite {
       s"disabling the quality stage must propagate downstream: $census vs ${noQ.toSeq}")
   }
 
+  test("s14 hybrid fusion: a doc leading BOTH pools fuses to rank 1 with the exact RRF sum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 7 is planted as query 0's top hit in BOTH systems: it alone
+    // shares query 0's leading terms (lexical rank 1), and its
+    // embedding is a near-copy of vec 0 (vector rank 1); every other
+    // doc is vocab-disjoint from the queries. Fused rank 1 must be
+    // doc 7 with rrf_mu = 2 * (1e6 div 61) — any calibration drift,
+    // rank off-by-one, or float sneaking into the fusion breaks the
+    // exact integer value.
+    def words(base: Int): String = (0 until 40).map(i => s"w${base + i}").mkString(" ")
+    val texts: Long => String = {
+      case 0L => "zebra quark nebula " + words(100000)
+      case 7L => "zebra quark nebula " + words(200000)
+      case i  => words(i.toInt * 1000)
+    }
+    val docs = (0L until 20L).map(i => i -> texts(i)).toDF("doc_id", "text")
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val emb = spark.range(20).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(when(col("vec_id") === 7L, lit(0L)).otherwise(col("vec_id")), i) +
+            when(col("vec_id") === 7L, lit(0.0005)).otherwise(lit(0.0))).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("s14fix").toString
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    emb.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val top = Similarity.s14HybridRrf(spark, fixture)
+      .filter(col("query_id") === 0L && col("rnk") === 1L).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 7L,
+      s"query 0's fused rank 1 must be the double-planted doc 7: ${top.toSeq}")
+    assert(top(0).getLong(3) == 2L * (1000000L / 61L),
+      s"rrf_mu must be the exact integer 2*(1e6 div 61): ${top.toSeq}")
+  }
+
   test("e02 incremental curation: each delta stage bites on its planted case") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
