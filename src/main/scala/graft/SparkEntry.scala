@@ -323,6 +323,12 @@ object SparkEntry {
     // the even batch and restarted from its checkpoint; the restored
     // watermark must drop the late odds exactly as an unbroken run
     "st09_streaming_restart" -> (graft.streaming.StreamingOps.st09StreamingRestart _),
+    // st10: streaming vector ingest — embedding deltas fold into the
+    // persisted IVF-PQ index micro-batch by micro-batch through the
+    // frozen stored model (the continuous face of s12; st07's twin on
+    // the retrieval side); search over the folded store is the gate
+    "st10_streaming_vector_ingest" ->
+      (graft.streaming.StreamingOps.st10StreamingVectorIngest _),
     // e01: the end-to-end curation chain (quality → capped dedup with
     // survivor choice → holdout decontamination → sequence packing)
     // run as ONE job with per-stage retention census — the gate that

@@ -454,6 +454,57 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st10: STREAMING VECTOR INGEST into the persisted IVF-PQ index —
+    * the continuous face of s12, completing the ingest-cycle symmetry:
+    * text deltas stream against the d13 index (st07), and now
+    * embedding deltas stream INTO the s11 index as they land. The
+    * index builds over the base slice ([[graft.operators.Similarity
+    * .s12BuildBase]]); the delta lands as THREE files and streams back
+    * under `maxFilesPerTrigger=1`, so the fold runs as three separate
+    * micro-batch appends — each micro-batch flows through the FROZEN
+    * stored model inside foreachBatch ([[graft.operators.Similarity
+    * .s12FoldIn]]: assignment joins against broadcast stored
+    * centroids/codebooks, bucket-compatible append, the existing code
+    * store never read). The gate then searches the stream-folded store
+    * through the unchanged serve path and the ORACLE IS s12's
+    * verbatim: a full-corpus index whose model trained on the base —
+    * i.e. continuous ingest must be semantically invisible, batch-
+    * split invariance included (three appends must compose to exactly
+    * one fold; a row lost, duplicated, or encoded against a drifted
+    * model in any micro-batch breaks the row-for-row hash).
+    *
+    * 100 TB: per-micro-batch cost is O(batch) assignment work + a
+    * batch-sized bucketed append — the streaming state is EMPTY (no
+    * watermark, no keyed state; foreachBatch is a stateless sink), so
+    * ingest rate is bounded by the assignment joins, not by state
+    * growth. */
+  def st10StreamingVectorIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val (codesT, ccT, fcT, cbT, nBase, k2) = Similarity.s12BuildBase(spark, dir)
+    val deltaRoot = graft.core.IO.scratchDir("graft-st10-delta")
+    graft.core.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") >= nBase)
+      .repartition(3) // three landed files → three micro-batch folds
+      .write.mode("overwrite").parquet(deltaRoot)
+    val deltaStream = spark.readStream
+      .schema(StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaRoot)
+    val chk = graft.core.IO.scratchDir("graft-st10-chk")
+    val q = deltaStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.s12FoldIn(spark,
+          batch.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e")),
+          codesT, ccT, fcT, cbT, k2)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    Similarity.s11Search(spark, dir, codesT, ccT, fcT, cbT, k2)
+  }
+
   /** st08: WATERMARK LATE-DATA ACCOUNTING under the driver gate — the
     * one streaming-semantics face st01-st07 don't exercise: what the
     * engine DROPS. Every earlier gate feeds its bounded source in one
@@ -623,6 +674,13 @@ object StreamingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // continuous ingest must be semantically invisible: the stream-
+    // folded index answers exactly like a full-corpus index whose
+    // model trained on the base — s12's oracle verbatim
+    "st10_streaming_vector_ingest" ->
+      graft.operators.Similarity.s12OracleSql(
+        graft.operators.Similarity.LloydRounds,
+        graft.operators.Similarity.S07Rounds),
     "st09_streaming_restart" ->
       // identical replay to st08: the engine restarting must not
       // change what is kept or dropped — that invariance is the test
