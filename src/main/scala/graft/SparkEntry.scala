@@ -299,6 +299,16 @@ object SparkEntry {
     // t19: domain-mixture resampling — weighted per-domain targets on
     // the integer grid, hash-membership sampling (p05 discipline)
     "t19_domain_mix" -> (TextOps.t19DomainMix _),
+    // t20: cross-perplexity — the bigram LM trains on the base slice
+    // and scores the delta (the CCNet filter run against a REFERENCE
+    // corpus; exercises the OOV paths t14's self-scoring never hits)
+    "t20_cross_ppl" -> (TextOps.t20CrossPpl _),
+    // q34: explicit GROUPING SETS — caller-named grains next to q08
+    // rollup / q16 cube; sentinel-coalesced slots, one Expand pass
+    "q34_grouping_sets" -> (Relational.q34 _),
+    // p11: schema evolution — two landed file generations served by
+    // one mergeSchema read; era census pins no-loss/no-default
+    "p11_schema_evolution" -> (Sinks.p11SchemaEvolution _),
     // p10: hive-partitioned sink compaction — deterministic
     // fragmentation contract (4 files/partition) collapsed to 1,
     // content invariance pinned by the cents sum

@@ -701,7 +701,38 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q34: explicit GROUPING SETS — the third face of multi-level
+    * aggregation next to q08's rollup and q16's cube: the caller names
+    * EXACTLY the grain combinations a dashboard reads ((type),
+    * (type, hour-of-day), ()) instead of paying for every rollup
+    * prefix or cube corner. One pass, one shuffle — Spark expands the
+    * sets map-side (Expand), so cost is |sets|·rows partials, not
+    * |sets| scans. Null grouping slots are COALESCED to sentinels on
+    * both engines ('(all)' / -1, values outside the domain), which
+    * sidesteps grouping_id() bit-order parity entirely and gives the
+    * output a total order. Cents grid for the sum (the p05 rule). */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_type"),
+      hour(col("ts")).cast("long").as("hod"),
+      round(col("value") * 100).cast("long").as("cents"))
+    e.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("event_type"), col("hod")), Seq()),
+        col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("hod"), lit(-1L)).as("hod"),
+        col("n"), col("sum_cents"))
+      .orderBy("event_type", "hod")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q34_grouping_sets" ->
+      ("SELECT coalesce(event_type, '(all)') AS event_type, coalesce(hod, -1) AS hod, " +
+        "count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents FROM (" +
+        "SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "GROUP BY GROUPING SETS ((event_type), (event_type, hod), ()) " +
+        "ORDER BY event_type, hod"),
     "q33_retention_cohorts" ->
       (s"WITH f AS (SELECT user_id, CAST(${floorDivUsSql("min(epoch_us(ts))")} AS BIGINT) AS cohort_week " +
         "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +

@@ -217,6 +217,45 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** p11: SCHEMA EVOLUTION across landed file generations — the
+    * lakehouse reality every long-lived sink hits: era-1 files carry
+    * (event_id, cents), era-2 files add a `quality` column, and one
+    * `mergeSchema` read must serve BOTH generations with era-1 rows
+    * surfacing NULL quality (never dropped, never defaulted). The gate
+    * lands the two eras deterministically (even ids = v1, odd = v2
+    * with quality = id mod 5), reads the merged table, and censuses
+    * per era: row counts and cents prove no generation was lost or
+    * double-read, the quality sum proves the new column's values
+    * survive and the old era's stay NULL (a non-null default would
+    * inflate it). The oracle re-derives the whole contract from the
+    * source feed.
+    *
+    * 100 TB: schema merge is a FOOTER operation (one pass over file
+    * metadata, delegated distributed by Spark); the data read stays
+    * columnar — era-1 files simply have no quality pages to read.
+    * The alternative — rewriting history on every column add — is a
+    * full-lake rewrite; this is why every table format versions
+    * schemas instead. */
+  def p11SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.core.IO.scratchDir("graft-p11")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("append").parquet(s"$tmp/t")
+    Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"),
+        pmod(col("event_id"), lit(5)).as("quality"))
+      .write.mode("append").parquet(s"$tmp/t")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .select(when(col("quality").isNull, "v1").otherwise("v2").as("era"),
+        col("cents"), coalesce(col("quality"), lit(0L)).as("q"))
+      .groupBy("era")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("q")).as("quality_sum"))
+      .orderBy("era")
+  }
+
   def p04SplitCensus(spark: SparkSession, dir: String): DataFrame = {
     val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
@@ -507,6 +546,13 @@ object Sinks {
       ("SELECT event_type, count(*) AS n, " +
         "round(sum(CASE WHEN event_type = 'purchase' THEN -value ELSE value END), 2) AS sum_value " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "p11_schema_evolution" ->
+      // the merged-read contract re-derived from the source feed:
+      // era = id parity, era-1 quality stays NULL (sums as 0)
+      ("SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS era, " +
+        "count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "CAST(coalesce(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 5 END), 0) AS BIGINT) AS quality_sum " +
+        "FROM events GROUP BY era ORDER BY era"),
     "p10_sink_compaction" ->
       // the whole fragmentation/compaction contract is deterministic,
       // so the oracle states it: 4 files per partition before (one per

@@ -1100,6 +1100,87 @@ object TextOps {
     t18bServe(spark, tfT, dlT, dfT, stT)
   }
 
+  // ---- t20: cross-perplexity filter --------------------------------
+
+  /** t20: CROSS-perplexity — the CCNet LM filter run the way
+    * production actually runs it: the bigram model trains on a
+    * REFERENCE corpus (here the e02 base slice — at deploy, the
+    * persisted count tables of a trusted corpus) and scores INCOMING
+    * text against it, where t14 scores the corpus against itself.
+    * The distinction matters operationally: cross-scoring is what
+    * detects drift — a delta batch of template spam scores far from
+    * the reference distribution even if it is internally self-
+    * consistent (self-perplexity would score it fluent).
+    *
+    * Same Laplace grid as t14 with the OUT-OF-VOCABULARY paths t14
+    * never exercises (its train set IS its eval set): an unseen
+    * bigram scores ln((C1 + V)/1), an unseen PREFIX scores ln(V) —
+    * both via null-coalesced left joins against the base count
+    * tables, so novel text gets the maximum-surprise mass instead of
+    * being dropped or crashing the join. Integer 1e-4-nat units
+    * floored before the per-doc sum (order-free), true integer
+    * division for the mean, bigram-less delta docs kept with zeros.
+    *
+    * 100 TB: count tables are vocabulary-sized partial aggs computed
+    * ONCE over the reference (at deploy: persisted, the t18b/d13
+    * pattern); per-batch cost is the delta's bigram stream joined on
+    * its keys. */
+  def t20CrossPpl(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // parquet metadata count (the e02 split scalar)
+    val nb = n * Pipeline.E02BaseNum / Pipeline.E02BaseDen
+    val bgAll = d.select(col("doc_id"),
+      explode(wordNgrams(col("text"), 2)).as("bg"))
+    val bgBase = bgAll.filter(col("doc_id") < nb)
+    val c2 = bgBase.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bgBase.select(substring_index(col("bg"), " ", 1).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val scored = bgAll.filter(col("doc_id") >= nb)
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(c2, Seq("bg"), "left")
+      .join(c1, Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+            (coalesce(col("c2"), lit(0L)) + lit(1)))
+          * T14Unit).cast("long").as("nll"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum_e4"))
+      .withColumn("avg_nll_e4", expr("nll_sum_e4 div n_bigrams"))
+    d.filter(col("doc_id") >= nb).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "nll_sum_e4", "avg_nll_e4"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e4"), col("avg_nll_e4"))
+      .orderBy("doc_id")
+  }
+
+  /** t20 oracle: t14's CTE chain with the count tables scoped to the
+    * base slice, LEFT joins + null-coalesce for the OOV paths, and
+    * only delta docs in the output. */
+  private[graft] val t20OracleSql: String =
+    "WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      s"nb AS (SELECT (count(*) * ${Pipeline.E02BaseNum}) // ${Pipeline.E02BaseDen} AS v FROM documents), " +
+      "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+      "i -> array_to_string(w[i:i+1], ' '))) AS bg FROM tok), " +
+      "bgb AS (SELECT * FROM bg WHERE doc_id < (SELECT v FROM nb)), " +
+      "c2 AS (SELECT bg, count(*) AS c2 FROM bgb GROUP BY bg), " +
+      "c1 AS (SELECT split_part(bg, ' ', 1) AS a, count(*) AS c1 FROM bgb GROUP BY a), " +
+      "vv AS (SELECT count(*) AS v FROM c1), " +
+      "scored AS (SELECT b.doc_id, " +
+      "CAST(floor(ln((coalesce(c1.c1, 0) + vv.v) / CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)) " +
+      s"* $T14Unit) AS BIGINT) AS nll " +
+      "FROM (SELECT * FROM bg WHERE doc_id >= (SELECT v FROM nb)) b " +
+      "LEFT JOIN c2 ON b.bg = c2.bg " +
+      "LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.a CROSS JOIN vv), " +
+      "per_doc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_sum_e4 " +
+      "FROM scored GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(p.nll_sum_e4, 0) AS nll_sum_e4, " +
+      "CAST(coalesce(p.nll_sum_e4 // p.n_bigrams, 0) AS BIGINT) AS avg_nll_e4 " +
+      "FROM documents d LEFT JOIN per_doc p USING (doc_id) " +
+      "WHERE d.doc_id >= (SELECT v FROM nb) ORDER BY d.doc_id"
+
   // ---- t19: domain-mixture sampler ---------------------------------
 
   /** t19: DOMAIN-MIXTURE resampling — the "data mixing" step between
@@ -1165,6 +1246,7 @@ object TextOps {
     // oracle verbatim (deterministic indexing ⇒ stored == fresh)
     "t18b_persisted_bm25" -> t18OracleSql,
     "t19_domain_mix" -> t19OracleSql,
+    "t20_cross_ppl" -> t20OracleSql,
     "t17_quality_classifier" -> t17OracleSql(T17Rounds),
     "t16_seq_packing" ->
       // one SQL running sum replays the two-phase prefix sum exactly
