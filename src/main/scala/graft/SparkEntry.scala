@@ -339,6 +339,12 @@ object SparkEntry {
     // the retrieval side); search over the folded store is the gate
     "st10_streaming_vector_ingest" ->
       (graft.streaming.StreamingOps.st10StreamingVectorIngest _),
+    // st11: streaming media ingest-dedup — media deltas stream against
+    // the persisted m08 banded index (text st07 / vector st10 / media
+    // st11: the continuous-ingest symmetry complete); invariant row
+    // proves the streamed pair multiset equals the batch m08
+    "st11_streaming_media_ingest" ->
+      (graft.streaming.StreamingOps.st11StreamingMediaIngest _),
     // e01: the end-to-end curation chain (quality → capped dedup with
     // survivor choice → holdout decontamination → sequence packing)
     // run as ONE job with per-stage retention census — the gate that

@@ -1158,6 +1158,36 @@ object Multimodal {
       .orderBy("method", "delta_id", "corpus_id")
   }
 
+  /** [[m08DeltaVsIndex]] over a STREAMING delta frame — the
+    * adaptations d13's stream variant established: `dropDuplicates`
+    * keyed state in place of `distinct` (a streaming aggregate needs
+    * either a watermark or keyed dedup state; the pair key is tiny),
+    * no sort-merge hints (the static index side is already bucketed;
+    * stream-static joins pick their own strategy), and no terminal
+    * sort (unsupported on append streams — the gate orders after
+    * landing). The decode seam (mapPartitions) runs per micro-batch
+    * over delta payloads only; the corpus index tables stay the
+    * static sides of both joins. */
+  private[graft] def m08DeltaVsIndexStream(spark: SparkSession, delta: DataFrame,
+      bandT: String, contT: String): DataFrame = {
+    val hashed = perceptualHashes(spark, delta)
+    val dhPairs = dhashBands(hashed.filter(col("method") === "dhash"))
+      .as("d")
+      .join(spark.table(bandT).as("c"),
+        col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+      .select(col("d.media_id").as("delta_id"), col("c.media_id").as("corpus_id"),
+        bit_count(col("d.phash").bitwiseXOR(col("c.phash"))).cast("long").as("hamming"))
+      .dropDuplicates("delta_id", "corpus_id")
+      .filter(col("hamming") <= M05HammingMax)
+      .withColumn("method", lit("dhash"))
+    val contPairs = hashed.filter(col("method") === "content")
+      .as("d")
+      .join(spark.table(contT).as("c"), col("d.phash") === col("c.phash"))
+      .select(col("d.media_id").as("delta_id"), col("c.media_id").as("corpus_id"),
+        lit(0L).as("hamming"), lit("content").as("method"))
+    dhPairs.unionByName(contPairs)
+  }
+
   /** Fold a deduped delta INTO the persisted media index — the tail of
     * the ingest cycle ([[graft.operators.Dedup.d13FoldIn]]'s twin):
     * the delta's band postings and content rows append with the
@@ -1354,6 +1384,19 @@ object Multimodal {
       "WHERE t.rn <= 5 ORDER BY query_id, rnk"
   }
 
+  /** The m08 oracle SQL — shared verbatim by st11's invariant-row
+    * reduction (the streamed ingest must reproduce this pair set). */
+  private[graft] val m08Sql: String =
+    "WITH ph AS (SELECT doc_id AS media_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
+      "substring(md5(text), 1, 16) AS h FROM documents), " +
+      "cp AS (SELECT d.media_id AS delta_id, c.media_id AS corpus_id " +
+      "FROM ph d JOIN ph c ON d.h = c.h AND d.b >= 990 AND c.b < 990) " +
+      "SELECT delta_id, corpus_id, hamming, method FROM (" +
+      "SELECT CAST(-2 AS BIGINT) AS delta_id, CAST(-1 AS BIGINT) AS corpus_id, " +
+      "CAST(1 AS BIGINT) AS hamming, 'dhash' AS method " +
+      "UNION ALL SELECT delta_id, corpus_id, 0, 'content' FROM cp) " +
+      "ORDER BY method, delta_id, corpus_id"
+
   val oracles: Map[String, String] = Map(
     "m09_cross_modal" -> m09Sql,
     "m08_incremental_media_dedup" ->
@@ -1362,15 +1405,7 @@ object Multimodal {
       // oracle states the delta-vs-corpus joins directly — content
       // tier replayed from cross-split md5 prefixes, dhash tier = the
       // constructed canary pair (Hamming exactly 1, spec-pinned)
-      ("WITH ph AS (SELECT doc_id AS media_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
-        "substring(md5(text), 1, 16) AS h FROM documents), " +
-        "cp AS (SELECT d.media_id AS delta_id, c.media_id AS corpus_id " +
-        "FROM ph d JOIN ph c ON d.h = c.h AND d.b >= 990 AND c.b < 990) " +
-        "SELECT delta_id, corpus_id, hamming, method FROM (" +
-        "SELECT CAST(-2 AS BIGINT) AS delta_id, CAST(-1 AS BIGINT) AS corpus_id, " +
-        "CAST(1 AS BIGINT) AS hamming, 'dhash' AS method " +
-        "UNION ALL SELECT delta_id, corpus_id, 0, 'content' FROM cp) " +
-        "ORDER BY method, delta_id, corpus_id"),
+      m08Sql,
     "m07_video_neardup" ->
       // m05/m06's oracle shape: content tier replayed from md5
       // prefixes (no corpus payload sniffs gif/mp4 — the m03

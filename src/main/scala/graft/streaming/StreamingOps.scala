@@ -505,6 +505,41 @@ object StreamingOps {
     Similarity.s11Search(spark, dir, codesT, ccT, fcT, cbT, k2)
   }
 
+  /** st11: STREAMING MEDIA INGEST-DEDUP — the third and last leg of
+    * the continuous-ingest symmetry (text st07, vectors st10, media
+    * here): media payloads arrive as streamed files and dedup
+    * stream-static against the persisted m08 banded-dHash + content
+    * index, the decode seam running per micro-batch over delta
+    * payloads only — the corpus is decoded exactly once at index
+    * build and never re-decoded or re-shuffled per batch. Gate shape
+    * is st07's verbatim: the same (corpus + canary, delta + canary
+    * twin) split as the m08 batch gate, the delta landed and streamed
+    * back, and the invariant row proving the streamed pair multiset
+    * equals batch [[graft.operators.Multimodal.m08DeltaVsIndex]] over
+    * the SAME index tables — the constructed Hamming-1 BMP pair keeps
+    * n_pairs ≥ 1 at every SF. */
+  def st11StreamingMediaIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Multimodal, Sinks}
+    val base = Multimodal.media(spark, dir).select(col("media_id"), col("payload"))
+    val corpus = base.filter(Sinks.splitBucket(col("media_id")) < 990)
+      .unionAll(Seq((-1L, Multimodal.canaryBmp(false))).toDF("media_id", "payload"))
+    val delta = base.filter(Sinks.splitBucket(col("media_id")) >= 990)
+      .unionAll(Seq((-2L, Multimodal.canaryBmp(true))).toDF("media_id", "payload"))
+    val (bandT, contT) = Multimodal.m08BuildIndex(spark, corpus)
+    val deltaRoot = graft.core.IO.scratchDir("graft-st11-delta")
+    delta.write.mode("overwrite").parquet(deltaRoot)
+    val deltaStream = spark.readStream
+      .schema(StructType.fromDDL("media_id BIGINT, payload BINARY"))
+      .parquet(deltaRoot)
+    val streamed = runToFiles(spark,
+      Multimodal.m08DeltaVsIndexStream(spark, deltaStream, bandT, contT), "graft-st11")
+    val batch = Multimodal.m08DeltaVsIndex(spark, delta, bandT, contT)
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
   /** st08: WATERMARK LATE-DATA ACCOUNTING under the driver gate — the
     * one streaming-semantics face st01-st07 don't exercise: what the
     * engine DROPS. Every earlier gate feeds its bounded source in one
@@ -681,6 +716,11 @@ object StreamingOps {
       graft.operators.Similarity.s12OracleSql(
         graft.operators.Similarity.LloydRounds,
         graft.operators.Similarity.S07Rounds),
+    "st11_streaming_media_ingest" ->
+      // m08's oracle (cross-split content joins + the canary literal)
+      // reduced to the st03/st07-style invariant row
+      ("SELECT count(*) AS n_pairs, true AS stream_matches_batch FROM (" +
+        graft.operators.Multimodal.m08Sql + ")"),
     "st09_streaming_restart" ->
       // identical replay to st08: the engine restarting must not
       // change what is kept or dropped — that invariance is the test
