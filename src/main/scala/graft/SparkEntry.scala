@@ -153,6 +153,11 @@ object SparkEntry {
     // search face of the d12 quantizer, hierarchical probe at O(√K)
     // centroid distances per query
     "s06_ann_ivf_2level" -> (Similarity.s06AnnIvf2Level _),
+    // s15: cost-based probe policy — per-query nprobe chosen from the
+    // inverted file's population census under a constant CANDIDATE
+    // budget (~3 average cells), instead of s06's constant nprobe=4;
+    // n_probes rides on every row so the gate pins the policy itself
+    "s15_adaptive_probes" -> (Similarity.s15AdaptiveProbes _),
     // s07: product-quantization ADC search — M=8 4-bit codes per
     // vector (64× compression), query-side distance tables in integer
     // micro-units, candidates scored by summed table lookups

@@ -658,6 +658,88 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  private[graft] val S15MaxProbes = 6
+  private[graft] val S15BudgetCells = 3.0
+
+  /** s15: COST-BASED probe policy — per-query nprobe from the measured
+    * cell-population census, replacing s06's constant nprobe=4 (the
+    * ScaNN/FAISS autotune idea applied per query, and the NOTES
+    * round-12 "probe-count policy" item). A fixed nprobe wastes work
+    * for queries landing in dense cells and under-recalls for queries
+    * landing in sparse ones, because k-means cells are never uniform;
+    * the right invariant is a constant CANDIDATE budget, not a
+    * constant cell count. Policy: rank composite cells exactly as
+    * [[probeCells]] does (hierarchical, O(√K) centroid distances),
+    * join the ranked cells against the inverted-file population census
+    * (K rows — an aggregate the index build already materializes), and
+    * take cells in rank order until the candidates ALREADY admitted
+    * reach budget = ceil([[S15BudgetCells]]·n/K) ≈ three average
+    * cells' worth — i.e. keep a cell iff the cumulative population of
+    * the cells ranked before it is still under budget (running-sum
+    * window per query over ≤ [[S15MaxProbes]] rows), so every query
+    * probes ≥ 1 cell and ≤ [[S15MaxProbes]]. Search within probed
+    * cells is s06's exact-rank tail unchanged; `n_probes` rides on
+    * every result row so the gate pins the POLICY, not just the
+    * ranking. At 100 TB the census is K counters reused across every
+    * query batch, the policy itself is driver-free window arithmetic
+    * over a handful of rows per query, and the scan cost becomes
+    * budget-proportional per query by CONSTRUCTION (budget·dim work)
+    * instead of by luck of cell sizes. Deterministic end to end
+    * (rounded rank keys, id tie-breaks, integer populations), so the
+    * DuckDB oracle ([[s15OracleSql]]) replays
+    * train+census+policy+search row-for-row. */
+  def s15AdaptiveProbes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val n = Tables(spark, dir, "embeddings").count()
+    val (k1, k2) = d12Factors(n)
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val budget = math.ceil(S15BudgetCells * n / (k1.toLong * k2)).toLong
+    val all = emb(spark, dir)
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
+    val cprobes = queries.crossJoin(broadcast(ccents))
+      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= S06CoarseProbes)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("ccid"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos_f"), 6).desc, col("ccid").asc, col("fcid").asc)
+    val ranked = cprobes.join(broadcast(fcents), Seq("ccid"))
+      .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rk2", row_number().over(wF))
+      .filter(col("rk2") <= S15MaxProbes)
+      .select(col("qid"), col("qe"), col("qnrm"),
+        (col("ccid").cast("long") * k2 + col("fcid")).as("cid"), col("rk2"))
+    // the inverted file's population census: K counters, broadcast-able
+    val pop = assigned.groupBy(col("cid")).agg(count(lit(1)).as("pop"))
+    // admit a cell iff the cells ranked BEFORE it haven't filled the
+    // budget yet — running sum per query, frame excludes the current row
+    val wB = Window.partitionBy(col("qid")).orderBy(col("rk2").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fprobes = ranked.join(broadcast(pop), Seq("cid"), "left")
+      .withColumn("cum_before",
+        coalesce(sum(coalesce(col("pop"), lit(0L))).over(wB), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
+    val np = fprobes.groupBy(col("qid")).agg(count(lit(1)).as("n_probes"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    fprobes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= K)
+      .join(broadcast(np), Seq("qid"))
+      .select(col("qid").as("query_id"), col("n_probes"),
+        col("rn").cast("long").as("rnk"), col("nid").as("neighbor_id"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** k1 as a DuckDB expression over the oracle's own corpus scan —
     * the coarse half of [[d12Factors]]. */
   private[graft] def d12K1SqlOf(src: String) =
@@ -751,6 +833,43 @@ object Similarity {
       "row_number() OVER (PARTITION BY p.qid " +
       s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
       s"FROM cpr p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes)"
+
+  /** s15 oracle: the two-level model CTEs, the hierarchical probe
+    * RANKED but uncapped-to-[[S15MaxProbes]], the inverted-file
+    * population census, the budgeted running-sum admission (a cell is
+    * kept iff the population of the cells ranked before it is under
+    * budget), and the s06 exact-rank tail with `n_probes` joined onto
+    * every result row — the whole policy replayed row-for-row. */
+  private[graft] def s15OracleSql(rounds: Int): String =
+    twoLevelCtesSql(rounds) +
+      "cpr AS (SELECT qid, qe, ccid FROM (" +
+      "SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS ccid, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
+      s"FROM e CROSS JOIN cent$rounds c WHERE e.vec_id < 10) WHERE rk <= $S06CoarseProbes), " +
+      "fprall AS (SELECT qid, qe, ccid * (SELECT k2 FROM kf) + fcid AS cid, rk2 FROM (" +
+      "SELECT p.qid, p.qe, f.ccid, f.fcid, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
+      s"FROM cpr p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S15MaxProbes), " +
+      "pop AS (SELECT cid, count(*) AS pop FROM fafin GROUP BY cid), " +
+      s"bud AS (SELECT CAST(ceil($S15BudgetCells * (SELECT count(*) FROM e) / " +
+      "((SELECT k1 FROM kf) * (SELECT k2 FROM kf))) AS BIGINT) AS b), " +
+      "fpr AS (SELECT qid, qe, cid FROM (" +
+      "SELECT f.qid, f.qe, f.cid, coalesce(sum(coalesce(p.pop, 0)) OVER (" +
+      "PARTITION BY f.qid ORDER BY f.rk2 " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+      "FROM fprall f LEFT JOIN pop p USING (cid)) " +
+      "WHERE cum_before < (SELECT b FROM bud)), " +
+      "np AS (SELECT qid, count(*) AS n_probes FROM fpr GROUP BY qid) " +
+      "SELECT query_id, n_probes, rnk, neighbor_id, cos_sim FROM (" +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, round(c, 4) AS cos_sim FROM (" +
+      "SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qe, a.emb) AS c, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+      "FROM fpr p JOIN fafin a USING (cid) WHERE a.vec_id <> p.qid) " +
+      "WHERE rn <= 5) s JOIN np ON np.qid = s.query_id " +
+      "ORDER BY query_id, rnk"
 
   private[graft] def s06OracleSql(rounds: Int): String = {
     twoLevelCtesSql(rounds) + probeCtesSql(rounds) + " " +
@@ -1635,6 +1754,7 @@ object Similarity {
         "WHERE rn <= 5 ORDER BY query_id, rnk"),
     "s04_ann_ivf_kmeans" -> s04OracleSql(LloydRounds),
     "s06_ann_ivf_2level" -> s06OracleSql(LloydRounds),
+    "s15_adaptive_probes" -> s15OracleSql(LloydRounds),
     "s07_pq_adc" -> s07OracleSql(S07Rounds),
     "s09_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
     "s10_ivf_pq_rerank" -> s10OracleSql(LloydRounds, S07Rounds),

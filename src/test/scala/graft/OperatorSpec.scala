@@ -184,6 +184,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.forall(_._3 > 0.99), s"planted cosines must be ~1: $top1")
   }
 
+  test("s15 adaptive probes: nprobe within bounds, varies by query, recall holds") {
+    import org.apache.spark.sql.functions._
+    val res = Similarity.s15AdaptiveProbes(spark, sf).cache()
+    val np = res.select("query_id", "n_probes").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the policy contract: every query probes >= 1 and <= S15MaxProbes cells
+    assert(np.values.forall(p => p >= 1 && p <= Similarity.S15MaxProbes),
+      s"n_probes out of [1, ${Similarity.S15MaxProbes}]: $np")
+    // the policy is NON-TRIVIAL on this corpus: k-means cells are not
+    // uniform, so a constant candidate budget must yield different
+    // nprobe for different queries (measured 3 vs 4 at every SF) — if
+    // this ever collapses to one value the budget stopped biting
+    assert(np.values.toSet.size >= 2,
+      s"adaptive policy degenerated to constant nprobe: $np")
+    // recall floor vs the exact baseline (s06's standard): measured
+    // 0.68 at sf0.001 — 0.5 keeps the s04/s06 margin convention
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.s01KnnBrute(spark, sf))
+    val recall = exact.intersect(pairs(res)).size.toDouble / exact.size
+    info(s"adaptive-probe recall@5 = $recall; nprobe spread = ${np.values.toSet}")
+    assert(recall >= 0.5, s"recall under the measured floor: $recall")
+    res.unpersist()
+  }
+
   test("s12 incremental fold-in: delta copies invisible before the fold, rank-1 after") {
     import org.apache.spark.sql.functions._
     // the s06 planted-fixture family, with the near-copies of queries
