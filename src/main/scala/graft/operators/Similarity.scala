@@ -688,12 +688,18 @@ object Similarity {
     * (rounded rank keys, id tie-breaks, integer populations), so the
     * DuckDB oracle ([[s15OracleSql]]) replays
     * train+census+policy+search row-for-row. */
-  def s15AdaptiveProbes(spark: SparkSession, dir: String): DataFrame = {
+  def s15AdaptiveProbes(spark: SparkSession, dir: String): DataFrame =
+    s15At(spark, dir, S15BudgetCells)
+
+  /** [[s15AdaptiveProbes]] at an explicit budget multiplier — the
+    * S15Sweep seam (budget-vs-recall-vs-scanned trade, NOTES). */
+  private[graft] def s15At(spark: SparkSession, dir: String,
+      budgetCells: Double): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
     val n = Tables(spark, dir, "embeddings").count()
     val (k1, k2) = d12Factors(n)
     val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
-    val budget = math.ceil(S15BudgetCells * n / (k1.toLong * k2)).toLong
+    val budget = math.ceil(budgetCells * n / (k1.toLong * k2)).toLong
     val all = emb(spark, dir)
       .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val queries = all.filter(col("vec_id") < NumQueries)
