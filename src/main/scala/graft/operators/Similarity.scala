@@ -268,7 +268,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x("v")).as("ce"))
         .withColumn("cnrm", sqrt(array_dot(col("ce"), col("ce"))))
-    cents
+    // the trained model is a K-row artifact referenced by every
+    // downstream tier (assignment, probe, oracle twins) — cache it so
+    // the Lloyd chain materializes ONCE per query instead of once per
+    // reference (plans re-evaluate an uncached subtree per reference);
+    // K rows, session-lifetime, deliberately never unpersisted
+    cents.cache()
   }
 
   private[graft] def s04WithRounds(
@@ -537,6 +542,9 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x("v")).as("ce"))
         .withColumn("cnrm", sqrt(array_dot(col("ce"), col("ce"))))
+    // fine centroids are a k1·k2-row artifact — cache like
+    // trainedCentroids so the fine Lloyd chain runs once per query
+    cents = cents.cache()
     val assigned = assignFine(coarse, cents)
       .select(col("vec_id"), col("e"), col("nrm"),
         (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
@@ -1016,7 +1024,11 @@ object Similarity {
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           t => t("x")).as("cv"))
-    cb
+    // M·nCodes rows (128 by default) referenced by encode AND the
+    // query-side distance tables — cache for the same reason as
+    // trainedCentroids (one materialization per query, not per plan
+    // reference); never unpersisted
+    cb.cache()
   }
 
   /** s07: PRODUCT-QUANTIZATION ADC search (Jégou et al., "Product
