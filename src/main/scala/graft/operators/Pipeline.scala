@@ -78,10 +78,13 @@ object Pipeline {
     val clustered = s1.select("doc_id").join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
       .join(qual, "doc_id")
+    // the survivor id set feeds the semantic-stage scratch write, s3,
+    // and the census — checkpoint it (the d07 discipline) so the
+    // pair-graph + CC + argmax chain materializes once
     val canonIds = clustered.groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
-      .select("doc_id")
+      .select("doc_id").localCheckpoint()
     val s2 = d.join(canonIds, "doc_id")
     // stage 3: SEMANTIC dedup over the survivors' embeddings — the
     // survivor-joined embedding set lands as a scratch corpus so d11's
@@ -104,9 +107,11 @@ object Pipeline {
     val semDropped = spark.read.parquet(s"$semDir/dropped.parquet")
     val s3 = s2.join(semDropped, Seq("doc_id"), "left_anti")
     val n3 = s3.count() // routing scalar: decontam's corpus-relative cap
-    // stage 4: holdout-overlap decontamination over the survivors
+    // stage 4: holdout-overlap decontamination over the survivors —
+    // checkpointed (small id set) because s4 is walked by both the
+    // pack stage and the census
     val contaminated = Dedup.decontaminate(s3, n3)
-      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("train_id").as("doc_id")).distinct().localCheckpoint()
     val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // stage 5: packed-sequence count over survivors (t16's token rule)
@@ -192,8 +197,13 @@ object Pipeline {
     // one shingle pass over base survivors ∪ delta survivors; pairs
     // with ida < nb ≤ idb are delta-vs-base hits, pairs with nb ≤ ida
     // are within-delta
+    // the pair graph feeds BOTH the cross-drop and the within-delta
+    // stage, and the census re-walks each stage's survivor set — the
+    // d07 localCheckpoint discipline: materialize the expensive
+    // shingle self-join once (id pairs only, small) instead of once
+    // per downstream reference
     val pairs = Dedup.ngramJaccardPairs(Dedup.shingledOf(u), Some(Dedup.capDf(nu)))
-      .select(col("ida"), col("idb"))
+      .select(col("ida"), col("idb")).localCheckpoint()
     // stage 2: drop delta docs near-dup of a base survivor
     val crossDrop = pairs.filter(col("ida") < nb && col("idb") >= nb)
       .select(col("idb").as("doc_id")).distinct()
@@ -211,15 +221,17 @@ object Pipeline {
       .groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
-      .select("doc_id")
+      .select("doc_id").localCheckpoint()
     val s3 = s2.join(canonIds, "doc_id")
     // stage 4: survivors vs the GLOBAL holdout split (identical rows
     // dedupe, so dropDuplicates is deterministic here)
     val holdoutAll = d.filter(Sinks.splitBucket(col("doc_id")) >= 980)
     val u4 = s3.unionByName(holdoutAll).dropDuplicates("doc_id")
     val n4c = u4.count() // routing scalar: decontam's cap
+    // contaminated ids feed s4, which the pack stage AND the census
+    // both walk — checkpoint the 8-gram overlap scan (small id set)
     val contaminated = Dedup.decontaminate(u4, n4c)
-      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("train_id").as("doc_id")).distinct().localCheckpoint()
     val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // stage 5: packed-sequence count over the shipped delta
