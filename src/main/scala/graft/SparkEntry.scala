@@ -208,6 +208,9 @@ object SparkEntry {
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),
     "p03_bucketed_join" -> (Sinks.p03BucketedJoin _),
     "p04_split_census" -> (Sinks.p04SplitCensus _),
+    // p12: CDC MERGE (upsert by key) with copy-on-write partition
+    // rewrite — only the buckets the change batch touches are re-landed
+    "p12_merge_upsert" -> (Sinks.p12MergeUpsert _),
     // p05 stratified sample census — engine-invariant hash membership
     "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
     // p06 target-size binning — scalable two-phase prefix sum
@@ -311,6 +314,9 @@ object SparkEntry {
     // q34: explicit GROUPING SETS — caller-named grains next to q08
     // rollup / q16 cube; sentinel-coalesced slots, one Expand pass
     "q34_grouping_sets" -> (Relational.q34 _),
+    // q35: integer-grid PageRank over the customer–supplier graph —
+    // iterative centrality next to d07's CC, oracle-replayed as CTEs
+    "q35_pagerank" -> (Relational.q35PageRank _),
     // p11: schema evolution — two landed file generations served by
     // one mergeSchema read; era census pins no-loss/no-default
     "p11_schema_evolution" -> (Sinks.p11SchemaEvolution _),
@@ -360,6 +366,9 @@ object SparkEntry {
     // dedup-within → global-holdout decontam → pack), every stage
     // delta-sized; the fold-in discipline applied to the pipeline
     "e02_incremental_curation" -> (Pipeline.e02IncrementalCuration _),
+    // e03: leakage-safe split — assignment at the near-dup-CLUSTER
+    // level so no d08 pair straddles train/val/test by construction
+    "e03_cluster_split" -> (Pipeline.e03ClusterSplit _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -1176,7 +1176,7 @@ object Dedup {
     * the same math as [[ngramJaccardPairs]]. The cap argument is a SQL
     * expression so the corpus-relative d08 cap (max(4, ⌈0.002·N⌉)) is
     * computed by the oracle itself, parameterized identically. */
-  private def jaccardSqlWith(cap: Option[String]): String =
+  private[graft] def jaccardSqlWith(cap: Option[String]): String =
     "WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
       "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
       (cap match {
@@ -1196,6 +1196,26 @@ object Dedup {
   /** The d14/d15 canonical-selection oracle over a given pair-graph
     * SQL: recursive-CTE components + the shared t02 quality subquery +
     * per-cluster survivor window. */
+  /** Components CTE body shared by the d14/d15/e03 oracles: expects a
+    * `pairs(ida, idb)` CTE in scope; defines `lab(doc_id, lbl)` = the
+    * min-reachable-id component label per clustered doc (trailing
+    * comma — callers continue the WITH). */
+  private[graft] val ccLabCtes: String =
+    "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
+      "UNION ALL SELECT idb, ida FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach AS (WITH RECURSIVE r(doc, other) AS (" +
+      "SELECT doc, doc FROM nodes " +
+      "UNION SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.other) " +
+      "SELECT * FROM r), " +
+      "lab AS (SELECT doc AS doc_id, min(other) AS lbl FROM reach GROUP BY doc), "
+
+  /** The d08 df cap as the oracle's own SQL expression over the full
+    * corpus — shared by the d15 and e03 oracles. */
+  private[graft] val fullCorpusCapSql: String =
+    s"greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
+      "(SELECT count(*) FROM documents)) AS BIGINT))"
+
   private def canonicalSqlOver(pairsSql: String): String =
     ("WITH pairs AS (" + pairsSql.replace(" ORDER BY ida, idb", "") + "), " +
       "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +
@@ -1293,9 +1313,7 @@ object Dedup {
     // row_number over (quality desc, doc_id) per cluster. d14 over the
     // exact pair graph, d15 over the df-capped one (the deploy chain).
     "d14_canonical_docs" -> canonicalSqlOver(jaccardSql),
-    "d15_canonical_capped" -> canonicalSqlOver(jaccardSqlWith(Some(
-      s"greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
-        "(SELECT count(*) FROM documents)) AS BIGINT))"))),
+    "d15_canonical_capped" -> canonicalSqlOver(jaccardSqlWith(Some(fullCorpusCapSql))),
     "d06_embedding_neardup" ->
       ("SELECT a.vec_id AS ida, b.vec_id AS idb, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim " +

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation pipeline — the FineWeb/RefinedWeb-shaped chain a
@@ -259,6 +259,65 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** e03: LEAKAGE-SAFE train/val/test split — the split assignment a
+    * curation pipeline actually ships. p04's per-document modular
+    * bucket is reproducible but LEAKS: two near-duplicate documents
+    * hash independently, so one can land in train while its twin lands
+    * in the eval split — the dedup tier's pair graph is a list of
+    * exactly such leaks (the train/test-overlap failure Lee et al.
+    * 2022 measure). The unit of assignment must therefore be the
+    * NEAR-DUP CLUSTER, not the document: d08's df-capped pair graph
+    * (the deploy form) → pointer-jumping CC → every member inherits
+    * the bucket of its cluster_id, so no near-dup pair can straddle a
+    * split boundary BY CONSTRUCTION (both ends share a cluster_id).
+    * Singletons keep their own id as cluster_id, which makes the
+    * assignment identical to p04's for every unclustered doc; the
+    * naive per-doc verdict rides along as `naive_split` so the output
+    * itself exhibits where cluster-awareness changed the assignment.
+    *
+    * 100 TB shape: the pair graph and CC are d08/d07's own scale forms
+    * (at deploy the labels are the persisted d07 artifact, not
+    * recomputed); the assignment itself is one left join against the
+    * node-sized label table plus map-only bucket arithmetic. */
+  def e03ClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSafeSplit(
+      Tables(spark, dir, "documents").select("doc_id"),
+      Dedup.d08NgramJaccardCapped(spark, dir).select("ida", "idb"))
+
+  /** Assignment seam shared with the OperatorSpec counterfactual (a
+    * planted cluster whose members' naive buckets straddle a split
+    * boundary must be unified). */
+  private[graft] def clusterSafeSplit(ids: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    def splitName(b: Column): Column =
+      when(b < 980, "train").when(b < 990, "val").otherwise("test")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl"))
+    ids.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        splitName(Sinks.splitBucket(col("cluster_id"))).as("split"),
+        splitName(Sinks.splitBucket(col("doc_id"))).as("naive_split"))
+      .orderBy("doc_id")
+  }
+
+  /** e03 oracle: the capped pair graph + recursive-CTE components (the
+    * d15 chain), then the p04 modular bucket applied to cluster_id and
+    * doc_id side by side. */
+  private[graft] val e03Sql: String = {
+    def splitCase(c: String): String =
+      s"CASE WHEN (($c % 1000) * 761) % 1000 < 980 THEN 'train' " +
+        s"WHEN (($c % 1000) * 761) % 1000 < 990 THEN 'val' ELSE 'test' END"
+    "WITH pairs AS (" +
+      Dedup.jaccardSqlWith(Some(Dedup.fullCorpusCapSql))
+        .replace(" ORDER BY ida, idb", "") + "), " +
+      Dedup.ccLabCtes +
+      "cl AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id) " +
+      s"SELECT doc_id, cluster_id, ${splitCase("cluster_id")} AS split, " +
+      s"${splitCase("doc_id")} AS naive_split FROM cl ORDER BY doc_id"
+  }
+
   /** e02 oracle: the delta chain as ONE WITH — base-survivor
     * derivation, delta quality, the shared shingle pass with the
     * df cap over base∪delta survivors, cross/within pair splits, the
@@ -421,5 +480,6 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "e01_curation_pipeline" -> e01Sql,
-    "e02_incremental_curation" -> e02Sql)
+    "e02_incremental_curation" -> e02Sql,
+    "e03_cluster_split" -> e03Sql)
 }

@@ -725,7 +725,92 @@ object Relational {
       .orderBy("event_type", "hod")
   }
 
+  /** q35's fixed power-iteration count and the (1−d)·10⁶ teleport term
+    * for damping d = 0.85 on the micro-unit grid. */
+  private[graft] val Q35Iters = 5
+  private[graft] val Q35BaseMu = 150000L
+
+  /** q35: PageRank over the customer–supplier interaction graph — the
+    * iterative GRAPH-CENTRALITY operator next to d07's connected
+    * components: web-scale curation pipelines use link-graph centrality
+    * as a document quality prior (the CommonCrawl harmonic-centrality
+    * ranking), and this is its engine shape. Nodes are customers
+    * (2·custkey) and suppliers (2·suppkey+1); edges are the DISTINCT
+    * (custkey, suppkey) pairs connected through orders⋈lineitem, taken
+    * undirected so no node is a sink. Ranks live on an integer
+    * MICRO-UNIT grid (the t14/t15 discipline): r₀ = 10⁶, each round
+    * r' = 150000 + (85·Σ(r_src div deg_src)) div 100 — every step is
+    * integer division of integers, exact in any engine, fold order and
+    * partitioning, so [[Q35Iters]] rounds replay row-for-row as chained
+    * CTEs in DuckDB (floats would drift: a 5-round sum of IEEE
+    * quotients depends on accumulation order).
+    *
+    * 100 TB shape: the edge+degree table is built once, repartitioned
+    * on src ONCE and checkpointed — all [[Q35Iters]] rounds reuse that
+    * partitioning, so each round is one node-sized shuffle (the agg on
+    * dst), never an edge re-shuffle; rank tables are node-sized and
+    * checkpointed per round (the d07 discipline) to keep plans flat. */
+  def q35PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRankOver(e0)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("cust"))
+          .otherwise(lit("supp")).as("kind"),
+        expr("node div 2").as("node_key"), col("rk").as("rank_mu"))
+      .orderBy("kind", "node_key")
+  }
+
+  /** The power-iteration core over DISTINCT directed (src, dst) pairs,
+    * symmetrized internally — the RelationalSpec seam. Returns
+    * (node, rk) after [[Q35Iters]] rounds. */
+  private[graft] def pageRankOver(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint
+    val eraw = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = eraw
+      .join(eraw.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src")).localCheckpoint()
+    var rk = edges.select(col("src").as("node")).distinct()
+      .withColumn("rk", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to Q35Iters) {
+      // every node has an in-edge (undirected graph), so the inner
+      // join loses nothing — and the oracle states the same join
+      val next = edges.join(rk, col("src") === col("node"))
+        .select(col("dst"), expr("rk div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(Q35BaseMu) + expr("(85 * s) div 100")).as("rk"))
+        .localCheckpoint()
+      unpersistLocalCheckpoint(rk)
+      rk = next
+    }
+    unpersistLocalCheckpoint(edges)
+    rk
+  }
+
+  /** q35 oracle: the identical integer-grid power iteration as
+    * [[Q35Iters]] chained CTEs. */
+  private[graft] val q35Sql: String = {
+    def round(i: Int): String =
+      s"r$i AS (SELECT e.dst AS node, CAST($Q35BaseMu + (85 * sum(r.rk // e.deg)) // 100 AS BIGINT) AS rk " +
+        s"FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst)"
+    "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "eraw AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+      "deg AS (SELECT src, count(*) AS deg FROM eraw GROUP BY src), " +
+      "edges AS (SELECT e.src, e.dst, d.deg FROM eraw e JOIN deg d USING (src)), " +
+      "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rk FROM deg), " +
+      (1 to Q35Iters).map(round).mkString("", ", ", " ") +
+      "SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind, " +
+      s"node // 2 AS node_key, rk AS rank_mu FROM r$Q35Iters ORDER BY kind, node_key"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q35_pagerank" -> q35Sql,
     "q34_grouping_sets" ->
       ("SELECT coalesce(event_type, '(all)') AS event_type, coalesce(hod, -1) AS hod, " +
         "count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents FROM (" +

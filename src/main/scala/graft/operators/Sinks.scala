@@ -70,6 +70,106 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** p12's key-bucket count (the hive partition key of the landed
+    * snapshot) and the id offset that keeps CDC inserts collision-free
+    * with every gate corpus (ids are dense from 0; 10⁸ is divisible by
+    * [[P12Buckets]], so an insert's bucket equals its source doc's —
+    * a property the oracle's `doc_id % 16` relies on). */
+  private[graft] val P12Buckets = 16
+  private[graft] val P12InsOffset = 100000000L
+
+  /** p12: MERGE (CDC upsert) into a landed snapshot — the lakehouse
+    * primitive between append (p10) and whole-partition backfill
+    * (p09): apply a change batch of inserts, updates and deletes BY
+    * KEY, rewriting only the partitions the batch touches
+    * (copy-on-write). The change batch is derived deterministically
+    * from the corpus itself so the gate replays at every SF:
+    * deletes = doc_id ≡ 5 (mod 13), updates = doc_id ≡ 3 (mod 7)
+    * (text prefixed 'rev2: ', version bumped), inserts = a new row at
+    * doc_id + [[P12InsOffset]] for every doc_id ≡ 7 (mod 11). The
+    * merge itself is ONE full-outer join per touched partition set —
+    * never a row-by-row apply — and lands via dynamic partition
+    * overwrite, so untouched partitions keep their original files
+    * byte-for-byte (SinksSpec pins that with a planted single-bucket
+    * batch; the oracle pins the row semantics).
+    *
+    * 100 TB shape: the base side reads ONLY the touched partitions
+    * (partition pruning on the bucket key — the driver-side bucket
+    * list is bounded by [[P12Buckets]], a documented scalar routing
+    * read); the join shuffles the touched slice once on the key; at
+    * deploy the change batch is broadcast when delta-sized. */
+  def p12MergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    p12MergeAt(spark, dir, graft.core.IO.scratchDir("graft-p12"))
+
+  /** Seam for the SinksSpec copy-on-write pin (the spec owns tmp and
+    * inspects partition files across the merge). */
+  private[graft] def p12MergeAt(spark: SparkSession, dir: String,
+      tmp: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    p12LandBase(d, tmp)
+    p12ApplyChanges(spark, tmp, p12Changes(d))
+    spark.read.parquet(tmp)
+      .select(col("doc_id"), col("pk").cast("long").as("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Day-zero snapshot land: hive-partitioned by the key bucket. */
+  private[graft] def p12LandBase(d: DataFrame, tmp: String): Unit =
+    d.withColumn("ver", lit(0L))
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(tmp)
+
+  /** The deterministic CDC batch: (doc_id, op ∈ I/U/D, text). */
+  private[graft] def p12Changes(d: DataFrame): DataFrame = {
+    val del = d.filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text"))
+    val upd = d.filter(col("doc_id") % 7 === 3 && col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(lit("rev2: "), col("text")).as("text"))
+    val ins = d.filter(col("doc_id") % 11 === 7)
+      .select((col("doc_id") + lit(P12InsOffset)).as("doc_id"),
+        lit("I").as("op"), concat(lit("ins: "), col("text")).as("text"))
+    del.unionByName(upd).unionByName(ins)
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+  }
+
+  /** The base-side scan restricted to the touched buckets — the isin
+    * filter lands as a PARTITION filter on the hive-partitioned
+    * snapshot (PlanSpec pins it), so the merge never reads an
+    * untouched partition's data pages. */
+  private[graft] def p12TouchedBase(spark: SparkSession, tmp: String,
+      touched: Seq[Long]): DataFrame =
+    spark.read.parquet(tmp)
+      .filter(col("pk").isin(touched: _*))
+      .withColumn("pk", col("pk").cast("long"))
+
+  /** Copy-on-write MERGE core: full-outer join the TOUCHED partitions
+    * of the landed snapshot against the change batch, land the result
+    * under dynamic partition overwrite. */
+  private[graft] def p12ApplyChanges(spark: SparkSession, tmp: String,
+      changes: DataFrame): Unit = {
+    // bounded scalar routing read: which of the ≤P12Buckets partitions
+    // does the batch touch (the t10-router pattern, never row data)
+    val touched = changes.select(col("pk")).distinct()
+      .collect().map(_.getLong(0))
+    val base = p12TouchedBase(spark, tmp, touched)
+    val merged = base.as("b")
+      .join(changes.as("c"), Seq("doc_id", "pk"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c.text"), col("b.text")).as("text"),
+        when(col("c.op").isNotNull, lit(1L)).otherwise(col("b.ver")).as("ver"),
+        col("pk"))
+    merged.repartition(col("pk"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pk").parquet(tmp)
+  }
+
   private val SaltBuckets = 8
 
   /** Skew-safe equi-join: salt the skewed (big) side into N buckets and
@@ -482,6 +582,22 @@ object Sinks {
   }
 
   val oracles: Map[String, String] = Map(
+    // p12: the MERGE row semantics stated directly — survivors of the
+    // delete/update anti-sets, plus updates and inserts at ver 1; the
+    // file-level copy-on-write face is pinned by SinksSpec instead
+    "p12_merge_upsert" ->
+      ("WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 5), " +
+        "upd AS (SELECT doc_id, 'rev2: ' || text AS text FROM documents " +
+        "WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5), " +
+        s"ins AS (SELECT doc_id + $P12InsOffset AS doc_id, 'ins: ' || text AS text " +
+        "FROM documents WHERE doc_id % 11 = 7), " +
+        "merged AS (SELECT doc_id, text, 0 AS ver FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM del) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM upd) " +
+        "UNION ALL SELECT doc_id, text, 1 FROM upd " +
+        "UNION ALL SELECT doc_id, text, 1 FROM ins) " +
+        s"SELECT doc_id, doc_id % $P12Buckets AS pk, CAST(ver AS BIGINT) AS ver, " +
+        "length(text) AS n_chars FROM merged ORDER BY doc_id"),
     "p08_zorder_layout" ->
       // the normalization, interleave, file split and box census
       // replayed in integer arithmetic; spread generated by the same

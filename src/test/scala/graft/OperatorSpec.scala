@@ -1151,6 +1151,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("p12 merge rewrites only the touched bucket; untouched partition files survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids chosen so EVERY change lands in bucket 5 and nothing else:
+    //   5   → delete  (5 % 13 = 5), pk 5
+    //   101 → update  (101 % 7 = 3, 101 % 13 = 10), pk 101 % 16 = 5
+    //   117 → insert source (117 % 11 = 7), new id 100000117 → pk 5
+    // 1, 2, 32, 100 trigger no rule and live in buckets 1, 2, 0, 4
+    val fixture = java.nio.file.Files.createTempDirectory("p12fix").toString
+    val tmp = java.nio.file.Files.createTempDirectory("p12tmp").toString + "/snap"
+    val docs = Seq(1L, 2L, 5L, 32L, 100L, 101L, 117L)
+      .map(i => i -> s"body of doc $i").toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val d = graft.core.Tables(spark, fixture, "documents")
+      .select(col("doc_id"), col("text"))
+    Sinks.p12LandBase(d, tmp)
+    def filesIn(pk: Long): Set[String] = {
+      val dir = new java.io.File(s"$tmp/pk=$pk")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = (0L until 16L).map(b => b -> filesIn(b)).toMap
+    Sinks.p12ApplyChanges(spark, tmp, Sinks.p12Changes(d))
+    val after = (0L until 16L).map(b => b -> filesIn(b)).toMap
+    assert(after(5L) != before(5L), "touched bucket 5 must be rewritten")
+    Seq(0L, 1L, 2L, 4L).foreach { b =>
+      assert(after(b) == before(b) && before(b).nonEmpty,
+        s"untouched bucket $b lost or changed files: ${before(b)} -> ${after(b)}")
+    }
+    // row semantics of the merged snapshot
+    val got = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("ver"), col("text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!got.contains(5L), s"deleted key survived: ${got.keySet}")
+    assert(got(101L) == ((1L, "rev2: body of doc 101")), s"update missed: ${got(101L)}")
+    assert(got(100000117L) == ((1L, "ins: body of doc 117")), s"insert missed: $got")
+    Seq(1L, 2L, 32L, 100L, 117L).foreach { i =>
+      assert(got(i) == ((0L, s"body of doc $i")), s"unchanged row drifted: $i -> ${got(i)}")
+    }
+  }
+
+  test("q35 pagerank: hub outranks leaves, ties are exact, regular graph hits the fixed point") {
+    import spark.implicits._
+    // star: hub 0 — leaves 1..6; symmetric leaves must tie EXACTLY
+    // (integer grid: no accumulation-order noise to hide behind)
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Relational.pageRankOver(star).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 6L).map(r).toSet.size == 1, s"leaves must tie exactly: $r")
+    assert(r(0L) > r(1L), s"hub must outrank leaves: $r")
+    // triangle: 2-regular → the grid fixed point is exactly 10⁶
+    // (r' = 150000 + (85 * (2 * (r div 2))) div 100 = r at r = 10⁶)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = Relational.pageRankOver(tri).collect().map(_.getLong(1)).toSet
+    assert(rt == Set(1000000L), s"regular-graph fixed point must be exactly 1e6: $rt")
+  }
+
   test("p06 size bins: two-phase prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -1331,6 +1388,35 @@ class OperatorSpec extends AnyFunSuite {
       s"lexical stage must pass the vocab-disjoint corpus whole: ${census.toSeq}")
     assert(census(2) == ((3L, "semantic", 40L, 39L)),
       s"semantic stage must drop exactly the planted embedding twin: ${census.toSeq}")
+  }
+
+  test("e03 cluster-safe split: no d08 pair straddles; a planted leaky cluster is unified") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Pipeline.e03ClusterSplit(spark, sf).localCheckpoint()
+    // the property the operator exists for: BOTH ends of every capped
+    // pair graph edge land in the same split
+    val pairs = Dedup.d08NgramJaccardCapped(spark, sf).select(col("ida"), col("idb"))
+    val a = out.select(col("doc_id").as("ida"), col("split").as("sa"))
+    val b = out.select(col("doc_id").as("idb"), col("split").as("sb"))
+    assert(pairs.join(a, "ida").join(b, "idb")
+      .filter(col("sa") =!= col("sb")).count() == 0,
+      "a near-dup pair straddles the split boundary")
+    // singletons keep p04's verdict exactly (cluster_id == doc_id)
+    assert(out.filter(col("cluster_id") === col("doc_id"))
+      .filter(col("split") =!= col("naive_split")).count() == 0,
+      "an unclustered doc changed split vs the naive assignment")
+    // counterfactual: naive buckets put 2 in train and 113 in test
+    // (((113 % 1000) * 761) % 1000 = 993) — a pair joining them must
+    // pull 113 into train under cluster assignment, while naive_split
+    // still records the leak the operator repaired
+    val ids = Seq(2L, 113L, 500L).toDF("doc_id")
+    val p = Seq((2L, 113L)).toDF("ida", "idb")
+    val got = Pipeline.clusterSafeSplit(ids, p).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(113L) == ((2L, "train", "test")), s"leaky member not unified: $got")
+    assert(got(2L) == ((2L, "train", "train")), s"cluster root moved: $got")
+    assert(got(500L)._2 == got(500L)._3, s"singleton drifted from naive: $got")
   }
 
   test("t17 learned scorer separates planted quality extremes and orders the natural classes") {

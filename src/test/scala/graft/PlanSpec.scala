@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition pruning on event_type:\n$p")
   }
 
+  test("p12 base-side merge scan is partition-pruned to the touched buckets") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("p12plan").toString + "/snap"
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    operators.Sinks.p12LandBase(d, tmp)
+    val p = formatted(operators.Sinks.p12TouchedBase(spark, tmp, Seq(3L, 5L)))
+    assert(p.contains("PartitionFilters: [pk"),
+      s"expected partition pruning on the pk bucket:\n$p")
+  }
+
   test("d06 blocked pair join: no cartesian product, no nested-loop join") {
     val p = plan(Dedup.d06EmbeddingNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in d06 plan:\n$p")
