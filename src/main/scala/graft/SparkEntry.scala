@@ -369,6 +369,10 @@ object SparkEntry {
     // e03: leakage-safe split — assignment at the near-dup-CLUSTER
     // level so no d08 pair straddles train/val/test by construction
     "e03_cluster_split" -> (Pipeline.e03ClusterSplit _),
+    // st12: streaming CDC merge — p12's copy-on-write upsert applied
+    // per micro-batch inside foreachBatch; batch boundaries commute
+    "st12_streaming_cdc_merge" ->
+      (graft.streaming.StreamingOps.st12StreamingCdcMerge _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -540,6 +540,63 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st12: STREAMING CDC MERGE — the continuous face of p12, closing
+    * the ingest symmetry on the TABLE side (text st07, vectors st10,
+    * media st11, and now the keyed snapshot itself): change rows
+    * arrive as streamed files and each micro-batch applies the SAME
+    * copy-on-write merge ([[graft.operators.Sinks.p12ApplyChanges]])
+    * against the landed snapshot inside foreachBatch — per batch, only
+    * the buckets that batch touches are rewritten. The CDC batch lands
+    * as three files and streams back under `maxFilesPerTrigger=1`, so
+    * the merge runs as three separate sequential upserts; because a
+    * key appears in at most one change op, batch boundaries commute
+    * and the final snapshot equals the one-shot p12 merge — which is
+    * exactly what the oracle states (p12's merge-semantics SQL,
+    * shared verbatim). At deploy the staged-commit rename p12 relies
+    * on becomes a table-format transaction (the Delta/Iceberg MERGE
+    * loop); the Spark-side plumbing — keyed full-outer join per
+    * batch, bucket-pruned base scan, dynamic overwrite — is
+    * identical. */
+  def st12StreamingCdcMerge(spark: SparkSession, dir: String): DataFrame =
+    st12Core(spark, dir)._1
+
+  /** Seam returning (final snapshot, n non-empty micro-batches) — the
+    * StreamingSpec pins batches = 3 and equality with batch p12. */
+  private[graft] def st12Core(spark: SparkSession,
+      dir: String): (DataFrame, Int) = {
+    import graft.operators.Sinks
+    val d = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val snap = graft.core.IO.scratchDir("graft-st12") + "/snap"
+    Sinks.p12LandBase(d, snap)
+    val chRoot = graft.core.IO.scratchDir("graft-st12-ch")
+    Sinks.p12Changes(d).repartition(3) // three landed files → 3 merges
+      .write.mode("overwrite").parquet(chRoot)
+    val chStream = spark.readStream
+      .schema(StructType.fromDDL(
+        "doc_id BIGINT, op STRING, text STRING, pk BIGINT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chRoot)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chk = graft.core.IO.scratchDir("graft-st12-chk")
+    val q = chStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches.incrementAndGet()
+          Sinks.p12ApplyChanges(spark, snap, batch.toDF())
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(snap)
+      .select(col("doc_id"), col("pk").cast("long").as("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+    (out, nBatches.get())
+  }
+
   /** st08: WATERMARK LATE-DATA ACCOUNTING under the driver gate — the
     * one streaming-semantics face st01-st07 don't exercise: what the
     * engine DROPS. Every earlier gate feeds its bounded source in one
@@ -709,6 +766,11 @@ object StreamingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // micro-batched CDC application must be semantically invisible:
+    // the streamed merge's final snapshot equals the one-shot p12
+    // merge — p12's merge-semantics SQL verbatim
+    "st12_streaming_cdc_merge" ->
+      graft.operators.Sinks.oracles("p12_merge_upsert"),
     // continuous ingest must be semantically invisible: the stream-
     // folded index answers exactly like a full-corpus index whose
     // model trained on the base — s12's oracle verbatim

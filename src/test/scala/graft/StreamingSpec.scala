@@ -187,6 +187,18 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-cleared sessions missing: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("st12 streaming CDC merge: 3 micro-batch upserts equal the one-shot batch merge") {
+    val (outDf, n) = StreamingOps.st12Core(spark, sf)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.Sinks.p12MergeUpsert(spark, sf).collect().map(key).toSeq
+    assert(n == 3, s"expected exactly 3 non-empty micro-batch merges, got $n")
+    assert(streamed == batch,
+      s"streamed snapshot diverged from the one-shot merge " +
+        s"(${streamed.size} vs ${batch.size} rows)")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
