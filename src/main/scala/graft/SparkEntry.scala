@@ -186,6 +186,12 @@ object SparkEntry {
     // (zero-exchange bucketed-scan→bucketed-write), then search the
     // compacted store; must hash-match the fragmented-store search
     "s13_compacted_ivf_pq" -> (Similarity.s13CompactedIvfPq _),
+    // s16: tombstone DELETES on the persisted index — the last CRUD
+    // verb (s11 build, s12 add, s13 compact): delete = an O(deletes)
+    // tombstone write, serve = broadcast anti-join mask BEFORE ADC
+    // scoring, purge = the tombstones dropped inside s13's
+    // zero-exchange bucket rewrite; the model stays frozen throughout
+    "s16_deleted_ivf_pq" -> (Similarity.s16DeletedIvfPq _),
     // s14: HYBRID retrieval — BM25 and cosine pools ranked
     // independently, merged by exact-integer reciprocal rank fusion
     // (no cross-system score calibration; ranks always compare)

@@ -1327,7 +1327,7 @@ object Similarity {
     * search reuses the identical serve path over the folded store. */
   private[graft] def s11Search(spark: SparkSession, dir: String,
       codesT: String, ccT: String, fcT: String, cbT: String,
-      k2: Int): DataFrame = {
+      k2: Int, tomb: Option[DataFrame] = None): DataFrame = {
     val fprobes = probeCells(spark, dir, spark.table(ccT), spark.table(fcT), k2)
       .select(col("qid"), col("cid").as("cell"))
     val dtab = subvecs(spark, dir).filter(col("vec_id") < NumQueries)
@@ -1335,8 +1335,15 @@ object Similarity {
       .join(spark.table(cbT), Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
-    val scored = spark.table(codesT).join(broadcast(fprobes), Seq("cell"))
+    // tombstone mask (s16): deleted ids prune via a broadcast anti-join
+    // BEFORE ADC scoring — between purges the tombstone set is
+    // delta-sized (the d13 cadence argument), so the mask rides the
+    // bucketed scan without adding any exchange
+    val cand0 = spark.table(codesT).join(broadcast(fprobes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
+    val cand = tomb.fold(cand0)(t =>
+      cand0.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    val scored = cand
       .join(broadcast(dtab), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("unit")).as("adc_units"))
@@ -1464,7 +1471,8 @@ object Similarity {
     * schedules off-peak — O(store) sequential I/O, no shuffle, and
     * queries keep working against the old table until the new one
     * swaps in (the rewrite lands under a fresh name, never in place). */
-  private[graft] def s13Compact(spark: SparkSession, codesT: String): String = {
+  private[graft] def s13Compact(spark: SparkSession, codesT: String,
+      drop: Option[DataFrame] = None): String = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val outT = s"graft_s13_codes_$tag"
     val wh = graft.core.IO.scratchDir("graft-s13")
@@ -1472,7 +1480,11 @@ object Similarity {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
     try {
-      spark.table(codesT)
+      // purge face (s16): tombstoned ids drop during the rewrite via a
+      // broadcast anti-join riding the bucketed scan — partitioning is
+      // preserved, so the no-exchange rewrite property holds unchanged
+      drop.fold(spark.table(codesT))(t => spark.table(codesT)
+          .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(Dedup.D13Buckets, "cell").sortBy("cell")
         .option("path", s"$wh/codes_$tag").saveAsTable(outT)
@@ -1498,6 +1510,69 @@ object Similarity {
       codesT, ccT, fcT, cbT, k2)
     val compactT = s13Compact(spark, codesT)
     s11Search(spark, dir, compactT, ccT, fcT, cbT, k2)
+  }
+
+  // ---- s16: deletes on the persisted IVF-PQ index -------------------
+
+  /** The gate's deterministic delete request: every corpus id with
+    * vec_id % [[S16DelMod]] == [[S16DelRem]] (20% of the corpus —
+    * deliberately adversarial so deleted ids are all but certain to
+    * sit in live top-K lists; the OperatorSpec pins that
+    * counterfactual). The RULE exists only so DuckDB can restate the
+    * delete set — the engine never sees it: both the mask and the
+    * purge consume the tombstone TABLE, exactly as they would an
+    * arbitrary user-supplied id list. */
+  private[graft] val S16DelMod = 5
+  private[graft] val S16DelRem = 2
+
+  private[graft] def s16Tombstones(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") % S16DelMod === S16DelRem)
+      .select("vec_id")
+
+  /** Persist a delete request as a TOMBSTONE table — this write IS the
+    * whole delete op: O(deletes) work, the code store untouched (the
+    * Lucene/Milvus soft-delete discipline; FAISS's eager
+    * `remove_ids()` rewrite is what this avoids at 100 TB). */
+  private[graft] def s16PersistTombstones(spark: SparkSession,
+      tomb: DataFrame): String = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outT = s"graft_s16_tomb_$tag"
+    val wh = graft.core.IO.scratchDir("graft-s16")
+    tomb.write.mode("overwrite").format("parquet")
+      .option("path", s"$wh/tomb_$tag").saveAsTable(outT)
+    outT
+  }
+
+  /** s16: DELETES on the persisted IVF-PQ index — the one CRUD verb
+    * the retrieval lifecycle still lacked (s11 build, s12 add, s13
+    * compact). Three-phase soft-delete, each phase the cheapest thing
+    * that can be correct at 100 TB:
+    *
+    *  1. delete = persist the id list as tombstones
+    *     ([[s16PersistTombstones]]) — O(deletes), no store I/O;
+    *  2. serve = [[s11Search]] with the tombstones anti-joined against
+    *     the candidates BEFORE ADC scoring (broadcast — between purges
+    *     the tombstone set is delta-sized, the d13 cadence argument),
+    *     so the masked search keeps s11's zero-exchange pin and
+    *     deleted rows never even reach the distance lookup;
+    *  3. purge = [[s13Compact]] with the tombstones dropped during the
+    *     bucket rewrite (the anti-join rides the bucketed scan, no new
+    *     exchange), after which the tombstone table resets.
+    *
+    * The gate returns the MASKED search; the OperatorSpec pins the
+    * purged-store search equal to it row for row (purge is layout-only
+    * given the mask) and pins the counterfactual — the delete set
+    * intersects the pre-delete top-K, so masking provably changed
+    * results. The model is FROZEN through all of it (deletes never
+    * retrain — the FAISS/Milvus contract), which is what
+    * [[s16OracleSql]] states: a full-corpus-trained index whose scan
+    * excludes the deleted ids, nothing else. */
+  def s16DeletedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codesT, ccT, fcT, cbT) = s11BuildIndex(spark, dir)
+    val (_, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val tombT = s16PersistTombstones(spark, s16Tombstones(spark, dir))
+    s11Search(spark, dir, codesT, ccT, fcT, cbT, k2,
+      tomb = Some(spark.table(tombT)))
   }
 
   // ---- s14: hybrid retrieval — lexical ∪ vector, RRF-fused ----------
@@ -1701,7 +1776,7 @@ object Similarity {
   /** The cell-restricted ADC scan + ranking tail shared by the s09 and
     * s12 oracles (one probe, one scan — only the CTE prefix differs in
     * WHICH corpus trained the model). */
-  private val AdcScanTailSql: String =
+  private def adcScanTailSql(extraWhere: String = ""): String =
     "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, adc_units FROM (" +
       "SELECT qid, nid, adc_units, " +
       "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM (" +
@@ -1709,12 +1784,12 @@ object Similarity {
       "FROM fpr p JOIN fafin a ON a.cid = p.cid " +
       "JOIN codes k ON k.vec_id = a.vec_id " +
       "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
-      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id)) " +
+      s"WHERE a.vec_id <> p.qid$extraWhere GROUP BY p.qid, k.vec_id)) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
 
   private[graft] def s09OracleSql(rounds: Int, pqRounds: Int): String =
     twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + " " +
-      AdcScanTailSql
+      adcScanTailSql()
 
   /** s12 oracle: the s09 chain with the TRAINING CTEs scoped to the
     * base slice (`src = "eb"`) and assignment/codes/dtab/probe/scan
@@ -1726,7 +1801,17 @@ object Similarity {
     * ingest). */
   private[graft] def s12OracleSql(rounds: Int, pqRounds: Int): String =
     twoLevelCtesSql(rounds, "eb") + pqCtesSql(pqRounds, "eb") +
-      probeCtesSql(rounds) + " " + AdcScanTailSql
+      probeCtesSql(rounds) + " " + adcScanTailSql()
+
+  /** s16 oracle: the s09 chain (model trained on the FULL corpus —
+    * deletes never retrain) with the deleted ids excluded from the
+    * candidate side of the ADC scan, and NOTHING else: the tombstone
+    * mask and the purge rewrite must both be semantically exactly
+    * "those rows stopped existing" — still in the inverted file, still
+    * in the stored codes (until purge), but never in a result. */
+  private[graft] def s16OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + " " +
+      adcScanTailSql(s" AND a.vec_id % $S16DelMod <> $S16DelRem")
 
   private val s05ErrSql =
     "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
@@ -1787,6 +1872,9 @@ object Similarity {
     // the compacted store must equal the search over the fragmented
     // folded store row for row — s13 shares s12's oracle verbatim
     "s13_compacted_ivf_pq" -> s12OracleSql(LloydRounds, S07Rounds),
+    // deletes are soft: full-corpus-trained model (deletes never
+    // retrain), the deleted ids excluded from the scan and nothing else
+    "s16_deleted_ivf_pq" -> s16OracleSql(LloydRounds, S07Rounds),
     "s14_hybrid_rrf" -> s14OracleSql,
     "d12_semdedup_2level" -> d12OracleSql(LloydRounds),
     "d11_semantic_dedup" ->

@@ -282,6 +282,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(frag == comp, "search over compacted store must equal fragmented store")
   }
 
+  test("s16 tombstone delete: mask changes real results, purge equals mask, store rid of ids") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (codesT, ccT, fcT, cbT) = Similarity.s11BuildIndex(spark, sf)
+    val (_, k2) = Similarity.d12Factors(
+      graft.core.Tables(spark, sf, "embeddings").count())
+    val tomb = Similarity.s16Tombstones(spark, sf)
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // counterfactual: the delete set intersects the LIVE top-K — the
+    // mask must provably change results, not skate on a vacuous gate
+    val before = rows(Similarity.s11Search(spark, sf, codesT, ccT, fcT, cbT, k2))
+    assert(before.exists { case (_, _, nid, _) => tombIds(nid) },
+      "delete set must intersect the pre-delete top-K (vacuous gate otherwise)")
+    // masked search: no deleted id survives
+    val masked = rows(Similarity.s11Search(spark, sf, codesT, ccT, fcT, cbT, k2,
+      tomb = Some(tomb)))
+    assert(masked.forall { case (_, _, nid, _) => !tombIds(nid) },
+      "a tombstoned id leaked through the mask")
+    assert(masked != before, "mask must have changed the result set")
+    // purge: the rewrite drops every tombstoned code row, and the
+    // UNMASKED search over the purged store equals the masked one —
+    // purge is semantically invisible given the mask
+    val purgedT = Similarity.s13Compact(spark, codesT, drop = Some(tomb))
+    assert(spark.table(purgedT)
+        .join(tomb, Seq("vec_id"), "left_semi").count() == 0L,
+      "purged store must contain no tombstoned rows")
+    assert(spark.table(purgedT).count() ==
+      spark.table(codesT).count() - tombIds.size * 8L,
+      "purge must drop exactly the tombstoned vectors' M=8 code rows")
+    val purged = rows(Similarity.s11Search(spark, sf, purgedT, ccT, fcT, cbT, k2))
+    assert(purged == masked,
+      "unmasked search over the purged store must equal the masked search")
+  }
+
   test("p08 z-order layout: user-dim skipping wins, ts-sort keeps its own dimension") {
     val rows = Sinks.p08ZorderLayout(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -601,6 +601,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
   }
 
+  test("s16 masked search: tombstones anti-join BEFORE ADC scoring, serving pins intact") {
+    val p = plan(Similarity.s16DeletedIvfPq(spark, sf))
+    // s11's serving pins must survive the mask: probes broadcast into
+    // the bucketed code store, which never exchanges on cell
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"probe set must broadcast against the code store:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
+      s"the code store must never shuffle on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    // the mask's whole point: deleted rows are pruned BEFORE the
+    // distance lookup — the LeftAnti tombstone join must be a
+    // DESCENDANT of the (qid, sub, code)-keyed ADC join (prints below
+    // it), never a post-scoring filter above it
+    val anti = ", LeftAnti".r.findFirstMatchIn(p)
+    val adc = "BroadcastHashJoin \\[qid#\\d+L?, sub#\\d+, code#\\d+".r.findFirstMatchIn(p)
+    assert(anti.isDefined, s"no broadcast anti-join tombstone mask found:\n$p")
+    assert(adc.isDefined, s"no (qid, sub, code)-keyed ADC join found:\n$p")
+    assert(adc.get.start < anti.get.start,
+      s"tombstones must prune candidates before ADC scoring, not after:\n$p")
+  }
+
   test("s07 PQ ADC: every join keyed and broadcast, never cartesian, no global window") {
     val p = plan(Similarity.s07PqAdc(spark, sf))
     // encode joins subvectors to the 128-row codebook on `sub`, the
