@@ -217,6 +217,11 @@ object SparkEntry {
     // p12: CDC MERGE (upsert by key) with copy-on-write partition
     // rewrite — only the buckets the change batch touches are re-landed
     "p12_merge_upsert" -> (Sinks.p12MergeUpsert _),
+    // p13: TIME TRAVEL over a versioned snapshot table — two CDC
+    // commits land as copy-on-write versions routed by a (snap, pk,
+    // dver) manifest; all three snapshots read back concurrently as
+    // plain pruned scans (the Iceberg/Delta snapshot discipline)
+    "p13_time_travel" -> (Sinks.p13TimeTravel _),
     // p05 stratified sample census — engine-invariant hash membership
     "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
     // p06 target-size binning — scalable two-phase prefix sum

@@ -170,6 +170,139 @@ object Sinks {
       .partitionBy("pk").parquet(tmp)
   }
 
+  /** p13's second deterministic CDC batch (rules disjoint-by-modulus
+    * from [[p12Changes]] so snapshot 2 differs from 1 on every op
+    * kind): deletes = doc_id ≡ 4 (mod 9), updates = doc_id ≡ 1 (mod 6)
+    * ('rev3: ' prefix — full-row source images, so an update whose key
+    * batch 1 deleted UPSERTS it back, the CDC convention both engines
+    * replay via the same full-outer merge), inserts at
+    * doc_id + 2·[[P12InsOffset]] for doc_id ≡ 3 (mod 10). Every op is
+    * additionally restricted to the LOW half of the key space
+    * (doc_id % [[P12Buckets]] < 8), so buckets 8-15 are untouched by
+    * construction at EVERY scale factor — snapshot 2 must serve them
+    * from the carried-over dv=1 dirs, keeping the copy-on-write
+    * carry-forward (the whole point of the manifest) non-vacuous in
+    * gate and spec alike. */
+  private[graft] def p13Changes2(d: DataFrame): DataFrame = {
+    val low = d.filter(col("doc_id") % P12Buckets.toLong < 8)
+    val del = low.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text"))
+    val upd = low.filter(col("doc_id") % 6 === 1 && col("doc_id") % 9 =!= 4)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(lit("rev3: "), col("text")).as("text"))
+    val ins = low.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(2L * P12InsOffset)).as("doc_id"),
+        lit("I").as("op"), concat(lit("ins2: "), col("text")).as("text"))
+    del.unionByName(upd).unionByName(ins)
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+  }
+
+  /** Land snapshot 0 of a VERSIONED table: data files under
+    * `d/dv=0/pk=*` plus the manifest's snap-0 rows. The manifest is the
+    * whole MVCC mechanism — (snap, pk, dver) says which commit's
+    * directory holds bucket pk's live file AS OF snapshot snap (the
+    * Iceberg/Delta snapshot-manifest discipline, expressed as a tiny
+    * parquet table instead of avro/json logs). */
+  private[graft] def p13LandBase(spark: SparkSession, d: DataFrame,
+      root: String): Unit = {
+    d.withColumn("ver", lit(0L))
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(s"$root/d/dv=0")
+    spark.read.parquet(s"$root/d/dv=0").select(col("pk")).distinct()
+      .select(lit(0L).as("snap"), col("pk").cast("long").as("pk"),
+        lit(0L).as("dver"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  /** Read snapshot `snap` of the versioned table — TIME TRAVEL: route
+    * through the manifest's ≤[[P12Buckets]] rows (a bounded scalar
+    * routing read, the p12 touched-list pattern) and hand the scan the
+    * EXPLICIT directory list those rows name. No discovery pass over
+    * `d/` ever happens — unselected versions aren't filtered out, they
+    * are never listed (the Iceberg read path: the manifest IS the
+    * scan plan, which is what keeps planning O(selected snapshot) when
+    * hundreds of commits coexist on disk). Old and new versions share
+    * the store and any snapshot reads at full speed with zero
+    * reconstruction (OperatorSpec pins inputFiles == exactly the
+    * manifest's dirs). */
+  private[graft] def p13Read(spark: SparkSession, root: String,
+      snap: Long): DataFrame = {
+    val paths = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === snap).select("dver", "pk")
+      .collect().map(r => s"$root/d/dv=${r.getLong(0)}/pk=${r.getLong(1)}")
+      .toSeq
+    spark.read.option("basePath", s"$root/d").parquet(paths: _*)
+      .select(col("doc_id"), col("text"), col("ver"),
+        col("pk").cast("long").as("pk"))
+  }
+
+  /** COMMIT change batch `v` against snapshot v-1: p12's full-outer
+    * copy-on-write merge, but instead of overwriting in place the
+    * touched buckets land under the NEW commit directory `d/dv=v` and
+    * the manifest's snap-v rows remap exactly those buckets (untouched
+    * buckets carry their old dver forward — their files are never read,
+    * never rewritten). Commit cost is O(touched slice + batch); every
+    * earlier snapshot stays byte-identical on disk, which is what makes
+    * [[p13Read]] time travel instead of reconstruction. */
+  private[graft] def p13Commit(spark: SparkSession, root: String, v: Long,
+      changes: DataFrame): Unit = {
+    // bounded scalar routing read (the p12 pattern): which buckets the
+    // batch touches — never row data
+    val touched = changes.select(col("pk")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val base = p13Read(spark, root, v - 1).filter(col("pk").isin(touched: _*))
+    base.as("b")
+      .join(changes.as("c"), Seq("doc_id", "pk"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c.text"), col("b.text")).as("text"),
+        when(col("c.op").isNotNull, lit(v)).otherwise(col("b.ver")).as("ver"),
+        col("pk"))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(s"$root/d/dv=$v")
+    val prev = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === v - 1).select(col("pk"), col("dver"))
+    val tdf = changes.select(col("pk")).distinct().withColumn("hit", lit(true))
+    prev.join(tdf, Seq("pk"), "full_outer")
+      .select(lit(v).as("snap"), col("pk"),
+        when(col("hit").isNotNull, lit(v)).otherwise(col("dver")).as("dver"))
+      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+  }
+
+  /** p13: TIME TRAVEL over a versioned snapshot table — the lakehouse
+    * capability p12's in-place merge gives up: land v0, commit two CDC
+    * batches ([[p12Changes]], then [[p13Changes2]]) as copy-on-write
+    * versions, then read ALL THREE snapshots back concurrently through
+    * the manifest and return their row-level union. Nothing is
+    * reconstructed or log-replayed at read time: each snapshot is a
+    * plain pruned parquet scan over exactly the files its manifest
+    * names (Iceberg/Delta's core read path). The oracle re-derives
+    * every version from `documents` via the same full-outer merge
+    * rule, so one row wrong in ANY version — a stale bucket served, an
+    * untouched bucket rewritten, a version leaking into another —
+    * breaks the hash.
+    *
+    * 100 TB: commit cost O(touched buckets + batch); time-travel read
+    * cost = one pruned scan of the chosen snapshot (partition-value
+    * filter on (dv, pk)); storage cost = base + per-commit deltas,
+    * exactly Iceberg's; dropping old snapshots = deleting manifest
+    * rows then any dv dir no manifest references (the vacuum op). */
+  def p13TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p13")
+    p13LandBase(spark, d, root)
+    p13Commit(spark, root, 1L, p12Changes(d))
+    p13Commit(spark, root, 2L, p13Changes2(d))
+    (0L to 2L).map { v =>
+      p13Read(spark, root, v).select(lit(v).as("snap"), col("doc_id"),
+        col("ver"), length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _).orderBy("snap", "doc_id")
+  }
+
   private val SaltBuckets = 8
 
   /** Skew-safe equi-join: salt the skewed (big) side into N buckets and
@@ -585,6 +718,31 @@ object Sinks {
     // p12: the MERGE row semantics stated directly — survivors of the
     // delete/update anti-sets, plus updates and inserts at ver 1; the
     // file-level copy-on-write face is pinned by SinksSpec instead
+    // p13: every snapshot re-derived from `documents` through the same
+    // full-outer merge rule the engine runs — one stale bucket served,
+    // one untouched bucket rewritten, one version leaking into another
+    // and the row-level hash breaks
+    "p13_time_travel" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents), " +
+        "v0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS ver FROM d), " +
+        "ch1 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM d WHERE doc_id % 13 = 5 " +
+        "UNION ALL SELECT doc_id, 'U', 'rev2: ' || text FROM d WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5 " +
+        s"UNION ALL SELECT doc_id + $P12InsOffset, 'I', 'ins: ' || text FROM d WHERE doc_id % 11 = 7), " +
+        "v1 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
+        "CASE WHEN c.op IS NOT NULL THEN CAST(1 AS BIGINT) ELSE b.ver END AS ver " +
+        "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
+        s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
+        "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
+        "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
+        s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
+        "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
+        "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
+        "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D') " +
+        "SELECT snap, doc_id, ver, n_chars FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v0 " +
+        "UNION ALL SELECT 1, doc_id, ver, length(text) FROM v1 " +
+        "UNION ALL SELECT 2, doc_id, ver, length(text) FROM v2) " +
+        "ORDER BY snap, doc_id"),
     "p12_merge_upsert" ->
       ("WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 5), " +
         "upd AS (SELECT doc_id, 'rev2: ' || text AS text FROM documents " +

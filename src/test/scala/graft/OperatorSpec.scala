@@ -1187,6 +1187,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("p13 time travel: snapshots immutable, reads route exactly through the manifest") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("p13fix").toString
+    Sinks.p13LandBase(spark, d, root)
+    def files(df: org.apache.spark.sql.DataFrame) = df.inputFiles.toSet
+    val v0Before = files(Sinks.p13Read(spark, root, 0L))
+    Sinks.p13Commit(spark, root, 1L, Sinks.p12Changes(d))
+    Sinks.p13Commit(spark, root, 2L, Sinks.p13Changes2(d))
+    // snapshot 0 reads the IDENTICAL file set after two commits — old
+    // versions are immutable on disk, commits never touch them
+    assert(files(Sinks.p13Read(spark, root, 0L)) == v0Before,
+      "commits must not change which files snapshot 0 reads")
+    assert(v0Before.nonEmpty && v0Before.forall(_.contains("/dv=0/")),
+      "snapshot 0 must be served entirely from the dv=0 commit dir")
+    // the time-travel read opens EXACTLY the manifest's (dver, pk)
+    // dirs — partition pruning proven end to end, not via plan text
+    val mf2 = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === 2L).select("dver", "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dirRe = "/dv=(\\d+)/pk=(\\d+)/".r
+    val dirs2 = files(Sinks.p13Read(spark, root, 2L)).map { f =>
+      val m = dirRe.findFirstMatchIn(f).get
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    assert(dirs2 == mf2,
+      s"snapshot-2 scan must open exactly the manifest's dirs: $dirs2 vs $mf2")
+    assert(dirs2.map(_._1).toSeq.distinct.size >= 2,
+      s"snapshot 2 must mix commit dirs (carried-over + rewritten buckets): $dirs2")
+    // cross-operator pin: snapshot 1 row-equals p12's one-shot merge
+    // (same batch, same merge rule — versioning must be invisible)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val v1 = rows(Sinks.p13Read(spark, root, 1L)
+      .select(col("doc_id"), col("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id"))
+    val oneShot = rows(Sinks.p12MergeUpsert(spark, sf))
+    assert(v1 == oneShot, "snapshot 1 must equal the one-shot p12 merge")
+  }
+
   test("p12 merge rewrites only the touched bucket; untouched partition files survive") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
