@@ -266,6 +266,10 @@ object SparkEntry {
     // d15: the deploy form of d14 — survivor selection over the
     // df-capped d08 pair graph (the chain that actually runs at scale)
     "d15_canonical_capped" -> (Dedup.d15CanonicalCapped _),
+    // d16: edit-distance self-join (Ed-Join) — CHARACTER-level dedup
+    // semantics: all pairs within Levenshtein k, via the lossless
+    // rarest-first q-gram prefix filter + banded threshold verify
+    "d16_edit_join" -> (Dedup.d16EditJoin _),
     // s08: filtered ("hybrid") vector search — top-k within the
     // query's label class; the metadata predicate is a join key, so
     // candidates partition by class instead of scan-then-discard

@@ -1114,6 +1114,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d16 parameters: q-gram width, edit-distance threshold, and the
+    * prefix length kq+1 the filter soundness proof fixes. */
+  private[graft] val D16Q = 4
+  private[graft] val D16K = 4
+  private[graft] val D16PrefixLen = D16K * D16Q + 1 // 17
+
+  /** d16: EDIT-DISTANCE self-join (Ed-Join, Xiao et al. VLDB 2008) —
+    * all document pairs within Levenshtein distance [[D16K]]. The one
+    * dedup semantics the d-family lacked: CHARACTER-level edits.
+    * d03/d04/d08 see token-shingle overlap (a one-char typo in a long
+    * token still shifts one shingle), d05 sees hashed-feature Hamming
+    * distance; neither states "at most k character edits apart", the
+    * contract OCR/typo/near-identical-revision cleanup wants.
+    *
+    * Candidate generation is the PREFIX FILTER on distinct q-grams:
+    * k edits destroy at most k·q of a string's distinct q-grams, so
+    * two strings within distance k must share a gram among their
+    * [[D16PrefixLen]] = k·q+1 smallest grams under ANY global total
+    * order (ours: (corpus df ASC, gram ASC) — rarest first, which
+    * minimizes postings collisions). Proof sketch of the prefix-prefix
+    * claim: wlog s's (kq+1)-th smallest gram ≤ t's; if no element of
+    * prefix(s) were in prefix(t), each of its kq+1 grams is either
+    * absent from G(t) (at most kq such, by the destruction bound) or
+    * present but above t's prefix boundary — impossible, since it is
+    * ≤ s's boundary ≤ t's boundary and a present gram under the
+    * boundary is IN the prefix. So ≥1 gram is shared: the filter is
+    * lossless, and the DuckDB brute-force oracle holds it to that.
+    *
+    * Pipeline: distinct grams → one df agg (the global order) → per-doc
+    * top-(kq+1) window (keyed by doc, never global) → posting-list
+    * self-join on gram → distinct pairs → length filter |Δlen| ≤ k
+    * (implied by the answer, applied early because it is free) →
+    * banded Levenshtein verify via the THRESHOLD form (O(k·n) per
+    * pair, not O(n²) — exceeding pairs return -1 and drop).
+    *
+    * 100 TB: everything is keyed aggs/joins; the self-join's per-gram
+    * blowup is bounded by how many docs elect the same gram into their
+    * rarest-17 — the df-ascending order is the pressure valve (a gram
+    * popular enough to be hot is by definition elected late or never).
+    * On a corpus where boilerplate defeats that (every doc nearly
+    * identical), the d08 df-cap discipline applies verbatim to the
+    * posting join. Docs shorter than q contribute no grams and are
+    * assumed non-matching (min corpus doc length ≫ q at every SF). */
+  def d16EditJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = d.filter(col("len") >= D16Q)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("len") - lit(D16Q - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("text").substr(col("pos"), lit(D16Q)).as("gram"))
+      .distinct()
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+    val prefix = grams.join(gdf, Seq("gram"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= D16PrefixLen)
+      .select(col("doc_id"), col("gram"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ta = d.select(col("doc_id").as("doc_a"), col("text").as("tx_a"),
+      col("len").as("len_a"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("text").as("tx_b"),
+      col("len").as("len_b"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= D16K)
+      .withColumn("ed", levenshtein(col("tx_a"), col("tx_b"), D16K))
+      .filter(col("ed") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("ed"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val CCMaxIters = 25
 
   /** Distributed min-label connected components over an undirected pair
@@ -1282,6 +1356,16 @@ object Dedup {
       "WHERE i / (ca.n + cb.n - i) >= 0.6 ORDER BY delta_id, corpus_id"
 
   val oracles: Map[String, String] = Map(
+    // brute force with the (answer-implied, free) length prefilter —
+    // the prefix filter must be LOSSLESS or the hash breaks
+    "d16_edit_join" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        s"AND abs(length(a.text) - length(b.text)) <= $D16K " +
+        s"WHERE levenshtein(a.text, b.text) <= $D16K " +
+        "ORDER BY doc_a, doc_b"),
     "d13_incremental_dedup" -> d13Sql,
     "d10_decontamination" -> decontamSql,
     "d01_exact_dedup" ->

@@ -1187,6 +1187,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("d16 edit join: prefix filter is lossless vs brute force, canary pair at the boundary") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val got = Dedup.d16EditJoin(spark, sf).collect().map(key).toSeq
+    assert(got.nonEmpty, "the planted near-dup corpus must yield edit-join pairs")
+    // brute force (threshold-banded) over every pair — the prefix
+    // filter must be LOSSLESS: one true pair pruned and this differs
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val brute = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text"), 4).cast("long").as("ed"))
+      .filter(col("ed") >= 0)
+      .orderBy("doc_a", "doc_b").collect().map(key).toSeq
+    assert(got == brute, s"prefix-filtered join diverged from brute force " +
+      s"(${got.size} vs ${brute.size} pairs)")
+    // boundary canary through a constructed fixture: ed exactly k kept,
+    // ed exactly k+1 dropped
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (0L, base), (1L, base + "xxxx"), // ed 4 = k -> kept
+      (2L, "completely different content with no overlap whatsoever!!"),
+      (3L, base.replace("quick", "quickest") + "xx")) // ed 5 vs doc 0, ed 5 vs doc 1 -> dropped
+    val fixture = java.nio.file.Files.createTempDirectory("d16fix").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val canary = Dedup.d16EditJoin(spark, fixture).collect().map(key).toSeq
+    assert(canary == Seq((0L, 1L, 4L)),
+      s"boundary semantics broken (k kept, k+1 dropped): $canary")
+  }
+
   test("p13 time travel: snapshots immutable, reads route exactly through the manifest") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -601,6 +601,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
   }
 
+  test("d16 edit join: keyed joins only, per-doc window, no product anywhere") {
+    val p = plan(operators.Dedup.d16EditJoin(spark, sf))
+    // candidate gen is a posting-list equi-join on gram; the verify
+    // stage joins candidates back to texts by id — scoring every pair
+    // against every pair would be the quadratic shape Ed-Join kills
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"edit join degraded to a product:\n$p")
+    // the prefix window is keyed by doc_id, never a global sort of the
+    // gram table
+    assert("Window.*doc_id".r.findFirstIn(p).isDefined ||
+      "WindowGroupLimit".r.findFirstIn(p).isDefined ||
+      "RunningWindowFunction".r.findFirstIn(p).isDefined ||
+      p.contains("windowspecdefinition(doc_id"),
+      s"prefix selection must be a doc_id-keyed window:\n$p")
+  }
+
   test("s16 masked search: tombstones anti-join BEFORE ADC scoring, serving pins intact") {
     val p = plan(Similarity.s16DeletedIvfPq(spark, sf))
     // s11's serving pins must survive the mask: probes broadcast into
