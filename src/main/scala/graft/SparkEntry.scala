@@ -326,6 +326,10 @@ object SparkEntry {
     // and scores the delta (the CCNet filter run against a REFERENCE
     // corpus; exercises the OOV paths t14's self-scoring never hits)
     "t20_cross_ppl" -> (TextOps.t20CrossPpl _),
+    // t21: exact-substring span excision (Lee et al. 2022) — dup
+    // L-gram census + per-doc interval union names the exact spans to
+    // cut, the position-level tier below whole-doc dedup
+    "t21_span_excision" -> (TextOps.t21SpanExcision _),
     // q34: explicit GROUPING SETS — caller-named grains next to q08
     // rollup / q16 cube; sentinel-coalesced slots, one Expand pass
     "q34_grouping_sets" -> (Relational.q34 _),

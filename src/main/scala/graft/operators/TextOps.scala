@@ -1100,6 +1100,71 @@ object TextOps {
     t18bServe(spark, tfT, dlT, dfT, stT)
   }
 
+  // ---- t21: exact-substring span excision (Lee et al. 2022) ---------
+
+  /** t21's span width: any run of [[T21L]] consecutive tokens occurring
+    * ≥2 times ANYWHERE in the corpus (other docs or the same one) is a
+    * duplicated span. 5 keeps chance collisions negligible on the gate
+    * vocabulary while planted near-dup docs light up end to end. */
+  private[graft] val T21L = 5
+
+  /** t21: EXACT-SUBSTRING span excision — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operator (arXiv:2107.06499), the position-level tier the dedup
+    * family lacked: d01-d16 decide whole documents; t12 reports dup
+    * COVERAGE per doc; this one locates the exact spans to cut. Their
+    * suffix-array pass is a single-machine algorithm; the Spark-native
+    * equivalent for fixed width L is: every L-token shingle WITH ITS
+    * START POSITION, one corpus-wide occurrence census (dup ⇔ count
+    * ≥ 2 — same-doc repeats count, matching the paper), dup shingle
+    * starts joined back, and per-doc INTERVAL UNION of the covered
+    * [i, i+L-1] ranges via one keyed running-max window (pmax = max
+    * end over preceding starts: a row opens a new span iff st > pmax
+    * and contributes en − max(pmax, st−1) covered tokens — exact merge
+    * arithmetic on integers, no double anywhere).
+    *
+    * Output per doc: (n_tokens, n_covered, n_spans, n_kept) — the
+    * excision plan (n_kept is what survives the cut; the cleaned text
+    * itself is a trivial filter of token positions against the same
+    * merged spans). Zero-dup docs ride the left join with 0s so the
+    * gate sees the whole corpus.
+    *
+    * 100 TB: shingling is map-only; the census is ONE hash-shuffle agg
+    * (the t12 shape, shuffle_hash pinned on the aggregated side); the
+    * window is keyed by doc_id, never global. The paper's corpus-wide
+    * suffix array never materializes — fixed-L shingles are exactly
+    * how the pass distributes. */
+  def t21SpanExcision(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val sh = toks.filter(size(col("w")) >= T21L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - lit(T21L - 1))).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(T21L))).as("s"))
+    val census = sh.groupBy("s").agg(count(lit(1)).as("c"))
+    val dup = sh.join(census.hint("shuffle_hash"), Seq("s"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + lit(T21L - 1)).as("en"))
+    val w = Window.partitionBy("doc_id").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merged = dup.withColumn("pmax", coalesce(max(col("en")).over(w), lit(0)))
+    val spans = merged.groupBy("doc_id").agg(
+      sum(greatest(lit(0), col("en") - greatest(col("pmax"), col("st") - 1)))
+        .cast("long").as("n_covered"),
+      sum(when(col("st") > col("pmax"), 1L).otherwise(0L))
+        .cast("long").as("n_spans"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - coalesce(col("n_covered"), lit(0L))).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   // ---- t20: cross-perplexity filter --------------------------------
 
   /** t20: CROSS-perplexity — the CCNet LM filter run the way
@@ -1240,6 +1305,23 @@ object TextOps {
       "FROM r LEFT JOIN k USING (source) ORDER BY source"
 
   val oracles: Map[String, String] = Map(
+    // the same shingle census + interval-union window arithmetic,
+    // token for token — a span found by one engine and not the other
+    // (or merged differently at an overlap) breaks the hash
+    "t21_span_excision" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+        s"sh0 AS (SELECT doc_id, unnest(range(1, len(w) - ${T21L - 2})) AS i, w FROM toks WHERE len(w) >= $T21L), " +
+        s"sh AS (SELECT doc_id, i, array_to_string(w[i:i+${T21L - 1}], ' ') AS s FROM sh0), " +
+        "census AS (SELECT s, count(*) AS c FROM sh GROUP BY s), " +
+        s"dup AS (SELECT doc_id, i AS st, i + ${T21L - 1} AS en FROM sh JOIN census USING (s) WHERE c >= 2), " +
+        "merged AS (SELECT doc_id, st, en, coalesce(max(en) OVER (" +
+        "PARTITION BY doc_id ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmax FROM dup), " +
+        "spans AS (SELECT doc_id, CAST(sum(greatest(0, en - greatest(pmax, st - 1))) AS BIGINT) AS n_covered, " +
+        "CAST(sum(CASE WHEN st > pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_spans FROM merged GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, " +
+        "coalesce(n_covered, 0) AS n_covered, coalesce(n_spans, 0) AS n_spans, " +
+        "CAST(len(t.w) AS BIGINT) - coalesce(n_covered, 0) AS n_kept " +
+        "FROM toks t LEFT JOIN spans USING (doc_id) ORDER BY doc_id"),
     "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
     "t18_bm25" -> t18OracleSql,
     // persistence must be semantically invisible: t18b shares t18's

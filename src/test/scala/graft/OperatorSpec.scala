@@ -1187,6 +1187,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("t21 span excision: overlap merge, same-doc repeats, exact interval arithmetic") {
+    import org.apache.spark.sql.functions._
+    // constructed corpus with known span structure:
+    //  A/B share a 7-token run (three overlapping dup 5-grams -> ONE
+    //  merged span of 7), C is untouched, D repeats its own 5-gram
+    //  (same-doc occurrences count, per the paper) -> two spans
+    val rows = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "z z a b c d e f g y"),
+      (2L, "u1 u2 u3 u4 u5 u6"),
+      (3L, "p q r s t x p q r s t"))
+    val fixture = java.nio.file.Files.createTempDirectory("t21fix").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val got = TextOps.t21SpanExcision(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 10L, 7L, 1L, 3L),
+      (1L, 10L, 7L, 1L, 3L),
+      (2L, 6L, 0L, 0L, 6L),
+      (3L, 11L, 10L, 2L, 1L)), s"span arithmetic broken: $got")
+    // non-vacuity on the real corpus: the planted near-dups must light
+    // up as (almost) fully covered docs
+    val real = TextOps.t21SpanExcision(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("n_covered") === col("n_tokens")).count() > 0,
+      "planted near-dup docs must be fully covered at sf0.001")
+    assert(real.filter(col("n_covered") === 0L).count() > 0,
+      "most unique docs must remain untouched")
+  }
+
   test("d16 edit join: prefix filter is lossless vs brute force, canary pair at the boundary") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
