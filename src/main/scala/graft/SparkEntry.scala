@@ -222,6 +222,10 @@ object SparkEntry {
     // dver) manifest; all three snapshots read back concurrently as
     // plain pruned scans (the Iceberg/Delta snapshot discipline)
     "p13_time_travel" -> (Sinks.p13TimeTravel _),
+    // p14: vacuum — expire snapshot 0 in manifest space, delete only
+    // the dirs no surviving manifest row references (cross-snapshot
+    // file sharing respected), survivors re-read and re-oracled
+    "p14_vacuum" -> (Sinks.p14VacuumedSnapshots _),
     // p05 stratified sample census — engine-invariant hash membership
     "p05_stratified_sample" -> (Sinks.p05StratifiedSample _),
     // p06 target-size binning — scalable two-phase prefix sum

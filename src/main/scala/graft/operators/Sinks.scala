@@ -273,6 +273,98 @@ object Sinks {
       .coalesce(1).write.mode("append").parquet(s"$root/manifest")
   }
 
+  /** The p13/p14 oracle: v0/v1/v2 re-derived from `documents` through
+    * the same full-outer merge rule the engine runs, with the snapshot
+    * union restricted to `snaps` (p13 reads all three; p14 reads what
+    * survives the vacuum). */
+  private[graft] def p13OracleSql(snaps: Range): String = {
+    val union = snaps.map(v =>
+      s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v$v")
+      .mkString(" UNION ALL ")
+    "WITH d AS (SELECT doc_id, text FROM documents), " +
+      "v0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS ver FROM d), " +
+      "ch1 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM d WHERE doc_id % 13 = 5 " +
+      "UNION ALL SELECT doc_id, 'U', 'rev2: ' || text FROM d WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5 " +
+      s"UNION ALL SELECT doc_id + $P12InsOffset, 'I', 'ins: ' || text FROM d WHERE doc_id % 11 = 7), " +
+      "v1 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
+      "CASE WHEN c.op IS NOT NULL THEN CAST(1 AS BIGINT) ELSE b.ver END AS ver " +
+      "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
+      s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
+      "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
+      "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
+      s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
+      "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
+      "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
+      "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D') " +
+      s"SELECT snap, doc_id, ver, n_chars FROM ($union) ORDER BY snap, doc_id"
+  }
+
+  /** p14: VACUUM — drop snapshots below `retainFrom`, then delete
+    * every commit-bucket directory NO surviving manifest row
+    * references. The two-step order is the safety property: retention
+    * is decided purely in manifest space (a tiny metadata table), and
+    * a data dir dies only when the manifest proves nothing can route
+    * to it — carried-over buckets that an OLD commit wrote but a LIVE
+    * snapshot still reads stay untouched (the spec pins that case).
+    * At deploy this is Iceberg's expire-snapshots + orphan-file
+    * cleanup running as a metadata transaction; here the manifest
+    * rewrite is the gate-scoped stand-in for that commit. */
+  private[graft] def p14Vacuum(spark: SparkSession, root: String,
+      retainFrom: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val kept = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") >= retainFrom)
+      .select("snap", "pk", "dver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val live = kept.map { case (_, pk, dver) => s"dv=$dver/pk=$pk" }.toSet
+    val dRoot = java.nio.file.Paths.get(root, "d")
+    java.nio.file.Files.list(dRoot).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("dv="))
+      .flatMap(dv => java.nio.file.Files.list(dv).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("pk=")))
+      .filter(p => !live.contains(
+        s"${p.getParent.getFileName}/${p.getFileName}"))
+      .foreach { dir =>
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    // a dv dir whose last bucket died holds only write markers
+    // (_SUCCESS) — drop the whole dir
+    java.nio.file.Files.list(dRoot).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("dv=") &&
+        !java.nio.file.Files.list(p).iterator().asScala
+          .exists(_.getFileName.toString.startsWith("pk=")))
+      .foreach { dir =>
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    import spark.implicits._
+    kept.toSeq.toDF("snap", "pk", "dver")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  /** p14: the vacuum gate — p13's land + two commits, vacuum away
+    * snapshot 0, then read BOTH survivors through the rewritten
+    * manifest. Snapshot 2 still serves its carried-over buckets from
+    * the dv=1 dirs (the vacuum must recognize cross-snapshot file
+    * sharing), and the oracle holds both snapshots to the same
+    * row-level state as before the vacuum — retention must be
+    * semantically invisible to every surviving snapshot. */
+  def p14VacuumedSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p14")
+    p13LandBase(spark, d, root)
+    p13Commit(spark, root, 1L, p12Changes(d))
+    p13Commit(spark, root, 2L, p13Changes2(d))
+    p14Vacuum(spark, root, 1L)
+    (1L to 2L).map { v =>
+      p13Read(spark, root, v).select(lit(v).as("snap"), col("doc_id"),
+        col("ver"), length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _).orderBy("snap", "doc_id")
+  }
+
   /** p13: TIME TRAVEL over a versioned snapshot table — the lakehouse
     * capability p12's in-place merge gives up: land v0, commit two CDC
     * batches ([[p12Changes]], then [[p13Changes2]]) as copy-on-write
@@ -722,27 +814,12 @@ object Sinks {
     // full-outer merge rule the engine runs — one stale bucket served,
     // one untouched bucket rewritten, one version leaking into another
     // and the row-level hash breaks
-    "p13_time_travel" ->
-      ("WITH d AS (SELECT doc_id, text FROM documents), " +
-        "v0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS ver FROM d), " +
-        "ch1 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM d WHERE doc_id % 13 = 5 " +
-        "UNION ALL SELECT doc_id, 'U', 'rev2: ' || text FROM d WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5 " +
-        s"UNION ALL SELECT doc_id + $P12InsOffset, 'I', 'ins: ' || text FROM d WHERE doc_id % 11 = 7), " +
-        "v1 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
-        "CASE WHEN c.op IS NOT NULL THEN CAST(1 AS BIGINT) ELSE b.ver END AS ver " +
-        "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
-        s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
-        "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
-        "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
-        s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
-        "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
-        "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
-        "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D') " +
-        "SELECT snap, doc_id, ver, n_chars FROM (" +
-        "SELECT CAST(0 AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v0 " +
-        "UNION ALL SELECT 1, doc_id, ver, length(text) FROM v1 " +
-        "UNION ALL SELECT 2, doc_id, ver, length(text) FROM v2) " +
-        "ORDER BY snap, doc_id"),
+    "p13_time_travel" -> p13OracleSql(0 to 2),
+    // p14: vacuum is retention-only — surviving snapshots must read
+    // back exactly as p13 states them (same CTEs, snaps 1-2 only);
+    // one file deleted that a live manifest still references and the
+    // engine side throws instead of hashing
+    "p14_vacuum" -> p13OracleSql(1 to 2),
     "p12_merge_upsert" ->
       ("WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 5), " +
         "upd AS (SELECT doc_id, 'rev2: ' || text AS text FROM documents " +

@@ -1296,6 +1296,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(v1 == oneShot, "snapshot 1 must equal the one-shot p12 merge")
   }
 
+  test("p14 vacuum: expired dirs die, shared dirs survive, live snapshots unchanged") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("p14fix").toString
+    Sinks.p13LandBase(spark, d, root)
+    Sinks.p13Commit(spark, root, 1L, Sinks.p12Changes(d))
+    Sinks.p13Commit(spark, root, 2L, Sinks.p13Changes2(d))
+    def rows(v: Long) = Sinks.p13Read(spark, root, v)
+      .select(col("doc_id"), col("ver"), col("pk")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (v1Before, v2Before) = (rows(1L), rows(2L))
+    def dvDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "d")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dvDirs == Set("dv=0", "dv=1", "dv=2"))
+    Sinks.p14Vacuum(spark, root, 1L)
+    // batch 1 touched every bucket, so snapshot 0's dirs are entirely
+    // unreferenced once snap 0 expires — dv=0 must be GONE; dv=1 is
+    // still shared into snapshot 2 (carried-over buckets) and survives
+    assert(dvDirs == Set("dv=1", "dv=2"),
+      s"vacuum must delete exactly the unreferenced commit dirs: $dvDirs")
+    assert(spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === 0L).count() == 0L,
+      "expired snapshot must leave the manifest")
+    // surviving snapshots read back IDENTICALLY through the rewritten
+    // manifest — retention is semantically invisible to them
+    assert(rows(1L) == v1Before, "vacuum changed snapshot 1")
+    assert(rows(2L) == v2Before, "vacuum changed snapshot 2")
+  }
+
   test("p12 merge rewrites only the touched bucket; untouched partition files survive") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
