@@ -309,6 +309,10 @@ object SparkEntry {
     // merged per round via identical literal-replace semantics in both
     // engines; output = the merge table + the compression curve
     "t06b_bpe_merges" -> (TextOps.t06bBpeMerges _),
+    // t06c: ENCODE through the learned merge table — the apply half of
+    // t06b (train → apply): per-doc piece census via one broadcast
+    // join of the exploded corpus against the vocabulary-sized model
+    "t06c_bpe_encode" -> (TextOps.t06cBpeEncode _),
     // t17: LEARNED quality classifier — logistic regression trained as
     // DataFrame aggs (integer micro-unit GD rounds on the teacher-
     // labeled sample), applied map-side corpus-wide; the FineWeb-Edu

@@ -805,10 +805,22 @@ object TextOps {
   private[graft] def t06bAt(spark: SparkSession, dir: String,
       merges: Int): DataFrame = {
     import spark.implicits._
+    val (rows, vocab) = t06bTrain(spark, dir, merges)
+    vocab.unpersist()
+    rows.toDF("round", "pair", "pair_n", "corpus_pieces").orderBy("round")
+  }
+
+  /** The t06b training loop proper, returning both the per-round model
+    * rows and the final (w, n, seq) VOCABULARY (cached — the caller
+    * unpersists): t06b reads the rows, t06c encodes through the vocab.
+    * The word column rides along untouched so the trained segmentation
+    * stays addressable by word. */
+  private[graft] def t06bTrain(spark: SparkSession, dir: String,
+      merges: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
     val w0 = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    var seqDf = w0.select(col("n"),
+    var seqDf = w0.select(col("w"), col("n"),
       concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
         lit(" ")).as("seq")).cache()
     val pairsOf = expr(
@@ -826,7 +838,7 @@ object TextOps {
         .groupBy("pair").agg(sum(col("n")).as("pn"))
         .orderBy(col("pn").desc, col("pair").asc).limit(1).head()
       val (pair, pn) = (best.getString(0), best.getLong(1))
-      val next = seqDf.select(col("n"),
+      val next = seqDf.select(col("w"), col("n"),
         replace(col("seq"), lit(" " + pair.replace(" ", "  ") + " "),
           lit(" " + pair.replace(" ", "") + " ")).as("seq"))
         .cache()
@@ -837,36 +849,86 @@ object TextOps {
       seqDf = next
       (r.toLong, pair, pn, pieces)
     }
-    seqDf.unpersist()
-    rows.toDF("round", "pair", "pair_n", "corpus_pieces").orderBy("round")
+    (rows, seqDf)
+  }
+
+  /** t06c: ENCODE the corpus through the LEARNED merge table — the
+    * apply half t06b's trainer was missing (train → apply, the t17/s11
+    * lifecycle symmetry): run the [[T06bMerges]] merge rounds, then
+    * tokenize every document and look each word up in the trained
+    * word→pieces vocabulary. Because BPE segmentation is a pure
+    * function of the word (canonical left-to-right application — the
+    * trainer's own replace chain), encoding distributes as ONE keyed
+    * join of the exploded corpus against the vocabulary — which is
+    * vocabulary-sized, i.e. broadcast-sized at any corpus scale: the
+    * encode pass is map-side, zero corpus shuffle beyond the per-doc
+    * census agg. Output per doc: token count, encoded piece count, and
+    * the compression in integer basis points (pieces shrink toward
+    * n_tokens as merges stack). The oracle replays training AND encode
+    * in one WITH chain, so a single mis-segmented word breaks the
+    * hash. */
+  def t06cBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = t06bTrain(spark, dir, T06bMerges)
+    val np = vocab.select(col("w"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("np"))
+    val out = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(np), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        expr("n_pieces * 10000 div n_tokens").as("pieces_per_token_bp"))
+      .orderBy("doc_id")
+    val materialized = out.cache()
+    materialized.count()
+    vocab.unpersist()
+    materialized
   }
 
   /** The t06b trainer in DuckDB — per-round CTEs GENERATED in lockstep
     * with [[T06bMerges]] (the s04/t17 rule), all MATERIALIZED (each
     * round references the previous sequence table twice — uninlined
     * the chain re-evaluates exponentially, the t17 lesson). */
-  private[graft] def t06bOracleSql(merges: Int): String = {
+  /** The t06b training chain as a WITH prefix (trailing ", ") — shared
+    * by the trainer oracle (reads b/z per round) and the encode oracle
+    * (reads the final s$merges vocabulary). Each s CTE carries the
+    * word so the trained segmentation stays addressable. */
+  private[graft] def t06bCtesSql(merges: Int): String = {
     val roundsSql = (1 to merges).map { r =>
       s"pc$r AS MATERIALIZED (SELECT p AS pair, CAST(sum(n) AS BIGINT) AS pn FROM (" +
         "SELECT n, unnest(list_transform(range(1, len(string_split(trim(seq), '  '))), " +
         "i -> string_split(trim(seq), '  ')[i] || ' ' || string_split(trim(seq), '  ')[i + 1])) AS p " +
         s"FROM s${r - 1}) GROUP BY p), " +
         s"b$r AS MATERIALIZED (SELECT pair, pn FROM pc$r ORDER BY pn DESC, pair LIMIT 1), " +
-        s"s$r AS MATERIALIZED (SELECT n, replace(seq, " +
+        s"s$r AS MATERIALIZED (SELECT w, n, replace(seq, " +
         s"' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ', " +
         s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM s${r - 1}), " +
         s"z$r AS MATERIALIZED (SELECT CAST(sum(n * len(string_split(trim(seq), '  '))) AS BIGINT) AS pieces FROM s$r), "
     }.mkString
+    "WITH w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM (" +
+      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents) GROUP BY w), " +
+      "s0 AS MATERIALIZED (SELECT w, n, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS seq FROM w0), " +
+      roundsSql
+  }
+
+  private[graft] def t06bOracleSql(merges: Int): String = {
     val rows = (1 to merges).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM b$r) AS pair, " +
         s"(SELECT pn FROM b$r) AS pair_n, (SELECT pieces FROM z$r) AS corpus_pieces"
     }.mkString(" UNION ALL ")
-    "WITH w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM (" +
-      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents) GROUP BY w), " +
-      "s0 AS MATERIALIZED (SELECT n, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS seq FROM w0), " +
-      roundsSql.stripSuffix(", ") + " " +
-      rows + " ORDER BY round"
+    t06bCtesSql(merges).stripSuffix(", ") + " " + rows + " ORDER BY round"
   }
+
+  /** t06c oracle: training replayed via [[t06bCtesSql]], then the
+    * encode join against the FINAL vocabulary — the same lookup the
+    * engine broadcasts. */
+  private[graft] def t06cOracleSql(merges: Int): String =
+    t06bCtesSql(merges) +
+      "enc AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents), " +
+      s"vp AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS np FROM s$merges) " +
+      "SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces, " +
+      "CAST(sum(np) * 10000 // count(*) AS BIGINT) AS pieces_per_token_bp " +
+      "FROM enc JOIN vp USING (w) GROUP BY doc_id ORDER BY doc_id"
 
   /** The t17 train+apply pipeline in DuckDB — GD-round CTEs GENERATED
     * per round (the s04 rule: changing [[T17Rounds]] cannot
@@ -1323,6 +1385,7 @@ object TextOps {
         "CAST(len(t.w) AS BIGINT) - coalesce(n_covered, 0) AS n_kept " +
         "FROM toks t LEFT JOIN spans USING (doc_id) ORDER BY doc_id"),
     "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
+    "t06c_bpe_encode" -> t06cOracleSql(T06bMerges),
     "t18_bm25" -> t18OracleSql,
     // persistence must be semantically invisible: t18b shares t18's
     // oracle verbatim (deterministic indexing ⇒ stored == fresh)

@@ -1187,6 +1187,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("t06c encode: per-doc pieces sum exactly to the trainer's final corpus census") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val enc = TextOps.t06cBpeEncode(spark, sf)
+    // conservation: the encode pass distributes the SAME segmentation
+    // the trainer's last round counted — frequency-weighted totals
+    // must agree to the piece
+    val total = enc.agg(sum(col("n_pieces"))).head().getLong(0)
+    val lastRound = TextOps.t06bBpeMerges(spark, sf)
+      .orderBy(col("round").desc).head()
+    assert(total == lastRound.getLong(3),
+      s"encoded pieces $total != trainer census ${lastRound.getLong(3)}")
+    // merges only ever shorten: token count <= pieces (a word is >= 1
+    // piece), and every doc must compress below 1 piece/char
+    assert(enc.filter(col("n_pieces") < col("n_tokens")).count() == 0,
+      "a word encoded below one piece")
+  }
+
   test("t21 span excision: overlap merge, same-doc repeats, exact interval arithmetic") {
     import org.apache.spark.sql.functions._
     // constructed corpus with known span structure:
