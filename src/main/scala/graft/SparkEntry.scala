@@ -209,6 +209,10 @@ object SparkEntry {
     // Codec lifecycle census (SURVEY §2.1 #3-13 as driver-gate queries)
     "c06_roundtrip" -> (CodecLifecycle.c06RoundTrip _),
     "c07_flush_load" -> (CodecLifecycle.c07FlushLoad _),
+    // c13: CSV source/sink roundtrip — RFC-4180 quoting stressed by
+    // the JSON props column (commas/quotes/braces inside one field);
+    // FAILFAST read, census vs the original parquet
+    "c13_csv_roundtrip" -> (CodecLifecycle.c13CsvRoundTrip _),
     // Partitioned sink + skew-safe join (100 TB storage/shuffle posture)
     "p01_partitioned_sink" -> (Sinks.p01PartitionedSink _),
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),

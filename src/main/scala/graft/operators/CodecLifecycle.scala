@@ -54,7 +54,49 @@ object CodecLifecycle {
     censuses.reduce(_ union _).orderBy("codec")
   }
 
+  /** c13: CSV source/sink ROUNDTRIP — the interchange format the
+    * reference's NDJSON/parquet surface doesn't cover, stressed where
+    * CSV actually breaks: the `props` column is a JSON string full of
+    * commas, quotes and braces, so the write must RFC-4180-quote
+    * (quote '"', escape by doubling) and the read must undo it
+    * byte-exactly — one mis-escaped quote and `get_json_object`
+    * nulls out and the census hash diverges from the oracle (which
+    * reads the ORIGINAL parquet: the roundtrip must be invisible).
+    * The read runs FAILFAST so a malformed row is an error, never a
+    * silent null. 100 TB: plain (uncompressed) CSV stays SPLITTABLE —
+    * each file chunks across tasks like parquet row-groups do; gzip
+    * CSV would serialize each file onto one core, which is why the
+    * sink doesn't write it. CSV remains the interchange tier; parquet
+    * is the analytics tier (no stats, no pruning, no column skip
+    * here). Precondition: no embedded NEWLINES in field values (the
+    * corpus has none) — supporting them needs multiLine=true, which
+    * parses whole files single-threaded and gives up splittability;
+    * CodecSpec pins the quote/comma/brace cases this mode does own. */
+  def c13CsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("props"))
+    val tmp = graft.core.IO.scratchDir("graft-c13")
+    ev.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(tmp)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, props STRING")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("mode", "FAILFAST")
+      .csv(tmp)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        countDistinct(get_json_object(col("props"), "$.k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "c13_csv_roundtrip" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "c06_roundtrip" ->
       ("SELECT codec, count(*) AS n_docs, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

@@ -38,6 +38,32 @@ class CodecSpec extends AnyFunSuite {
     """{"b":[5.5,6.5],"a":7.0,"c":{"d":null}}""",
     """{"c":{"d":true},"a":-8.25,"b":[]}""")
 
+  test("c13 CSV options round-trip quotes, commas and braces byte-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the exact write/read option pairs c13 uses, stressed harder
+    // than the corpus: doubled quotes, separators and JSON braces
+    // inside one field (embedded newlines are the DOCUMENTED
+    // exclusion — multiLine parsing would cost splittability)
+    val evil = Seq(
+      (1L, """{"k": 1, "s": "a,b"}"""),
+      (2L, """she said ""hi"", twice"""),
+      (3L, """,,}{"nested": [1,2,{"x": "y"}]}"""),
+      (4L, ""))
+    val tmp = java.nio.file.Files.createTempDirectory("c13csv").toString + "/out"
+    evil.toDF("id", "props").write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(tmp)
+    val back = spark.read
+      .schema("id BIGINT, props STRING")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("mode", "FAILFAST")
+      .csv(tmp)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).toSeq
+    assert(back == evil, s"CSV quoting corrupted a field: $back")
+  }
+
   test("plain_json round-trips byte-exact") {
     val raw = flatDocs.toDF("doc")
     val out = PlainJsonCodec.decode(PlainJsonCodec.encode(raw)).as[String].collect()
