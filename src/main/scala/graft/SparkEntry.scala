@@ -176,6 +176,10 @@ object SparkEntry {
     // top-R, only those R rows read full vectors and re-rank by exact
     // cosine (recovers the recall PQ's 4-bit resolution loses)
     "s10_ivf_pq_rerank" -> (Similarity.s10IvfPqRerank _),
+    // s17: SQ8 rerank — the middle refine tier: the same ADC nominees
+    // re-ranked from int8 scalar-quantized vectors (8x less refine
+    // I/O); integer-exact scoring up to one IEEE division
+    "s17_sq8_rerank" -> (Similarity.s17Sq8Rerank _),
     // s12: incremental fold-in for the persisted IVF-PQ index — the
     // index builds over the base slice, the delta folds in through the
     // FROZEN centroids/codebooks (the FAISS add() contract), and the

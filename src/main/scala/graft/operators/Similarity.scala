@@ -1266,6 +1266,91 @@ object Similarity {
       "FROM nom m JOIN e q ON q.vec_id = m.qid JOIN e v ON v.vec_id = m.nid) " +
       "WHERE rn <= 5 ORDER BY query_id, rnk"
 
+  /** Per-vector INT8 scalar quantization (s05's exact scheme: scale =
+    * max |component| clamped at 1e-30, code = floor(v·127/scale + 0.5))
+    * plus the squared code norm — the SQ8 rerank store: 64 codes + a
+    * norm ≈ 65 B/vector vs 512 B of doubles. Cosine is
+    * SCALE-INVARIANT, so the per-vector scales cancel and the rerank
+    * needs only integer dot products: cos(qa, qb) = ip/√(na·nb) with
+    * ip, na, nb exact BIGINTs (≤ 127²·64 ≈ 2²⁰ per vector — products
+    * stay far under 2⁵³, so the one double division and square root
+    * are IEEE-exact-input operations both engines round identically). */
+  private def sq8Codes(all: DataFrame): DataFrame =
+    all.select(col("vec_id"),
+      expr("transform(e, v -> CAST(floor(v * 127 / " +
+        "greatest(array_max(transform(e, x -> abs(x))), 1e-30) + 0.5) AS LONG))")
+        .as("q"))
+      .withColumn("n2",
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
+  /** s17: SQ8 RERANK — the middle refine tier between s09's 4-bit PQ
+    * candidates and s10's full-vector re-rank (the FAISS
+    * IndexIVFPQ + SQ8-refine composition): ADC nominates the same
+    * top-[[S10Rerank]] pool, but the re-rank reads INT8 scalar-
+    * quantized vectors instead of raw doubles — 8× less refine I/O
+    * (65 B vs 512 B per candidate) for nearly s10's recall, which is
+    * why serving stacks keep an SQ8 shadow store next to the PQ codes
+    * and touch fp32 only when a final exactness pass demands it.
+    * Scoring is integer-exact up to one IEEE division (see
+    * [[sq8Codes]]), so the DuckDB oracle replays the whole chain —
+    * training, probe, ADC nomination, quantization, integer dot
+    * products — row for row with no float-accumulation hazard at all
+    * (stronger determinism than s10's double cosine sums). The
+    * OperatorSpec pins the recall relationship: SQ8 re-rank ≥ the raw
+    * ADC ordering it refines, within one step of s10's exact tier. */
+  def s17Sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val scored = s09ScoredAt(spark, dir, S06FineProbes)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    val nominated = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= S10Rerank)
+      .select(col("qid"), col("vec_id"))
+    val qc = sq8Codes(emb(spark, dir))
+    val queries = qc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("na"))
+    val ip = expr("aggregate(zip_with(qa, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    val wSq = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    broadcast(nominated.join(broadcast(queries), Seq("qid")))
+      .join(qc, Seq("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), ip.as("ip"),
+        (col("na") * col("n2")).as("nn"))
+      .select(col("qid"), col("nid"), col("ip"),
+        (col("ip").cast("double") / sqrt(col("nn").cast("double"))).as("c"))
+      .withColumn("rn", row_number().over(wSq))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("nid").as("neighbor_id"), col("ip").as("ip"),
+        round(col("c"), 4).as("sq8_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s17 oracle: s10's chain with the re-rank scoring swapped for the
+    * integer SQ8 form — quantization replayed with s05's exact
+    * expressions, dot products and norms as BIGINTs, one IEEE division
+    * at the end. */
+  private[graft] def s17OracleSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) + probeCtesSql(rounds) + ", " +
+      "scored AS (SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id), " +
+      "nom AS (SELECT qid, nid FROM (SELECT qid, nid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM scored) " +
+      s"WHERE rn <= $S10Rerank), " +
+      "qc AS (SELECT vec_id, list_transform(emb, v -> CAST(floor(v * 127 / " +
+      "greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) + 0.5) AS BIGINT)) AS q FROM e), " +
+      "qn AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qc), " +
+      "sq AS (SELECT m.qid, m.nid, " +
+      "CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS ip, " +
+      "a.n2 * b.n2 AS nn FROM nom m JOIN qn a ON a.vec_id = m.qid JOIN qn b ON b.vec_id = m.nid) " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, ip, round(c, 4) AS sq8_sim FROM (" +
+      "SELECT qid, nid, ip, CAST(ip AS DOUBLE)/sqrt(CAST(nn AS DOUBLE)) AS c, " +
+      "row_number() OVER (PARTITION BY qid " +
+      "ORDER BY round(CAST(ip AS DOUBLE)/sqrt(CAST(nn AS DOUBLE)), 6) DESC, nid) AS rn FROM sq) " +
+      "WHERE rn <= 5 ORDER BY query_id, rnk"
+
   /** Build the PERSISTED IVF-PQ index over the corpus — the
     * train-once / serve-many deploy lifecycle s09's in-gate training
     * only sketches (the d13 persisted-index pattern applied to MODELS):
@@ -1861,6 +1946,7 @@ object Similarity {
     "s07_pq_adc" -> s07OracleSql(S07Rounds),
     "s09_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),
     "s10_ivf_pq_rerank" -> s10OracleSql(LloydRounds, S07Rounds),
+    "s17_sq8_rerank" -> s17OracleSql(LloydRounds, S07Rounds),
     // persistence must be semantically invisible: s11 shares s09's
     // oracle verbatim (deterministic training ⇒ stored model == fresh)
     "s11_persisted_ivf_pq" -> s09OracleSql(LloydRounds, S07Rounds),

@@ -1187,6 +1187,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(stat == Set("a"), s"static overwrite drops sibling partitions: $stat")
   }
 
+  test("s17 SQ8 rerank: recall tracks the exact rerank tier, int8 scoring sane") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.s01KnnBrute(spark, sf))
+    val sq8Df = Similarity.s17Sq8Rerank(spark, sf)
+    val sq8 = pairs(sq8Df)
+    val full = pairs(Similarity.s10IvfPqRerank(spark, sf))
+    val rSq8 = exact.intersect(sq8).size.toDouble / exact.size
+    val rFull = exact.intersect(full).size.toDouble / exact.size
+    info(s"recall@5: sq8=$rSq8 exact-rerank=$rFull")
+    // int8 quantization may flip a handful of near-ties in the 50-pool
+    // but must stay within one result of the fp64 tier per query set
+    assert(rSq8 >= rFull - 0.1,
+      s"SQ8 rerank lost more than quantization can explain: $rSq8 vs $rFull")
+    // the integer scores are real dot products: |ip| <= 127^2 * 64 and
+    // the similarity stays in [-1, 1] after the norm division
+    val bad = sq8Df.filter(abs(col("sq8_sim")) > 1.0 ||
+      abs(col("ip")) > 127L * 127L * 64L).count()
+    assert(bad == 0L, "an SQ8 score left its algebraic range")
+  }
+
   test("t06c encode: per-doc pieces sum exactly to the trainer's final corpus census") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
