@@ -1144,36 +1144,51 @@ object Dedup {
     *
     * Pipeline: distinct grams → one df agg (the global order) → per-doc
     * top-(kq+1) window (keyed by doc, never global) → posting-list
-    * self-join on gram → distinct pairs → length filter |Δlen| ≤ k
-    * (implied by the answer, applied early because it is free) →
-    * banded Levenshtein verify via the THRESHOLD form (O(k·n) per
-    * pair, not O(n²) — exceeding pairs return -1 and drop).
+    * self-join on (gram, LENGTH BUCKET) → distinct pairs → exact
+    * length filter |Δlen| ≤ k → banded Levenshtein verify via the
+    * THRESHOLD form (O(k·n) per pair, not O(n²) — exceeding pairs
+    * return -1 and drop). The length constraint (|Δlen| ≤ ed ≤ k,
+    * answer-implied) rides INSIDE the join key, Ed-Join's length
+    * filtering: the index side keys on ⌊len/k⌋ and the probe side
+    * explodes to buckets {b-1, b, b+1} — any pair with |Δlen| ≤ k
+    * shares one of the three, so no true pair is lost, and pairs of
+    * wildly different lengths are never even ENUMERATED (measured at
+    * sf0.1: 8.27M gram-only join matches → 253k bucketed ones, 33× —
+    * the word-salad corpus has only ~1000 distinct 4-grams, so gram
+    * rarity alone cannot prune; length does).
     *
-    * 100 TB: everything is keyed aggs/joins; the self-join's per-gram
-    * blowup is bounded by how many docs elect the same gram into their
-    * rarest-17 — the df-ascending order is the pressure valve (a gram
-    * popular enough to be hot is by definition elected late or never).
-    * On a corpus where boilerplate defeats that (every doc nearly
-    * identical), the d08 df-cap discipline applies verbatim to the
+    * 100 TB: everything is keyed aggs/joins; the self-join's per-key
+    * blowup is bounded by how many SIMILAR-LENGTH docs elect the same
+    * gram into their rarest-17 — the df-ascending order and the length
+    * bucket are two independent pressure valves. On a corpus where
+    * boilerplate defeats both (every doc nearly identical in content
+    * AND length), the d08 df-cap discipline applies verbatim to the
     * posting join. Docs shorter than q contribute no grams and are
     * assumed non-matching (min corpus doc length ≫ q at every SF). */
   def d16EditJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // per-doc distinct grams computed INSIDE the row (array_distinct on
+    // the ~len-element gram array), so the exploded frame is already
+    // (doc_id, gram)-unique — no corpus-wide distinct exchange
     val grams = d.filter(col("len") >= D16Q)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("len") - lit(D16Q - 1))).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("text").substr(col("pos"), lit(D16Q)).as("gram"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, len - ${D16Q - 1}), i -> substring(text, i, $D16Q))")))
+        .as("gram"))
     val gdf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+    val lens = d.select(col("doc_id"), col("len"))
     val prefix = grams.join(gdf, Seq("gram"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= D16PrefixLen)
       .select(col("doc_id"), col("gram"))
-    val cand = prefix.as("a").join(prefix.as("b"), Seq("gram"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("lb", (col("len") / D16K).cast("long"))
+    val probe = prefix.withColumn("lb",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    val cand = prefix.as("a").join(probe.as("b"), Seq("gram", "lb"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.len") - col("b.len")) <= D16K)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val ta = d.select(col("doc_id").as("doc_a"), col("text").as("tx_a"),
