@@ -196,6 +196,14 @@ object SparkEntry {
     // scoring, purge = the tombstones dropped inside s13's
     // zero-exchange bucket rewrite; the model stays frozen throughout
     "s16_deleted_ivf_pq" -> (Similarity.s16DeletedIvfPq _),
+    // s19: range (radius) search — the FAISS range_search verb through
+    // the same two-level probe; all candidates in probed cells at
+    // cos ≥ τ, zero-hit queries kept as sentinel rows
+    "s19_range_search" -> (Similarity.s19RangeSearch _),
+    // s18: MMR diversity re-rank — greedy λ·rel − (1−λ)·maxsim
+    // selection over the exact top-R pool on the integer micro-unit
+    // grid; the result-diversification tier between ranking and serving
+    "s18_mmr_rerank" -> (Similarity.s18MmrRerank _),
     // s14: HYBRID retrieval — BM25 and cosine pools ranked
     // independently, merged by exact-integer reciprocal rank fusion
     // (no cross-system score calibration; ranks always compare)
@@ -352,6 +360,11 @@ object SparkEntry {
     // q35: integer-grid PageRank over the customer–supplier graph —
     // iterative centrality next to d07's CC, oracle-replayed as CTEs
     "q35_pagerank" -> (Relational.q35PageRank _),
+    // q36: dataset profiling + constraint validation (the deequ /
+    // ANALYZE shape) — per-column null/NDV/bounds census and
+    // completeness/uniqueness/range checks in ONE aggregate pass; a
+    // null-bearing canary row keeps the failing-constraint face live
+    "q36_profile_constraints" -> (Relational.q36 _),
     // p11: schema evolution — two landed file generations served by
     // one mergeSchema read; era census pins no-loss/no-default
     "p11_schema_evolution" -> (Sinks.p11SchemaEvolution _),

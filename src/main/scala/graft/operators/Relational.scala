@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -809,7 +809,125 @@ object Relational {
       s"node // 2 AS node_key, rk AS rank_mu FROM r$Q35Iters ORDER BY kind, node_key"
   }
 
+  /** q36: dataset profiling + constraint validation (the deequ /
+    * ANALYZE-TABLE shape) — the observability gate a pipeline runs
+    * before trusting a landed table: per-column row/null/NDV census,
+    * typed bounds (numeric min/max on the integer micro grid, epoch
+    * micros for timestamps, lengths for strings), and declarative
+    * constraint checks (completeness, uniqueness, value range)
+    * evaluated from the SAME statistics, all in ONE aggregate pass
+    * over the table (no per-column jobs). The corpus has no nulls by
+    * construction, so a deterministic canary row (event_id −1, every
+    * nullable field NULL) rides along — the null census and the
+    * FAILING face of the completeness constraint are both exercised
+    * (complete_user_id = 0 is the bite; d10/t11 canary discipline).
+    * Scale: the multi-distinct agg is one scan (Catalyst Expand);
+    * at 100 TB the exact NDVs swap for approx_count_distinct — q23 is
+    * that deploy twin on this same table. */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val canary = ev.sparkSession.range(1).select(
+      lit(-1L).as("event_id"), lit(null).cast("timestamp").as("ts"),
+      lit(null).cast("long").as("user_id"), lit("canary").as("event_type"),
+      lit(null).cast("double").as("value"), lit(null).cast("string").as("props"))
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    val a = ev.unionByName(canary).agg(
+      count(lit(1)).as("n"),
+      nulls("event_id"), countDistinct(col("event_id")).as("ndv_event_id"),
+      min(col("event_id")).as("min_event_id"), max(col("event_id")).as("max_event_id"),
+      nulls("ts"), countDistinct(col("ts")).as("ndv_ts"),
+      min(unix_micros(col("ts"))).as("min_ts"), max(unix_micros(col("ts"))).as("max_ts"),
+      nulls("user_id"), countDistinct(col("user_id")).as("ndv_user_id"),
+      min(col("user_id")).as("min_user_id"), max(col("user_id")).as("max_user_id"),
+      nulls("event_type"), countDistinct(col("event_type")).as("ndv_event_type"),
+      min(length(col("event_type"))).as("minlen_event_type"),
+      max(length(col("event_type"))).as("maxlen_event_type"),
+      nulls("value"), countDistinct(col("value")).as("ndv_value"),
+      round(min(col("value")) * 1e6, 0).cast("long").as("min_value_micro"),
+      round(max(col("value")) * 1e6, 0).cast("long").as("max_value_micro"),
+      nulls("props"), countDistinct(col("props")).as("ndv_props"),
+      min(length(col("props"))).as("minlen_props"),
+      max(length(col("props"))).as("maxlen_props"))
+    def m(cn: String, mt: String, v: Column) =
+      struct(lit(cn).as("col_name"), lit(mt).as("metric"), v.cast("long").as("val"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val census = cols.flatMap { c =>
+      Seq(m(c, "n_rows", col("n")), m(c, "n_null", col(s"null_$c")),
+        m(c, "ndv", col(s"ndv_$c")))
+    }
+    val bounds = Seq(
+      m("event_id", "min", col("min_event_id")), m("event_id", "max", col("max_event_id")),
+      m("ts", "min_micros", col("min_ts")), m("ts", "max_micros", col("max_ts")),
+      m("user_id", "min", col("min_user_id")), m("user_id", "max", col("max_user_id")),
+      m("event_type", "min_len", col("minlen_event_type")),
+      m("event_type", "max_len", col("maxlen_event_type")),
+      m("value", "min_micro", col("min_value_micro")),
+      m("value", "max_micro", col("max_value_micro")),
+      m("props", "min_len", col("minlen_props")),
+      m("props", "max_len", col("maxlen_props")))
+    val constraints = Seq(
+      m("_constraints", "complete_event_id",
+        when(col("null_event_id") === 0L, 1L).otherwise(0L)),
+      m("_constraints", "complete_user_id",
+        when(col("null_user_id") === 0L, 1L).otherwise(0L)),
+      m("_constraints", "unique_event_id",
+        when(col("ndv_event_id") === col("n") - col("null_event_id"), 1L).otherwise(0L)),
+      m("_constraints", "value_nonnegative",
+        when(col("min_value_micro") >= 0L, 1L).otherwise(0L)))
+    a.select(explode(array(census ++ bounds ++ constraints: _*)).as("r"))
+      .select("r.*").orderBy("col_name", "metric")
+  }
+
+  private[graft] def q36Sql: String = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def nullSql(c: String) =
+      s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c"
+    val aggs = Seq("CAST(count(*) AS BIGINT) AS n") ++
+      cols.map(nullSql) ++
+      cols.map(c => s"CAST(count(DISTINCT $c) AS BIGINT) AS ndv_$c") ++
+      Seq(
+        "min(event_id) AS min_event_id", "max(event_id) AS max_event_id",
+        "min(epoch_us(ts)) AS min_ts", "max(epoch_us(ts)) AS max_ts",
+        "min(user_id) AS min_user_id", "max(user_id) AS max_user_id",
+        "CAST(min(length(event_type)) AS BIGINT) AS minlen_event_type",
+        "CAST(max(length(event_type)) AS BIGINT) AS maxlen_event_type",
+        "CAST(round(min(value) * 1e6, 0) AS BIGINT) AS min_value_micro",
+        "CAST(round(max(value) * 1e6, 0) AS BIGINT) AS max_value_micro",
+        "CAST(min(length(props)) AS BIGINT) AS minlen_props",
+        "CAST(max(length(props)) AS BIGINT) AS maxlen_props")
+    val census = cols.flatMap { c =>
+      Seq(s"SELECT '$c' AS col_name, 'n_rows' AS metric, n AS val FROM a",
+        s"SELECT '$c', 'n_null', null_$c FROM a",
+        s"SELECT '$c', 'ndv', ndv_$c FROM a")
+    }
+    val bounds = Seq(
+      "SELECT 'event_id', 'min', min_event_id FROM a",
+      "SELECT 'event_id', 'max', max_event_id FROM a",
+      "SELECT 'ts', 'min_micros', min_ts FROM a",
+      "SELECT 'ts', 'max_micros', max_ts FROM a",
+      "SELECT 'user_id', 'min', min_user_id FROM a",
+      "SELECT 'user_id', 'max', max_user_id FROM a",
+      "SELECT 'event_type', 'min_len', minlen_event_type FROM a",
+      "SELECT 'event_type', 'max_len', maxlen_event_type FROM a",
+      "SELECT 'value', 'min_micro', min_value_micro FROM a",
+      "SELECT 'value', 'max_micro', max_value_micro FROM a",
+      "SELECT 'props', 'min_len', minlen_props FROM a",
+      "SELECT 'props', 'max_len', maxlen_props FROM a")
+    val constraints = Seq(
+      "SELECT '_constraints', 'complete_event_id', CAST(CASE WHEN null_event_id = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a",
+      "SELECT '_constraints', 'complete_user_id', CAST(CASE WHEN null_user_id = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a",
+      "SELECT '_constraints', 'unique_event_id', CAST(CASE WHEN ndv_event_id = n - null_event_id THEN 1 ELSE 0 END AS BIGINT) FROM a",
+      "SELECT '_constraints', 'value_nonnegative', CAST(CASE WHEN min_value_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) FROM a")
+    "WITH full_t AS (SELECT event_id, ts, user_id, event_type, value, props FROM events " +
+      "UNION ALL SELECT -1, NULL, NULL, 'canary', NULL, NULL), " +
+      s"a AS (SELECT ${aggs.mkString(", ")} FROM full_t) " +
+      (census ++ bounds ++ constraints).mkString(" UNION ALL ") +
+      " ORDER BY col_name, metric"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q36_profile_constraints" -> q36Sql,
     "q35_pagerank" -> q35Sql,
     "q34_grouping_sets" ->
       ("SELECT coalesce(event_type, '(all)') AS event_type, coalesce(hod, -1) AS hod, " +

@@ -1901,7 +1901,190 @@ object Similarity {
   private val s05ErrSql =
     "floor(abs(v - floor(v * 127 / scale + 0.5) * scale / 127) * 1e6)"
 
+  // ---- s18: MMR diversity re-rank --------------------------------------
+
+  /** MMR candidate-pool size (top-R by exact cosine feeds the greedy
+    * selection — the bound that keeps per-query work O(k·R) at any
+    * corpus size). */
+  private[graft] val MmrPool = 20
+  /** λ = 0.7 expressed as exact integer weights over tenths: the MMR
+    * objective 7·rel − 3·maxsim stays on the BIGINT grid, so both
+    * engines rank by literally equal numbers (no float ties). */
+  private[graft] val MmrRelW = 7L
+  private[graft] val MmrDivW = 3L
+
+  /** Integer micro-unit cosine: round to the engines' agreed 6-decimal
+    * ranking precision (the s01 convention), then scale to an exact
+    * BIGINT so downstream arithmetic is float-free. */
+  private def cosMicroCol(a: Column, b: Column): Column =
+    round(round(Dedup.cosine(a, b), 6) * 1e6, 0).cast("long")
+
+  /** Greedy MMR selection over a candidate pool of
+    * (qid, nid, e, rel_m): k unrolled rounds (the Lloyd-chain
+    * discipline — the round count is a fixed plan, never a driver
+    * loop over collected rows). Round 1 picks pure relevance (empty
+    * selected set ⇒ no penalty); each later round scores every
+    * remaining candidate as relW·rel_m − divW·max(sim to any selected)
+    * and picks the per-query argmax (tie → lowest nid). All joins are
+    * per-query against the ≤k selected rows, so the iterative stage is
+    * broadcast-sized regardless of corpus size. */
+  private[graft] def mmrSelect(pool: DataFrame, k: Int): DataFrame = {
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_m").desc, col("nid").asc)
+    var selected = pool.withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), col("e"), lit(1L).as("rnk"),
+        (lit(MmrRelW) * col("rel_m")).as("score_m"))
+    for (r <- 2 to k) {
+      val selE = selected.select(col("qid"), col("nid").as("snid"),
+        col("e").as("se"))
+      val scored = pool
+        .join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+        .join(broadcast(selE), Seq("qid"))
+        .groupBy(col("qid"), col("nid"), col("rel_m"))
+        .agg(max(cosMicroCol(col("e"), col("se"))).as("maxsim_m"))
+        .withColumn("score_m",
+          lit(MmrRelW) * col("rel_m") - lit(MmrDivW) * col("maxsim_m"))
+      val wSel = Window.partitionBy(col("qid"))
+        .orderBy(col("score_m").desc, col("nid").asc)
+      val pick = scored.withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1)
+        .join(pool.select(col("qid"), col("nid"), col("e")), Seq("qid", "nid"))
+        .select(col("qid"), col("nid"), col("e"), lit(r.toLong).as("rnk"),
+          col("score_m"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
+  /** s18: MMR (maximal-marginal-relevance) diversity re-rank — the
+    * result-diversification tier every retrieval stack runs between
+    * ranking and serving (Carbonell & Goldstein 1998): from the exact
+    * top-[[MmrPool]] candidate pool, greedily select K results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected,
+    * so near-duplicate hits can't crowd a result page. Scoring is
+    * exact integer micro-units (λ=0.7 as 7/3 tenths) so the greedy
+    * argmax is float-tie-free and the DuckDB oracle replays the k
+    * rounds as unrolled CTEs row for row. Scale shape: ONE corpus scan
+    * builds the pool (s01's broadcast-queries + per-query window);
+    * the k iterative rounds then touch only ≤R rows per query —
+    * bounded work independent of corpus size, all selection joins
+    * broadcast. */
+  def s18MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_m").desc, col("nid").asc)
+    val pool = all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("e"),
+        cosMicroCol(col("qe"), col("e")).as("rel_m"))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= MmrPool)
+      .select("qid", "nid", "e", "rel_m")
+      .cache()
+    val out = mmrSelect(pool, K)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("nid").as("neighbor_id"), col("score_m").as("mmr_score_m"))
+      .orderBy("query_id", "rnk")
+    out
+  }
+
+  /** s18 oracle: the identical pool + k unrolled greedy rounds in
+    * DuckDB — same integer micro-unit grid, same 7/3 weights, same
+    * lowest-nid tie rule. */
+  private[graft] def s18OracleSql: String = {
+    def simM(a: String, b: String) =
+      s"CAST(round(round(list_cosine_similarity($a, $b), 6) * 1e6, 0) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+      "FROM embeddings WHERE vec_id < 10), " +
+      "ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"sc AS (SELECT eq.qid, ee.vec_id AS nid, ee.emb, ${simM("eq.qe", "ee.emb")} AS rel_m " +
+      "FROM eq JOIN ee ON ee.vec_id <> eq.qid), " +
+      "pool AS (SELECT qid, nid, emb, rel_m FROM (SELECT qid, nid, emb, rel_m, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY rel_m DESC, nid) AS rn FROM sc) WHERE rn <= $MmrPool), " +
+      s"u1 AS (SELECT qid, nid, emb, CAST(1 AS BIGINT) AS rnk, $MmrRelW * rel_m AS score_m " +
+      "FROM (SELECT qid, nid, emb, rel_m, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY rel_m DESC, nid) AS rk FROM pool) WHERE rk = 1)"
+    for (r <- 2 to K) {
+      val prev = s"u${r - 1}"
+      sb ++= s", sc$r AS (SELECT p.qid, p.nid, p.rel_m, max(${simM("p.emb", "s.emb")}) AS ms " +
+        s"FROM (SELECT a.* FROM pool a LEFT JOIN $prev d ON d.qid = a.qid AND d.nid = a.nid " +
+        s"WHERE d.nid IS NULL) p JOIN $prev s ON s.qid = p.qid " +
+        "GROUP BY p.qid, p.nid, p.rel_m), " +
+        s"pick$r AS (SELECT qid, nid, CAST($r AS BIGINT) AS rnk, score_m FROM (" +
+        s"SELECT qid, nid, $MmrRelW * rel_m - $MmrDivW * ms AS score_m, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY $MmrRelW * rel_m - $MmrDivW * ms DESC, nid) AS rk " +
+        s"FROM sc$r) WHERE rk = 1), " +
+        s"u$r AS (SELECT qid, nid, emb, rnk, score_m FROM $prev UNION ALL " +
+        s"SELECT k.qid, k.nid, p.emb, k.rnk, k.score_m FROM pick$r k " +
+        "JOIN pool p ON p.qid = k.qid AND p.nid = k.nid)"
+    }
+    sb ++= s" SELECT qid AS query_id, rnk, nid AS neighbor_id, score_m AS mmr_score_m " +
+      s"FROM u$K ORDER BY query_id, rnk"
+    sb.toString
+  }
+
+  // ---- s19: range (radius) search through the probed index ------------
+
+  /** Radius threshold on the 6-decimal rounded cosine — below the d06
+    * near-dup bar (0.45) so background-similarity pairs qualify, above
+    * the random-pair bulk (~0.3). */
+  private[graft] val S19Tau = 0.40
+
+  /** s19: RANGE search — all neighbors within a cosine radius, the
+    * FAISS `range_search` verb next to the top-k tiers: same two-level
+    * quantizer, same hierarchical probe as s06, but the tail keeps
+    * EVERY candidate in a probed cell with round(cos, 6) ≥ [[S19Tau]]
+    * instead of the top-K (top-k answers "best K"; range answers "all
+    * within ε" — the dedup/recall-audit question). Queries with no
+    * in-radius neighbor stay in the output as a (−1, 0.0) sentinel row
+    * with n_in_radius = 0, so the gate pins the empty face too. The
+    * oracle replays train+probe+range row-for-row (the s06 discipline
+    * — result exactness is against the PROBED contract, which is the
+    * honest semantics of a deployed range search; the exact-scan truth
+    * twin of the radius semantics is d06's threshold join). Scale
+    * shape: identical to s06 — O(√K) centroid distances per query,
+    * candidates touched only in probed cells. */
+  def s19RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+    val hits = fprobes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("c6"))
+      .filter(col("c6") >= S19Tau)
+    val queries = emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"))
+    queries.join(hits, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("nid"), lit(-1L)).as("neighbor_id"),
+        coalesce(round(col("c6"), 4), lit(0.0)).as("cos_sim"),
+        count(col("nid")).over(Window.partitionBy(col("qid"))).as("n_in_radius"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** s19 oracle: the shared two-level train + probe CTEs, then the
+    * radius filter and the zero-kept LEFT JOIN — replayed
+    * row-for-row. */
+  private[graft] def s19OracleSql(rounds: Int): String =
+    twoLevelCtesSql(rounds) + probeCtesSql(rounds) + ", " +
+      "hits AS (SELECT p.qid, a.vec_id AS nid, " +
+      "round(list_cosine_similarity(p.qe, a.emb), 6) AS c6 " +
+      "FROM fpr p JOIN fafin a ON a.cid = p.cid WHERE a.vec_id <> p.qid " +
+      s"AND round(list_cosine_similarity(p.qe, a.emb), 6) >= $S19Tau), " +
+      "qs AS (SELECT vec_id AS qid FROM e WHERE vec_id < 10) " +
+      "SELECT qid AS query_id, coalesce(nid, -1) AS neighbor_id, " +
+      "coalesce(round(c6, 4), 0.0) AS cos_sim, " +
+      "count(nid) OVER (PARTITION BY qid) AS n_in_radius " +
+      "FROM qs LEFT JOIN hits USING (qid) ORDER BY query_id, neighbor_id"
+
   val oracles: Map[String, String] = Map(
+    "s18_mmr_rerank" -> s18OracleSql,
+    "s19_range_search" -> s19OracleSql(LloydRounds),
     "s05_quantize_census" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings), " +
         "sc AS (SELECT vec_id, ed, greatest(list_max(list_transform(ed, v -> abs(v))), 1e-30) AS scale FROM e) " +

@@ -1721,6 +1721,102 @@ class OperatorSpec extends AnyFunSuite {
       s"each merge must strictly shrink the corpus: $nat")
   }
 
+  test("s18 MMR rerank: near-dup demoted behind a diverse pick; greedy score monotone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // constructed pool for query 0: a (rel .90) and b (a near-copy of
+    // a, rel .89) would go 1-2 under pure relevance; MMR's penalty
+    // (7·rel − 3·maxsim) must demote b behind the orthogonal c
+    // (rel .60): b scores 7·890000 − 3·~999950 ≈ 3.23M vs c's flat
+    // 7·600000 = 4.20M — the diversity term is the entire difference
+    val pool = Seq(
+      (0L, 1L, Seq(1.0, 0.0, 0.0, 0.0), 900000L),
+      (0L, 2L, Seq(0.999, 0.01, 0.0, 0.0), 890000L),
+      (0L, 3L, Seq(0.0, 1.0, 0.0, 0.0), 600000L))
+      .toDF("qid", "nid", "e", "rel_m")
+    val picked = Similarity.mmrSelect(pool, 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(3), r.getLong(1))).toSeq
+    assert(picked == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"MMR must order a, c, b (diverse pick beats near-dup): $picked")
+    // real corpus: 5 picks per query; rank 1 == pure-relevance rank 1
+    // (empty selected set ⇒ no penalty in round 1); and the greedy
+    // score is non-increasing in rank (candidate sets only shrink,
+    // penalties only grow)
+    val res = Similarity.s18MmrRerank(spark, sf).cache()
+    val perQ = res.groupBy("query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5), "every query must select 5")
+    val top1 = res.filter(col("rnk") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s01Top1 = Similarity.s01KnnBrute(spark, sf)
+      .filter(col("rnk") === 1).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1 == s01Top1, "MMR rank 1 must equal the exact top-1")
+    val byQ = res.select("query_id", "rnk", "mmr_score_m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values
+    assert(byQ.forall(_.toSeq.sortBy(_._2).map(_._3).sliding(2).forall {
+      case Seq(a, b) => b <= a; case _ => true }),
+      "greedy MMR score must be non-increasing in rank")
+    res.unpersist()
+  }
+
+  test("s19 range search: planted copies in radius, sentinel row on empty, census exact") {
+    import org.apache.spark.sql.functions._
+    // s12's planted family: near-copies of queries 0-4 at cos ≈ 1 land
+    // in each query's own probed cell, so range search MUST return
+    // them; queries 5-9 see only background cosine (~0.3 bulk), so at
+    // τ = 0.40 the sentinel (-1, 0.0, 0) face is exercised too
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val base = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val dups = spark.range(5).toDF("src")
+      .select((col("src") + 200L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          comp(col("src"), i) + lit(0.0005)).as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("s19fix").toString
+    base.unionAll(dups).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val rows = Similarity.s19RangeSearch(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, "every query must emit rows")
+    (0L until 5L).foreach { q =>
+      assert(byQ(q).exists { case (_, n, c, _) => n == 200L + q && c > 0.99 },
+        s"planted copy must be in query $q's radius set: ${byQ(q).toSeq}")
+    }
+    val sentinels = rows.filter(_._2 == -1L)
+    assert(sentinels.nonEmpty, "at least one background query must be empty at tau")
+    assert(sentinels.forall { case (_, _, c, n) => c == 0.0 && n == 0L },
+      s"sentinel rows must be (-1, 0.0, 0): ${sentinels.toSeq}")
+    rows.filter(_._2 != -1L).foreach { case (q, _, c, n) =>
+      assert(c >= Similarity.S19Tau, s"hit below tau: $c")
+      assert(n == byQ(q).count(_._2 != -1L), "n_in_radius must equal the per-query hits")
+    }
+  }
+
+  test("q36 profile: one-pass census exact; canary keeps the failing constraint live") {
+    val res = Relational.q36(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val nEvents = graft.core.Tables(spark, sf, "events").count()
+    assert(res(("event_id", "n_rows")) == nEvents + 1, "census must include the canary")
+    assert(res(("event_id", "n_null")) == 0 && res(("user_id", "n_null")) == 1,
+      "exactly the canary's nulls must be counted")
+    assert(res(("event_id", "min")) == -1L, "canary id must be the min")
+    // constraint faces: two passing, one FAILING via the canary (the
+    // bite), one passing on the real data distribution
+    assert(res(("_constraints", "complete_event_id")) == 1)
+    assert(res(("_constraints", "complete_user_id")) == 0,
+      "canary null must fail the completeness constraint")
+    assert(res(("_constraints", "unique_event_id")) == 1)
+    assert(res(("_constraints", "value_nonnegative")) == 1)
+    assert(res(("value", "max_micro")) > res(("value", "min_micro")))
+    assert(res(("event_type", "ndv")) == 6, "5 real types + canary")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
