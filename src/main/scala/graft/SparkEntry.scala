@@ -421,6 +421,12 @@ object SparkEntry {
     // per micro-batch inside foreachBatch; batch boundaries commute
     "st12_streaming_cdc_merge" ->
       (graft.streaming.StreamingOps.st12StreamingCdcMerge _),
+    // st13: stream-stream LEFT OUTER join — watermark-gated null
+    // emission (unmatched purchases emit only at state eviction); the
+    // st08 deterministic feed builds the eviction regime, the gate
+    // compares against the batch LEFT JOIN replay
+    "st13_streaming_outer_join" ->
+      (graft.streaming.StreamingOps.st13StreamingOuterJoin _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -765,7 +765,98 @@ object StreamingOps {
     lateDropCensus(spark, early, late, spark.read.parquet(s"$outRoot/out"))
   }
 
+  /** st13: stream-stream LEFT OUTER join — the streaming semantic
+    * st04's inner join never exercises: an unmatched left row may only
+    * emit its null-padded result once the WATERMARK proves no matching
+    * right row can still arrive (Spark emits it at state eviction, not
+    * at end-of-data). A one-batch bounded feed therefore never
+    * produces outer results at all — the st08 feed discipline builds
+    * the regime deterministically instead:
+    *
+    *  - b1 = all real events in one file (inner matches emit here;
+    *    watermark still −∞ during the batch);
+    *  - b2 = a far-future sentinel pair (user_id −1, both event
+    *    types) that advances both sides' watermarks past every real
+    *    timestamp;
+    *  - b3 = a zero-row barrier: eviction runs with the watermark
+    *    computed from PRIOR batches, so the sentinel's watermark only
+    *    becomes effective one batch later — b3 is the batch in which
+    *    every remaining unmatched purchase is evicted and emitted
+    *    with a NULL signup (st08's two-watermark lesson, applied to
+    *    join state).
+    *
+    * The gate compares the landed streamed multiset against the batch
+    * LEFT JOIN replay (sentinels filtered by user_id ≥ 0) and
+    * publishes the matched/unmatched census — n_unmatched > 0 is what
+    * proves the null-emission path actually ran. Scale: state is
+    * bounded by the 1-hour join range + 10-minute delay on both
+    * sides; eviction is the mechanism that keeps a 100 TB/day join's
+    * state finite. */
+  def st13StreamingOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val root = graft.core.IO.scratchDir("graft-st13-feed")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0) // scalar routing read
+    val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    val t0 = System.currentTimeMillis() - 600000L
+    landSingleFile(ev, root, "b1", t0)
+    landSingleFile(Seq((-1L, far, -1L, "purchase"), (-2L, far, -1L, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type"), root, "b2", t0 + 60000L)
+    landSingleFile(ev.limit(0), root, "b3", t0 + 120000L) // eviction barrier
+    val src = spark.readStream
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"))
+      .option("pathGlobFilter", "b*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root)
+    val sp = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val ss = src.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val joined = sp.join(ss,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+    val streamed = runToFiles(spark, joined, "graft-st13")
+      .filter(col("user_id") >= 0)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+    val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+    batch.agg(count(lit(1)).as("n_rows"),
+        count(col("signup_id")).as("n_matched"),
+        sum(when(col("signup_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st13_streaming_outer_join" ->
+      // batch replay of the LEFT OUTER interval join; the invariant
+      // asserts the streamed multiset (incl. watermark-emitted null
+      // rows) equals it exactly
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(signup_id) AS BIGINT) AS n_matched, " +
+        "CAST(sum(CASE WHEN signup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, " +
+        "true AS stream_matches_batch FROM (" +
+        "SELECT p.event_id AS purchase_id, s.event_id AS signup_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
+        "ON p.user_id = s.user_id " +
+        "AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR)"),
     // micro-batched CDC application must be semantically invisible:
     // the streamed merge's final snapshot equals the one-shot p12
     // merge — p12's merge-semantics SQL verbatim

@@ -252,6 +252,26 @@ class StreamingSpec extends AnyFunSuite {
       ((3L, 3L, 2L, true)), s"unexpected st08 row: $row")
   }
 
+  test("st13 outer join emits null rows only via eviction, hand-built fixture exact") {
+    import spark.implicits._
+    // p1 has a signup 30 min before (matched); p2's only same-user
+    // signup is 2 h before — outside the 1-hour range (unmatched, must
+    // null-emit at eviction); p3's user never signs up (unmatched)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fixture = java.nio.file.Files.createTempDirectory("st13fix").toString
+    Seq(
+      (10L, ts("2024-03-01 09:30:00"), 1L, "signup", 0.0, "{}"),
+      (11L, ts("2024-03-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (20L, ts("2024-03-01 08:00:00"), 2L, "signup", 0.0, "{}"),
+      (21L, ts("2024-03-01 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      (31L, ts("2024-03-01 10:00:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$fixture/events.parquet")
+    val row = StreamingOps.st13StreamingOuterJoin(spark, fixture).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getBoolean(3)) ==
+      ((3L, 1L, 2L, true)), s"unexpected st13 row: $row")
+  }
+
   test("st09 restart restores the watermark: post-restart drops equal the unbroken run") {
     import spark.implicits._
     // the st08 fixture verbatim — but the odds arrive AFTER a
