@@ -238,6 +238,11 @@ object SparkEntry {
     // dver) manifest; all three snapshots read back concurrently as
     // plain pruned scans (the Iceberg/Delta snapshot discipline)
     "p13_time_travel" -> (Sinks.p13TimeTravel _),
+    // p15: incremental materialized-view maintenance — a stored
+    // aggregate folds in only the delta (new day + late corrections),
+    // dynamic-overwriting touched day partitions; oracle = the full
+    // recompute, so hash equality proves incremental == full
+    "p15_incremental_view" -> (Sinks.p15IncrementalView _),
     // p14: vacuum — expire snapshot 0 in manifest space, delete only
     // the dirs no surviving manifest row references (cross-snapshot
     // file sharing respected), survivors re-read and re-oracled

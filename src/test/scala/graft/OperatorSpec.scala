@@ -1817,6 +1817,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(res(("event_type", "ndv")) == 6, "5 real types + canary")
   }
 
+  test("p15 incremental view: untouched day partitions keep their files, merge face exact") {
+    import org.apache.spark.sql.functions._
+    val ev = Sinks.p15Events(spark, sf)
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    val lateDay = maxDay - 1 // fixture corpus is all January — safe
+    val isDelta = col("day") === maxDay ||
+      (col("day") === lateDay && col("event_id") % 7 === 0)
+    val wh = java.nio.file.Files.createTempDirectory("p15fix").toString + "/view"
+    Sinks.p15Build(wh, ev.filter(!isDelta))
+    def filesIn(day: Long): Set[String] = {
+      val d = new java.io.File(s"$wh/day=$day")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(f => s"${f.getName}:${f.lastModified}")
+        .filter(_.contains(".parquet")).toSet
+    }
+    val untouched = (1L to 5L).map(d => maxDay - 1 - d)
+    val before = untouched.map(d => d -> filesIn(d)).toMap
+    val lateBefore = filesIn(lateDay)
+    Sinks.p15Refresh(spark, wh, ev.filter(isDelta), Seq(lateDay, maxDay))
+    untouched.foreach { d =>
+      assert(filesIn(d) == before(d) && before(d).nonEmpty,
+        s"untouched day $d must keep its original files")
+    }
+    assert(filesIn(lateDay) != lateBefore, "late-corrected day must be rewritten")
+    assert(filesIn(maxDay).nonEmpty, "new day must be materialized by the refresh")
+    // merge face: the refreshed view equals the full recompute
+    val full = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val got = spark.read.parquet(wh)
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("n"), col("sum_cents"))
+    assert(got.exceptAll(full).unionAll(full.exceptAll(got)).count() == 0,
+      "delta-refreshed view must equal the full recompute")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
