@@ -1931,10 +1931,15 @@ object Similarity {
   private[graft] def mmrSelect(pool: DataFrame, k: Int): DataFrame = {
     val wRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel_m").desc, col("nid").asc)
+    // each round references `selected` three times (anti-join, sim
+    // join, union); without a cache boundary the lineage would grow
+    // 3^k subtrees — caching the ≤10·r-row round result keeps every
+    // later reference an InMemoryRelation and the plan linear in k
     var selected = pool.withColumn("rk", row_number().over(wRel))
       .filter(col("rk") === 1)
       .select(col("qid"), col("nid"), col("e"), lit(1L).as("rnk"),
         (lit(MmrRelW) * col("rel_m")).as("score_m"))
+      .cache()
     for (r <- 2 to k) {
       val selE = selected.select(col("qid"), col("nid").as("snid"),
         col("e").as("se"))
@@ -1952,7 +1957,7 @@ object Similarity {
         .join(pool.select(col("qid"), col("nid"), col("e")), Seq("qid", "nid"))
         .select(col("qid"), col("nid"), col("e"), lit(r.toLong).as("rnk"),
           col("score_m"))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).cache()
     }
     selected
   }
