@@ -834,12 +834,19 @@ object Sinks {
     * keep their original files byte-for-byte (SinksSpec-style pin in
     * OperatorSpec). Refresh cost is O(delta + touched partitions),
     * never O(base) — the incremental-view claim. */
-  private[graft] def p15Refresh(spark: SparkSession, wh: String,
-      delta: DataFrame, touchedDays: Seq[Long]): Unit =
+  /** The refresh's stored-side read: ONLY the touched day partitions
+    * (PlanSpec pins the partition filter — the base is never
+    * rescanned). */
+  private[graft] def p15TouchedStored(spark: SparkSession, wh: String,
+      touchedDays: Seq[Long]): DataFrame =
     spark.read.parquet(wh)
       .filter(col("day").isin(touchedDays: _*))
       .select(col("event_type"), col("day").cast("long").as("day"),
         col("n"), col("sum_cents"))
+
+  private[graft] def p15Refresh(spark: SparkSession, wh: String,
+      delta: DataFrame, touchedDays: Seq[Long]): Unit =
+    p15TouchedStored(spark, wh, touchedDays)
       .unionByName(p15Agg(delta))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))

@@ -72,6 +72,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition pruning on event_type:\n$p")
   }
 
+  test("p15 refresh's stored-side read is partition-pruned to the touched days") {
+    import org.apache.spark.sql.functions.{col, max}
+    val wh = java.nio.file.Files.createTempDirectory("p15plan").toString + "/view"
+    val ev = operators.Sinks.p15Events(spark, sf)
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0)
+    operators.Sinks.p15Build(wh, ev.filter(col("day") < maxDay))
+    val p = formatted(
+      operators.Sinks.p15TouchedStored(spark, wh, Seq(maxDay - 1, maxDay)))
+    assert(p.contains("PartitionFilters: [day"),
+      s"expected partition pruning on the day partitions:\n$p")
+  }
+
   test("p12 base-side merge scan is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("p12plan").toString + "/snap"
