@@ -422,6 +422,11 @@ object SparkEntry {
     // e03: leakage-safe split — assignment at the near-dup-CLUSTER
     // level so no d08 pair straddles train/val/test by construction
     "e03_cluster_split" -> (Pipeline.e03ClusterSplit _),
+    // e04: cross-split leakage AUDIT — the completeness critic for
+    // e03: cross-split counts at every tier (exact-prefix, lexical,
+    // semantic, substring grams); lexical must audit to zero, the
+    // uncontrolled tiers report the leakage the split didn't cover
+    "e04_leakage_audit" -> (Pipeline.e04LeakageAudit _),
     // st12: streaming CDC merge — p12's copy-on-write upsert applied
     // per micro-batch inside foreachBatch; batch boundaries commute
     "st12_streaming_cdc_merge" ->

@@ -478,7 +478,94 @@ object Pipeline {
       "ORDER BY stage"
   }
 
+  /** e04: cross-split LEAKAGE AUDIT — the completeness critic for e03:
+    * the cluster-safe split guarantees no LEXICAL (d08) pair straddles
+    * train/val/test, but says nothing about the tiers it didn't
+    * control for. This gate measures all four: exact 40-char-prefix
+    * duplicate pairs (d02's key), the d08 lexical pair graph itself
+    * (must audit to ZERO cross-split — the guarantee, restated as a
+    * measurement), exact-cosine semantic pairs at d06's τ=0.45 (text
+    * clusters say nothing about embedding space), and duplicated
+    * [[TextOps.T21L]]-gram postings (t21's substring tier — a gram
+    * living in two splits is eval-contamination at the span level).
+    * Non-lexical tiers are expected and allowed to be nonzero: the
+    * audit's product IS that report — what a training-data owner reads
+    * before trusting a split. 100 TB: the lexical/substring tiers ride
+    * the capped inverted indexes; the semantic tier here is the exact
+    * truth twin (d06) — at deploy it swaps for d09/d11's candidate
+    * generation, same census tail. */
+  def e04LeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val split = e03ClusterSplit(spark, dir)
+      .select(col("doc_id"), col("split")).cache()
+    val sa = split.select(col("doc_id").as("ida"), col("split").as("sa"))
+    val sb = split.select(col("doc_id").as("idb"), col("split").as("sb"))
+    def pairCensus(tier: String, pairs: DataFrame): DataFrame =
+      pairs.join(sa, Seq("ida")).join(sb, Seq("idb"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(tier).as("tier"), col("n_total"),
+          coalesce(col("n_cross"), lit(0L)).as("n_cross"))
+    val docsPfx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+    val exactPairs = docsPfx.as("a")
+      .join(docsPfx.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    val gramRow = TextOps.dupGramDocs(spark, dir)
+      .join(split, Seq("doc_id"))
+      .groupBy(col("s")).agg(countDistinct(col("split")).as("nsp"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("nsp") >= 2, 1L).otherwise(0L)).as("n_cross"))
+      .select(lit("substring_grams").as("tier"), col("n_total"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"))
+    pairCensus("exact_prefix", exactPairs)
+      .unionByName(pairCensus("lexical",
+        Dedup.d08NgramJaccardCapped(spark, dir).select("ida", "idb")))
+      .unionByName(pairCensus("semantic",
+        Dedup.d06EmbeddingNearDup(spark, dir).select("ida", "idb")))
+      .unionByName(gramRow)
+      .orderBy("tier")
+  }
+
+  /** e04 oracle: e03's split chain as CTEs, then each tier's pair/
+    * posting set and its cross-split census — four UNION ALL rows. */
+  private[graft] val e04Sql: String = {
+    def splitCase(c: String): String =
+      s"CASE WHEN (($c % 1000) * 761) % 1000 < 980 THEN 'train' " +
+        s"WHEN (($c % 1000) * 761) % 1000 < 990 THEN 'val' ELSE 'test' END"
+    def row(tier: String, from: String): String =
+      s"SELECT '$tier' AS tier, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross " +
+        s"FROM $from JOIN sp a ON a.doc_id = x.ida JOIN sp b ON b.doc_id = x.idb"
+    val l = TextOps.T21L
+    "WITH pairs AS (" +
+      Dedup.jaccardSqlWith(Some(Dedup.fullCorpusCapSql))
+        .replace(" ORDER BY ida, idb", "") + "), " +
+      Dedup.ccLabCtes +
+      "cl AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id), " +
+      s"sp AS (SELECT doc_id, ${splitCase("cluster_id")} AS split FROM cl), " +
+      "ex AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM documents a JOIN documents b " +
+      "ON substring(a.text, 1, 40) = substring(b.text, 1, 40) AND a.doc_id < b.doc_id), " +
+      "sem AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM embeddings a JOIN embeddings b " +
+      "ON a.vec_id < b.vec_id " +
+      "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45), " +
+      "gtoks AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      s"gsh0 AS (SELECT doc_id, unnest(range(1, len(w) - ${l - 2})) AS i, w FROM gtoks WHERE len(w) >= $l), " +
+      s"gsha AS (SELECT doc_id, array_to_string(w[i:i+${l - 1}], ' ') AS s FROM gsh0), " +
+      "gcen AS (SELECT s, count(*) AS c FROM gsha GROUP BY s), " +
+      "gd AS (SELECT DISTINCT h.doc_id, h.s FROM gsha h JOIN gcen c ON c.s = h.s WHERE c.c >= 2), " +
+      "gs AS (SELECT s, count(DISTINCT sp.split) AS nsp FROM gd JOIN sp USING (doc_id) GROUP BY s) " +
+      row("exact_prefix", "ex x") + " UNION ALL " +
+      row("lexical", "pairs x") + " UNION ALL " +
+      row("semantic", "sem x") + " UNION ALL " +
+      "SELECT 'substring_grams' AS tier, CAST(count(*) AS BIGINT) AS n_total, " +
+      "CAST(coalesce(sum(CASE WHEN nsp >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross FROM gs " +
+      "ORDER BY tier"
+  }
+
   val oracles: Map[String, String] = Map(
+    "e04_leakage_audit" -> e04Sql,
     "e01_curation_pipeline" -> e01Sql,
     "e02_incremental_curation" -> e02Sql,
     "e03_cluster_split" -> e03Sql)

@@ -1196,6 +1196,24 @@ object TextOps {
     * window is keyed by doc_id, never global. The paper's corpus-wide
     * suffix array never materializes — fixed-L shingles are exactly
     * how the pass distributes. */
+  /** Distinct (gram, doc_id) postings of the duplicated [[T21L]]-grams
+    * (total occurrence count ≥ 2, t21's census rule) — the substring
+    * tier's posting list, reused by e04's cross-split leakage audit. */
+  private[graft] def dupGramDocs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= T21L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - lit(T21L - 1))).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(T21L))).as("s"))
+    val census = sh.groupBy("s").agg(count(lit(1)).as("c"))
+    sh.join(census.hint("shuffle_hash"), Seq("s"))
+      .filter(col("c") >= 2)
+      .select(col("s"), col("doc_id")).distinct()
+  }
+
   def t21SpanExcision(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))

@@ -1852,6 +1852,25 @@ class OperatorSpec extends AnyFunSuite {
       "delta-refreshed view must equal the full recompute")
   }
 
+  test("e04 leakage audit: lexical tier audits to zero, uncontrolled tiers live") {
+    val rows = Pipeline.e04LeakageAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet ==
+      Set("exact_prefix", "lexical", "semantic", "substring_grams"))
+    // e03's construction guarantee, restated as a measurement: no d08
+    // pair may straddle the split
+    assert(rows("lexical")._2 == 0,
+      s"cluster-safe split leaked a lexical pair: ${rows("lexical")}")
+    // every tier's total must be live (nonzero pair/posting sets) —
+    // an audit over empty sets certifies nothing
+    assert(rows.values.forall(_._1 > 0), s"vacuous audit tier: $rows")
+    // the uncontrolled tiers are the audit's product: at sf0.001 the
+    // semantic tier measurably leaks (1 cross-split d06 pair) — the
+    // report e03 alone cannot give
+    assert(rows("semantic")._2 >= 1,
+      s"expected the measured semantic leak at sf0.001: ${rows("semantic")}")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000
