@@ -311,6 +311,10 @@ object SparkEntry {
     // space: delta payloads dedup against the persisted (band, bh)-
     // bucketed dHash index, corpus never re-decoded or re-shuffled
     "m08_incremental_media_dedup" -> (Multimodal.m08IncrementalMediaDedup _),
+    // m10: audio energy segmentation (VAD-style) — per-file voiced-run
+    // census via the shared WAV decode; canary WAVs with explicit
+    // block/alternating structure keep every face live
+    "m10_audio_segments" -> (Multimodal.m10AudioSegments _),
     // m09: cross-modal retrieval — "find videos containing a frame
     // similar to this image": m03 frame fingerprints → encoder
     // stand-in embeddings → the s11 persisted IVF-PQ serving path,

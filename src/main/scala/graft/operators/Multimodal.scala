@@ -665,6 +665,17 @@ object Multimodal {
     * doesn't decode or is too short for ≥2 samples per window (falls
     * to the content tier — never a fake fingerprint). */
   private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    audioWindowEnergies(bytes, AfpWindows).map { e =>
+      (0 until AfpWindows - 1).foldLeft(0L)((acc, i) =>
+        (acc << 1) | (if (e(i) > e(i + 1)) 1L else 0L))
+    }
+
+  /** The decode half of [[audioFingerprint64]], reusable by m10's
+    * segmentation: channel-0 mean |amplitude| per window over the
+    * first [[AfpMaxFrames]] frames. Same decodable-format contract
+    * (u8 / s16 PCM only; anything else → None, never garbage). */
+  private[graft] def audioWindowEnergies(bytes: Array[Byte],
+      nWindows: Int): Option[Array[Double]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -691,11 +702,11 @@ object Multimodal {
             r = in.read(buf, filled, buf.length - filled)
           }
           val nSamples = filled / frameSize
-          if (nSamples < AfpWindows * 2) None
+          if (nSamples < nWindows * 2) None
           else {
-            val e = new Array[Double](AfpWindows)
-            val per = nSamples / AfpWindows
-            for (w <- 0 until AfpWindows) {
+            val e = new Array[Double](nWindows)
+            val per = nSamples / nWindows
+            for (w <- 0 until nWindows) {
               var s = 0.0
               for (i <- w * per until (w + 1) * per) {
                 val off = i * frameSize // channel 0 leads each frame
@@ -710,8 +721,7 @@ object Multimodal {
               }
               e(w) = s / per
             }
-            Some((0 until AfpWindows - 1).foldLeft(0L)((acc, i) =>
-              (acc << 1) | (if (e(i) > e(i + 1)) 1L else 0L)))
+            Some(e)
           }
         }
       } finally in.close()
@@ -1397,7 +1407,106 @@ object Multimodal {
       "UNION ALL SELECT delta_id, corpus_id, 0, 'content' FROM cp) " +
       "ORDER BY method, delta_id, corpus_id"
 
+  // ---- m10: audio energy segmentation (VAD-style) --------------------
+
+  private[graft] val M10Windows = 64
+
+  /** A 16-bit PCM mono WAV whose window structure is EXPLICIT: one
+    * constant-amplitude block of 32 samples per entry of `pattern` —
+    * 16000 where voiced, 800 where quiet. [[canaryWav]]'s builder
+    * generalized from the two-amplitude alternation to an arbitrary
+    * voiced mask, so m10's segment census is hand-computable. */
+  private[graft] def segWav(pattern: Seq[Boolean]): Array[Byte] = {
+    val per = 32
+    val n = pattern.length * per
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    out.put("fmt ".getBytes("ISO-8859-1")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("ISO-8859-1")).putInt(dataSize)
+    for (v <- pattern; _ <- 0 until per)
+      out.putShort(if (v) 16000.toShort else 800.toShort)
+    out.array()
+  }
+
+  /** The two m10 canaries and their hand-computed censuses (the
+    * oracle's literals — provable from [[segWav]]'s construction):
+    *  - BLOCK: 20 voiced / 24 quiet / 20 voiced → window mean
+    *    amplitude (16000·40 + 800·24)/64 = 10300; the 0.75·mean
+    *    threshold (7725) admits exactly the 40 loud windows in TWO
+    *    runs → (64 windows, 40 voiced, 2 segments);
+    *  - ALT: strict alternation starting voiced → mean 8400,
+    *    threshold 6300 → 32 voiced windows, each its own run →
+    *    (64, 32, 32). All amplitudes are exact binary fractions of
+    *    32768, so the double arithmetic is exact and the comparisons
+    *    engine-independent. */
+  private[graft] val M10BlockPattern: Seq[Boolean] =
+    Seq.fill(20)(true) ++ Seq.fill(24)(false) ++ Seq.fill(20)(true)
+  private[graft] val M10AltPattern: Seq[Boolean] =
+    (0 until M10Windows).map(_ % 2 == 0)
+
+  /** m10: audio ENERGY SEGMENTATION — the VAD-ish temporal-structure
+    * census below m06's whole-file fingerprint: split the decoded
+    * signal into [[M10Windows]] windows of mean |amplitude| (the m06
+    * decode, shared via [[audioWindowEnergies]]), mark a window voiced
+    * iff its energy ≥ 0.75 × the file's mean (4·e ≥ 3·mean in exact
+    * arithmetic), and count maximal voiced runs per file — the
+    * segmentation a speech pipeline runs before transcription
+    * (silence trimming, segment-level sampling). The decode seam emits
+    * BOUNDED rows (≤ [[M10Windows]] per file); segmentation itself is
+    * the gaps-and-islands window pass, fully distributed. The gate
+    * corpus carries no decodable audio, so payloads collapse into the
+    * (-1, n_undecodable, 0, 0) fallback census row and the two
+    * [[segWav]] canaries keep every face live: the real WAV decoder,
+    * the threshold, and the run structure (2 block segments vs 32
+    * alternating singletons). */
+  def m10AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = media(spark, dir).select(col("media_id"), col("payload"))
+      .unionByName(Seq(
+        (900000001L, segWav(M10BlockPattern)),
+        (900000002L, segWav(M10AltPattern))).toDF("media_id", "payload"))
+    val energies = payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val e = if (magicOf(b) == "wav") audioWindowEnergies(b, M10Windows)
+          else None
+        (id, e.map(_.toSeq).orNull)
+      }).toDF("media_id", "e")
+    val dec = energies.filter(col("e").isNotNull)
+      .select(col("media_id"), posexplode(col("e")).as(Seq("widx", "en")))
+    val wM = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("widx")
+    val segments = dec
+      .withColumn("voiced", col("en") * 4 >= avg(col("en")).over(wM) * 3)
+      .withColumn("pv",
+        coalesce(lag(col("voiced"), 1).over(wSeq), lit(false)))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+        sum(when(col("voiced") && !col("pv"), 1L).otherwise(0L)).as("n_segments"))
+    val fallback = energies.filter(col("e").isNull)
+      .agg(count(lit(1)).as("n_windows"))
+      .select(lit(-1L).as("media_id"), col("n_windows"),
+        lit(0L).as("n_voiced"), lit(0L).as("n_segments"))
+    segments.unionByName(fallback).orderBy("media_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // m10: the fallback census is replayed from the corpus (every
+    // documents-derived payload is undecodable as audio); the two
+    // canary rows enter as the hand-computed literals they provably
+    // are (see M10BlockPattern/M10AltPattern scaladoc)
+    "m10_audio_segments" ->
+      ("SELECT * FROM (" +
+        "SELECT -1 AS media_id, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_windows, " +
+        "CAST(0 AS BIGINT) AS n_voiced, CAST(0 AS BIGINT) AS n_segments " +
+        "UNION ALL SELECT 900000001, 64, 40, 2 " +
+        "UNION ALL SELECT 900000002, 64, 32, 32) ORDER BY media_id"),
     "m09_cross_modal" -> m09Sql,
     "m08_incremental_media_dedup" ->
       // the d13 oracle argument, in hash space: the persisted-index
