@@ -1116,9 +1116,9 @@ object Dedup {
 
   /** d16 parameters: q-gram width, edit-distance threshold, and the
     * prefix length kq+1 the filter soundness proof fixes. */
-  private[graft] val D16Q = 4
+  private[graft] val D16Q = 8
   private[graft] val D16K = 4
-  private[graft] val D16PrefixLen = D16K * D16Q + 1 // 17
+  private[graft] val D16PrefixLen = D16K * D16Q + 1 // 33
 
   /** d16: EDIT-DISTANCE self-join (Ed-Join, Xiao et al. VLDB 2008) —
     * all document pairs within Levenshtein distance [[D16K]]. The one
@@ -1153,20 +1153,51 @@ object Dedup {
     * explodes to buckets {b-1, b, b+1} — any pair with |Δlen| ≤ k
     * shares one of the three, so no true pair is lost, and pairs of
     * wildly different lengths are never even ENUMERATED (measured at
-    * sf0.1: 8.27M gram-only join matches → 253k bucketed ones, 33× —
-    * the word-salad corpus has only ~1000 distinct 4-grams, so gram
-    * rarity alone cannot prune; length does).
+    * sf0.1 with q=4: 8.27M gram-only join matches → 253k bucketed
+    * ones, 33×). q = 8 (not 4) because gram DISTINCTNESS is the other
+    * valve: the word-salad corpora have only ~1000 distinct 4-grams,
+    * so 4-gram rarity cannot prune at all and the 10× planted corpus
+    * (uniform 120-word lengths defeating the length valve too) drove
+    * the posting join quadratic — 8-grams cost a longer prefix
+    * (33 vs 17) and ~1.5 s at sf0.1, and bought 6.5× at the 10× gate
+    * (384 → 59 s, after the identical-text collapse's 2.1×).
+    *
+    * BYTE-IDENTICAL COLLAPSE (the third pressure valve, and the one
+    * that keeps the join subquadratic on duplicate-heavy corpora): a
+    * group of B identical texts would elect identical prefix grams and
+    * identical length buckets, so the posting join alone would
+    * enumerate all B² member combinations through its hottest keys —
+    * measured 809 s at the 10× gate, 44% of the whole gate wall, from
+    * one 1000-doc boilerplate group. Identical texts are therefore
+    * collapsed to their min-id REPRESENTATIVE before the gram
+    * machinery (one md5-keyed window — the d01 exact-dedup shape; the
+    * full text rides as a residual equality check so a hash collision
+    * cannot merge distinct texts), the pipeline runs on distinct texts
+    * only, and the answer is reconstructed EXACTLY afterwards:
+    * within-group pairs are ed = 0 by definition (pure output
+    * materialization, zero verify cost), and a representative pair at
+    * distance e expands to every cross-member pair at the same e
+    * (Levenshtein is a function of the texts). Lossless by
+    * construction; the brute-force oracle is unchanged.
     *
     * 100 TB: everything is keyed aggs/joins; the self-join's per-key
-    * blowup is bounded by how many SIMILAR-LENGTH docs elect the same
-    * gram into their rarest-17 — the df-ascending order and the length
-    * bucket are two independent pressure valves. On a corpus where
-    * boilerplate defeats both (every doc nearly identical in content
-    * AND length), the d08 df-cap discipline applies verbatim to the
-    * posting join. Docs shorter than q contribute no grams and are
-    * assumed non-matching (min corpus doc length ≫ q at every SF). */
+    * blowup is bounded by how many SIMILAR-LENGTH distinct texts elect
+    * the same gram into their rarest-17 — the df-ascending order, the
+    * length bucket, and the identical-text collapse are three
+    * independent pressure valves. Docs shorter than q contribute no
+    * grams and are assumed non-matching (min corpus doc length ≫ q at
+    * every SF). */
   def d16EditJoin(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("tk"))
+    val mem = keyed.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("tk"))))
+    val within = mem.as("a")
+      .join(mem.as("b"), col("a.tk") === col("b.tk") &&
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("ed"))
+    val d = mem.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     // per-doc distinct grams computed INSIDE the row (array_distinct on
     // the ~len-element gram array), so the exploded frame is already
@@ -1195,12 +1226,20 @@ object Dedup {
       col("len").as("len_a"))
     val tb = d.select(col("doc_id").as("doc_b"), col("text").as("tx_b"),
       col("len").as("len_b"))
-    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    val repPairs = cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .filter(abs(col("len_a") - col("len_b")) <= D16K)
       .withColumn("ed", levenshtein(col("tx_a"), col("tx_b"), D16K))
       .filter(col("ed") >= 0)
       .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("ed"))
-      .orderBy("doc_a", "doc_b")
+    // expand representative pairs over their groups' members (distinct
+    // groups ⇒ distinct ids; re-order each expanded pair by id)
+    val m = mem.select(col("doc_id"), col("rep"))
+    val cross = repPairs
+      .join(m.select(col("rep").as("doc_a"), col("doc_id").as("ida")), Seq("doc_a"))
+      .join(m.select(col("rep").as("doc_b"), col("doc_id").as("idb")), Seq("doc_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("ed"))
+    within.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   private val CCMaxIters = 25

@@ -1261,6 +1261,28 @@ class OperatorSpec extends AnyFunSuite {
       "most unique docs must remain untouched")
   }
 
+  test("d16 identical-text collapse: within-group ed=0 pairs + exact cross expansion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 byte-identical docs (the boilerplate shape that made the
+    // posting join quadratic at the 10x gate) + 1 near-copy at ed 2
+    // + 1 far doc. Expected: 3 within pairs at ed 0, and the rep-level
+    // (1, 4) ed-2 result expanded to (1,4) (2,4) (3,4).
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, base.replace("dog", "cat")), // ed 3: three substitutions
+      (5L, "completely different content with nothing shared at all here"))
+    val fixture = java.nio.file.Files.createTempDirectory("d16col").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val got = Dedup.d16EditJoin(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 0L), (1L, 4L, 3L),
+      (2L, 3L, 0L), (2L, 4L, 3L), (3L, 4L, 3L)),
+      s"collapse + expansion must reproduce brute force exactly: $got")
+  }
+
   test("d16 edit join: prefix filter is lossless vs brute force, canary pair at the boundary") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
