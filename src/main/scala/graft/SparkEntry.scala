@@ -225,6 +225,10 @@ object SparkEntry {
     // the JSON props column (commas/quotes/braces inside one field);
     // FAILFAST read, census vs the original parquet
     "c13_csv_roundtrip" -> (CodecLifecycle.c13CsvRoundTrip _),
+    // c14: NDJSON SINK roundtrip — the write half of the NDJSON
+    // source; the JSON-string props column must re-embed escaped and
+    // return byte-identical (the interchange tier complete)
+    "c14_json_roundtrip" -> (CodecLifecycle.c14JsonRoundTrip _),
     // Partitioned sink + skew-safe join (100 TB storage/shuffle posture)
     "p01_partitioned_sink" -> (Sinks.p01PartitionedSink _),
     "p02_salted_join" -> (Sinks.p02SaltedJoin _),
@@ -441,6 +445,12 @@ object SparkEntry {
     // compares against the batch LEFT JOIN replay
     "st13_streaming_outer_join" ->
       (graft.streaming.StreamingOps.st13StreamingOuterJoin _),
+    // st14: bounded-state dedup (dropDuplicatesWithinWatermark) — the
+    // production form of st03: state evicts at the watermark, so a
+    // within-delay duplicate drops and a post-eviction re-occurrence
+    // re-emits; both faces deterministic via the constructed feed
+    "st14_streaming_ttl_dedup" ->
+      (graft.streaming.StreamingOps.st14StreamingTtlDedup _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

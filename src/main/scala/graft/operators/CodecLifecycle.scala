@@ -91,7 +91,46 @@ object CodecLifecycle {
       .orderBy("event_type")
   }
 
+  /** c14: NDJSON SINK roundtrip — the write half of the §2.1 #1 NDJSON
+    * source, completing the interchange tier (parquet c07, CSV c13,
+    * NDJSON c14): one JSON object per line via the engine's JSON sink,
+    * read back FAILFAST with an explicit schema and censused against
+    * the original table. The `props` column is itself a JSON STRING —
+    * the writer must embed it as an escaped string value, not splice
+    * it as nested JSON, and the reader must return it byte-identical
+    * (the census's get_json_object proves the escaping round-tripped).
+    * Doubles survive via Jackson's shortest-roundtrip rendering; the
+    * census still counts integer cents so the gate never hashes a
+    * double. Timestamps are deliberately excluded: the JSON sink's
+    * default timestamp format is millisecond-precision and the corpus
+    * carries real microseconds — an NDJSON interchange of event times
+    * ships unix_micros BIGINTs instead (documented, not silently
+    * truncated). Splittable at 100 TB: plain text lines, one object
+    * per line. */
+  def c14JsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+    val tmp = graft.core.IO.scratchDir("graft-c14")
+    ev.write.mode("overwrite").json(tmp)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("mode", "FAILFAST")
+      .json(tmp)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        countDistinct(get_json_object(col("props"), "$.k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "c14_json_roundtrip" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "c13_csv_roundtrip" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

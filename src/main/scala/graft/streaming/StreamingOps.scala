@@ -843,7 +843,70 @@ object StreamingOps {
       .crossJoin(mismatches.agg((count(lit(1)) === 0).as("stream_matches_batch")))
   }
 
+  /** st14: BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the production form of st03's unbounded `dropDuplicates`: per-key
+    * state is EVICTED once the watermark passes the first occurrence's
+    * event time + delay, so state size is bounded by the watermark
+    * window instead of growing with every key ever seen (the only
+    * dedup a forever-running 100 TB/day ingest can afford). The
+    * tradeoff it buys that st03 never shows: a re-occurrence AFTER
+    * eviction is emitted AGAIN. The constructed single-file feed
+    * (st08 discipline) makes both faces deterministic:
+    *
+    *  - b1: key A at 10:00 and again at 10:01 (duplicate WITHIN the
+    *    10-minute delay → dropped), key B at 10:30;
+    *  - b2: a far-later advancer row (11:30) pushes the watermark to
+    *    11:20 — past A@10:00+10min and B@10:30+10min, so both keys'
+    *    state evicts;
+    *  - b3: key A again at 12:00 (above the watermark, NOT late) —
+    *    state is gone, so A emits a SECOND time.
+    *
+    * Gate output = per-key emitted counts (A→2 proves eviction +
+    * re-admission, B→1 proves plain dedup; the advancer key is
+    * excluded): hand-derivable from the construction, so the oracle
+    * states the literals it provably is (m10's canary-literal shape).
+    * StreamingSpec pins the same censuses. */
+  /** The streamed half of st14: run the constructed feed through
+    * `dropDuplicatesWithinWatermark` and return the landed emitted
+    * rows (k, ts) with the advancer key filtered — spec-visible so
+    * StreamingSpec can pin WHICH occurrences emitted, not just the
+    * counts. */
+  private[graft] def st14EmittedRows(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = graft.core.IO.scratchDir("graft-st14-feed")
+    val b1 = Seq(
+      ("A", ts("2024-03-01 10:00:00")),
+      ("A", ts("2024-03-01 10:01:00")),
+      ("B", ts("2024-03-01 10:30:00"))).toDF("k", "ts")
+    val b2 = Seq(("W", ts("2024-03-01 11:30:00"))).toDF("k", "ts")
+    val b3 = Seq(("A", ts("2024-03-01 12:00:00"))).toDF("k", "ts")
+    val t0 = System.currentTimeMillis() - 600000L
+    landSingleFile(b1, root, "b1", t0)
+    landSingleFile(b2, root, "b2", t0 + 60000L)
+    landSingleFile(b3, root, "b3", t0 + 120000L)
+    val deduped = spark.readStream
+      .schema(StructType.fromDDL("k STRING, ts TIMESTAMP"))
+      .option("pathGlobFilter", "b*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    runToFiles(spark, deduped, "graft-st14").filter(col("k") =!= "W")
+  }
+
+  def st14StreamingTtlDedup(spark: SparkSession, dir: String): DataFrame =
+    st14EmittedRows(spark)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_emitted"))
+      .orderBy("k")
+
   val oracles: Map[String, String] = Map(
+    // st14: the construction proves the literals — A emits at 10:00
+    // (first) and again at 12:00 (state evicted at watermark 11:20);
+    // A@10:01 deduped within the delay; B emits once
+    "st14_streaming_ttl_dedup" ->
+      ("SELECT * FROM (SELECT 'A' AS k, CAST(2 AS BIGINT) AS n_emitted " +
+        "UNION ALL SELECT 'B', 1) ORDER BY k"),
     "st13_streaming_outer_join" ->
       // batch replay of the LEFT OUTER interval join; the invariant
       // asserts the streamed multiset (incl. watermark-emitted null

@@ -272,6 +272,18 @@ class StreamingSpec extends AnyFunSuite {
       ((3L, 1L, 2L, true)), s"unexpected st13 row: $row")
   }
 
+  test("st14 bounded-state dedup: within-delay dup dropped, post-eviction re-emission") {
+    val got = StreamingOps.st14EmittedRows(spark).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    // A's FIRST occurrence and its post-eviction re-occurrence emit;
+    // the 10:01 within-delay duplicate must NOT (its ts never appears)
+    assert(got == Set(
+      ("A", "2024-03-01 10:00:00.0"),
+      ("A", "2024-03-01 12:00:00.0"),
+      ("B", "2024-03-01 10:30:00.0")),
+      s"bounded-state dedup emitted the wrong occurrences: $got")
+  }
+
   test("st09 restart restores the watermark: post-restart drops equal the unbroken run") {
     import spark.implicits._
     // the st08 fixture verbatim — but the odds arrive AFTER a
