@@ -1928,7 +1928,8 @@ object Similarity {
     * and picks the per-query argmax (tie → lowest nid). All joins are
     * per-query against the ≤k selected rows, so the iterative stage is
     * broadcast-sized regardless of corpus size. */
-  private[graft] def mmrSelect(pool: DataFrame, k: Int): DataFrame = {
+  private[graft] def mmrSelect(pool: DataFrame, k: Int,
+      relW: Long = MmrRelW, divW: Long = MmrDivW): DataFrame = {
     val wRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel_m").desc, col("nid").asc)
     // each round references `selected` three times (anti-join, sim
@@ -1938,7 +1939,7 @@ object Similarity {
     var selected = pool.withColumn("rk", row_number().over(wRel))
       .filter(col("rk") === 1)
       .select(col("qid"), col("nid"), col("e"), lit(1L).as("rnk"),
-        (lit(MmrRelW) * col("rel_m")).as("score_m"))
+        (lit(relW) * col("rel_m")).as("score_m"))
       .cache()
     for (r <- 2 to k) {
       val selE = selected.select(col("qid"), col("nid").as("snid"),
@@ -1949,7 +1950,7 @@ object Similarity {
         .groupBy(col("qid"), col("nid"), col("rel_m"))
         .agg(max(cosMicroCol(col("e"), col("se"))).as("maxsim_m"))
         .withColumn("score_m",
-          lit(MmrRelW) * col("rel_m") - lit(MmrDivW) * col("maxsim_m"))
+          lit(relW) * col("rel_m") - lit(divW) * col("maxsim_m"))
       val wSel = Window.partitionBy(col("qid"))
         .orderBy(col("score_m").desc, col("nid").asc)
       val pick = scored.withColumn("rk", row_number().over(wSel))
