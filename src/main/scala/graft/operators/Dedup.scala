@@ -1182,7 +1182,7 @@ object Dedup {
     *
     * 100 TB: everything is keyed aggs/joins; the self-join's per-key
     * blowup is bounded by how many SIMILAR-LENGTH distinct texts elect
-    * the same gram into their rarest-17 — the df-ascending order, the
+    * the same gram into their rarest-(k*D16Q+1) prefix — the df-ascending order, the
     * length bucket, and the identical-text collapse are three
     * independent pressure valves. Docs shorter than q contribute no
     * grams and are assumed non-matching (min corpus doc length ≫ q at

@@ -1474,6 +1474,17 @@ object Multimodal {
       .mapPartitions(_.map { case (id, b) =>
         val e = if (magicOf(b) == "wav") audioWindowEnergies(b, M10Windows)
           else None
+        // the oracle's fallback census hard-codes that every CORPUS
+        // payload is undecodable as audio (only the two constructed
+        // canaries decode). Assert it here, in the decode seam, so a
+        // future corpus/generator change that plants a decodable WAV
+        // surfaces as a loud error instead of a silent oracle
+        // mismatch (ADVICE r13)
+        if (e.isDefined && id < 900000001L)
+          throw new IllegalStateException(
+            s"m10: corpus payload $id decoded as audio — the " +
+              "fallback-census oracle literal no longer holds; " +
+              "re-derive the fallback count from the decode census")
         (id, e.map(_.toSeq).orNull)
       }).toDF("media_id", "e")
     val dec = energies.filter(col("e").isNotNull)

@@ -518,13 +518,19 @@ object Pipeline {
         sum(when(col("nsp") >= 2, 1L).otherwise(0L)).as("n_cross"))
       .select(lit("substring_grams").as("tier"), col("n_total"),
         coalesce(col("n_cross"), lit(0L)).as("n_cross"))
-    pairCensus("exact_prefix", exactPairs)
+    // materialize the 4-row census, then release the split cache —
+    // the d07/s18 supersession discipline (nothing from this audit
+    // stays pinned across a long session except the 4 result rows)
+    val out = pairCensus("exact_prefix", exactPairs)
       .unionByName(pairCensus("lexical",
         Dedup.d08NgramJaccardCapped(spark, dir).select("ida", "idb")))
       .unionByName(pairCensus("semantic",
         Dedup.d06EmbeddingNearDup(spark, dir).select("ida", "idb")))
       .unionByName(gramRow)
       .orderBy("tier")
+      .localCheckpoint()
+    split.unpersist()
+    out
   }
 
   /** e04 oracle: e03's split chain as CTEs, then each tier's pair/

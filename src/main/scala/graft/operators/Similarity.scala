@@ -1930,17 +1930,21 @@ object Similarity {
     * broadcast-sized regardless of corpus size. */
   private[graft] def mmrSelect(pool: DataFrame, k: Int,
       relW: Long = MmrRelW, divW: Long = MmrDivW): DataFrame = {
+    import org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint
     val wRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel_m").desc, col("nid").asc)
     // each round references `selected` three times (anti-join, sim
-    // join, union); without a cache boundary the lineage would grow
-    // 3^k subtrees — caching the ≤10·r-row round result keeps every
-    // later reference an InMemoryRelation and the plan linear in k
+    // join, union); without a materialization boundary the lineage
+    // would grow 3^k subtrees — localCheckpoint'ing the ≤10·r-row
+    // round result keeps the plan linear in k, and the d07
+    // round-supersession discipline (unpersist the previous round
+    // once the next is materialized) keeps a long session from
+    // accumulating superseded round storage
     var selected = pool.withColumn("rk", row_number().over(wRel))
       .filter(col("rk") === 1)
       .select(col("qid"), col("nid"), col("e"), lit(1L).as("rnk"),
         (lit(relW) * col("rel_m")).as("score_m"))
-      .cache()
+      .localCheckpoint()
     for (r <- 2 to k) {
       val selE = selected.select(col("qid"), col("nid").as("snid"),
         col("e").as("se"))
@@ -1958,7 +1962,9 @@ object Similarity {
         .join(pool.select(col("qid"), col("nid"), col("e")), Seq("qid", "nid"))
         .select(col("qid"), col("nid"), col("e"), lit(r.toLong).as("rnk"),
           col("score_m"))
-      selected = selected.unionByName(pick).cache()
+      val next = selected.unionByName(pick).localCheckpoint()
+      unpersistLocalCheckpoint(selected)
+      selected = next
     }
     selected
   }
@@ -1989,10 +1995,19 @@ object Similarity {
       .filter(col("rn") <= MmrPool)
       .select("qid", "nid", "e", "rel_m")
       .cache()
-    val out = mmrSelect(pool, K)
+    val sel = mmrSelect(pool, K)
+    // the greedy rounds are materialized inside mmrSelect, so the
+    // final result can be pinned once and BOTH the pool cache and the
+    // last round's checkpoint released — nothing from this query
+    // accumulates across a long multi-query session except the
+    // ≤K·queries-row result itself
+    val out = sel
       .select(col("qid").as("query_id"), col("rnk"),
         col("nid").as("neighbor_id"), col("score_m").as("mmr_score_m"))
       .orderBy("query_id", "rnk")
+      .localCheckpoint()
+    pool.unpersist()
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(sel)
     out
   }
 

@@ -845,13 +845,23 @@ object Sinks {
         col("n"), col("sum_cents"))
 
   private[graft] def p15Refresh(spark: SparkSession, wh: String,
-      delta: DataFrame, touchedDays: Seq[Long]): Unit =
-    p15TouchedStored(spark, wh, touchedDays)
+      delta: DataFrame, touchedDays: Seq[Long]): Unit = {
+    import org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint
+    // Materialize the merged touched-day rows BEFORE the overwrite:
+    // Spark's documented contract forbids a write that reads the path
+    // it replaces (dynamic mode only happens to work on 4.1.2 because
+    // old partition dirs are dropped at job commit). localCheckpoint
+    // cuts the lineage at the stored scan, so by the time the write
+    // job runs nothing reads wh — the merge stays O(delta + touched).
+    val merged = p15TouchedStored(spark, wh, touchedDays)
       .unionByName(p15Agg(delta))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .localCheckpoint()
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").option("compression", "zstd").parquet(wh)
+    unpersistLocalCheckpoint(merged)
+  }
 
   /** p15: INCREMENTAL MATERIALIZED-VIEW maintenance — the ETL
     * primitive between p09's whole-partition backfill and p12's keyed
