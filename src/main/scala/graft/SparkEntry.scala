@@ -451,6 +451,25 @@ object SparkEntry {
     // re-emits; both faces deterministic via the constructed feed
     "st14_streaming_ttl_dedup" ->
       (graft.streaming.StreamingOps.st14StreamingTtlDedup _),
+    // q37: time-series gap-fill / resample — per-key calendar
+    // densification with LOCF and linear-interpolation fills on the
+    // integer cents grid; windows run over calendar-sized rows only
+    "q37_gap_fill" -> (Relational.q37 _),
+    // p16: file-level min/max data skipping (zone maps) — a value-
+    // range predicate on a NON-partition column prunes whole files
+    // from a per-file stats manifest before any scan (the Delta/
+    // Iceberg data-skipping tier); pruning census rides the result
+    "p16_stats_skipping" -> (Sinks.p16StatsSkipping _),
+    // s20: binary (1-bit) quantization + exact re-rank — the last
+    // rung of the quantization ladder: sign-bit signatures (16 B/row),
+    // Hamming candidate generation, exact cosine re-rank of the top-R
+    "s20_binary_rerank" -> (Similarity.s20BinaryRerank _),
+    // st15: streaming incremental view maintenance — p15's refresh
+    // run per micro-batch inside foreachBatch; mergeable partials make
+    // any batch split compose, so the streamed view must equal the
+    // full recompute (p15's oracle verbatim)
+    "st15_streaming_view" ->
+      (graft.streaming.StreamingOps.st15StreamingViewMaintenance _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

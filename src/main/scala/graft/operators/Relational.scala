@@ -926,7 +926,96 @@ object Relational {
       " ORDER BY col_name, metric"
   }
 
+  // ---- q37: time-series gap-fill / resample ----------------------------
+
+  /** q37 sampling modulus: 1-in-17 of events, so the hourly grid has
+    * real gaps at every gate SF (measured: 490-688 gap hours per type
+    * at sf0.001, 107-139 at sf0.1) — the fill faces stay non-vacuous. */
+  private[graft] val Q37Mod = 17
+
+  /** q37: TIME-SERIES GAP-FILL / RESAMPLE — the missing-bucket
+    * completion every metrics/feature pipeline runs before a model
+    * sees the series (pandas `resample().ffill()` / InfluxDB
+    * `fill(previous|linear)`, as a distributed operator): bucket a
+    * sparse event sample onto the hourly grid, DENSIFY each key's
+    * calendar between its first and last present hour, and fill the
+    * missing buckets two ways — LOCF (forward-fill) and LINEAR
+    * interpolation between the neighboring present buckets. All fill
+    * arithmetic is on the integer cents grid; the interpolated value
+    * is floor((vp·(hn−h) + vn·(h−hp)) / (hn−hp)) with the products
+    * exact in doubles (≪ 2⁵³), so both engines compute bit-identical
+    * fills.
+    *
+    * Spark-first shape: the corpus-sized work is ONE hash aggregation
+    * onto (event_type, hour); everything after runs on CALENDAR-sized
+    * rows — sequence()+explode densifies per key (span ≤ the series
+    * length, never corpus rows), and the two fill windows partition by
+    * key over those calendar rows only. At 100 TB the window input is
+    * still `types × span` rows — bounded by the time range, not the
+    * data — which is what makes this safe where a corpus-sized window
+    * would not be. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_id") % Q37Mod === 0)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val b = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    q37Fill(b)
+  }
+
+  /** The fill half of [[q37]] over an already-bucketed frame of
+    * (event_type, h, n, c) present buckets — the OperatorSpec seam: a
+    * hand-built frame pins the LOCF and interpolation arithmetic
+    * bucket by bucket. */
+  private[graft] def q37Fill(b: DataFrame): DataFrame = {
+    val cal = b.groupBy(col("event_type"))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(col("event_type"), explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val j = cal.join(b, Seq("event_type", "h"), "left")
+    val wB = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("hp", last(when(col("n").isNotNull, col("h")), ignoreNulls = true).over(wB))
+      .withColumn("vp", last(when(col("n").isNotNull, col("c")), ignoreNulls = true).over(wB))
+      .withColumn("hn", first(when(col("n").isNotNull, col("h")), ignoreNulls = true).over(wF))
+      .withColumn("vn", first(when(col("n").isNotNull, col("c")), ignoreNulls = true).over(wF))
+      .select(col("event_type"), col("h").as("hour_idx"),
+        when(col("n").isNotNull, "present").otherwise("gap").as("src"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("vp").as("locf_cents"),
+        when(col("n").isNotNull, col("c")).otherwise(
+          floor((col("vp") * (col("hn") - col("h")) + col("vn") * (col("h") - col("hp")))
+            .cast("double") / (col("hn") - col("hp")).cast("double")).cast("long"))
+          .as("interp_cents"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  private[graft] val q37Sql: String =
+    "WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS h, " +
+      s"CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_id % $Q37Mod = 0), " +
+      "b AS (SELECT event_type, h, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c FROM ev GROUP BY 1, 2), " +
+      "sp AS (SELECT event_type, min(h) AS hmin, max(h) AS hmax FROM b GROUP BY 1), " +
+      "cal AS (SELECT event_type, unnest(range(hmin, hmax + 1)) AS h FROM sp), " +
+      "j AS (SELECT cal.event_type, cal.h, b.n, b.c FROM cal LEFT JOIN b USING (event_type, h)), " +
+      "f AS (SELECT event_type, h, n, c, " +
+      "last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS hp, " +
+      "last_value(CASE WHEN n IS NOT NULL THEN c END IGNORE NULLS) OVER wb AS vp, " +
+      "first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS hn, " +
+      "first_value(CASE WHEN n IS NOT NULL THEN c END IGNORE NULLS) OVER wf AS vn " +
+      "FROM j WINDOW wb AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wf AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT event_type, h AS hour_idx, " +
+      "CASE WHEN n IS NOT NULL THEN 'present' ELSE 'gap' END AS src, " +
+      "CAST(coalesce(n, 0) AS BIGINT) AS n, CAST(vp AS BIGINT) AS locf_cents, " +
+      "CAST(CASE WHEN n IS NOT NULL THEN c " +
+      "ELSE CAST(floor((vp * (hn - h) + vn * (h - hp)) / CAST(hn - hp AS DOUBLE)) AS BIGINT) END AS BIGINT) AS interp_cents " +
+      "FROM f ORDER BY event_type, hour_idx"
+
   val oracles: Map[String, String] = Map(
+    "q37_gap_fill" -> q37Sql,
     "q36_profile_constraints" -> q36Sql,
     "q35_pagerank" -> q35Sql,
     "q34_grouping_sets" ->

@@ -2103,7 +2103,92 @@ object Similarity {
       "count(nid) OVER (PARTITION BY qid) AS n_in_radius " +
       "FROM qs LEFT JOIN hits USING (qid) ORDER BY query_id, neighbor_id"
 
+  // ---- s20: binary (1-bit) quantization + exact re-rank ----------------
+
+  /** Per-vector 1-bit signature as TWO packed 32-bit halves (bits 0-31
+    * of each half of the 64 dims). Two BIGINTs instead of one keeps
+    * every shift strictly below bit 63, which both engines' BIGINT
+    * shift semantics handle identically (DuckDB raises on 1<<63). */
+  private[graft] def s20SigCols(df: DataFrame): DataFrame = {
+    def half(lo: Int) =
+      expr(s"aggregate(transform(slice(e, $lo, 32), " +
+        "(x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)")
+    df.withColumn("h0", half(1)).withColumn("h1", half(33))
+  }
+
+  /** s20: BINARY QUANTIZATION + exact re-rank — the 1-bit tier
+    * completing the quantization ladder (fp64 exact s01 → int8 SQ
+    * s17 → 4-bit PQ s07/s09 → 1 bit/dim here), the shape commercial
+    * vector stores ship as "binary quantization" / BBQ: each 64-dim
+    * vector collapses to its sign bits — 16 BYTES a row, a 32×
+    * smaller scan than the fp64 vectors — candidates are generated by
+    * HAMMING distance (two xor+popcount words per comparison; sign
+    * agreement is a monotone proxy for the cosine angle), the top-
+    * [[S10Rerank]] nominees per query read their full vectors, and
+    * the exact cosine re-rank applies s01's rounding/tie rules so
+    * every tier of the ladder compares directly. Integer end to end
+    * until the re-rank, so both engines rank identical numbers.
+    * Scale shape: the signature pass is map-only; the scan streams
+    * 16-byte signatures against broadcast query signatures (at deploy
+    * the signatures are their own persisted store — the column
+    * pruning here IS that store); the re-rank reads R full vectors
+    * per query, a constant. Scale invariance (sig(2v) = sig(v)) and
+    * the nominate→rerank recall floor are spec-pinned. */
+  def s20BinaryRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val sigs = s20SigCols(all).select(col("vec_id"), col("h0"), col("h1"))
+    val qs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("h0").as("q0"), col("h1").as("q1"))
+    val wHam = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid").asc)
+    val nominated = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (bit_count(col("h0").bitwiseXOR(col("q0"))) +
+          bit_count(col("h1").bitwiseXOR(col("q1")))).cast("long").as("ham"))
+      .withColumn("rn", row_number().over(wHam))
+      .filter(col("rn") <= S10Rerank)
+      .select(col("qid"), col("nid"), col("ham"))
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    broadcast(nominated.join(broadcast(queries), Seq("qid")))
+      .join(all, col("nid") === col("vec_id"))
+      .select(col("qid"), col("nid"), col("ham"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("nid").as("neighbor_id"), col("ham"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s20 oracle: signature packing, Hamming nomination, and the exact
+    * re-rank replayed row-for-row (same two-halves packing, same tie
+    * rules). */
+  private[graft] val s20OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      "sg AS (SELECT vec_id, " +
+      "CAST(list_sum([CASE WHEN emb[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END FOR i IN range(1, 33)]) AS BIGINT) AS h0, " +
+      "CAST(list_sum([CASE WHEN emb[i + 32] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END FOR i IN range(1, 33)]) AS BIGINT) AS h1 " +
+      "FROM e), " +
+      "q AS (SELECT vec_id AS qid, h0 AS q0, h1 AS q1 FROM sg WHERE vec_id < 10), " +
+      "hm AS (SELECT q.qid, s.vec_id AS nid, " +
+      "CAST(bit_count(xor(s.h0, q.q0)) + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS ham " +
+      "FROM sg s JOIN q ON s.vec_id <> q.qid), " +
+      "nom AS (SELECT qid, nid, ham FROM (SELECT qid, nid, ham, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn FROM hm) " +
+      s"WHERE rn <= $S10Rerank) " +
+      "SELECT qid AS query_id, rn AS rnk, nid AS neighbor_id, ham, round(c, 4) AS cos_sim FROM (" +
+      "SELECT m.qid, m.nid, m.ham, list_cosine_similarity(a.emb, b.emb) AS c, " +
+      "row_number() OVER (PARTITION BY m.qid " +
+      "ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, m.nid) AS rn " +
+      "FROM nom m JOIN e a ON a.vec_id = m.qid JOIN e b ON b.vec_id = m.nid) " +
+      s"WHERE rn <= $K ORDER BY query_id, rnk"
+
   val oracles: Map[String, String] = Map(
+    "s20_binary_rerank" -> s20OracleSql,
     "s18_mmr_rerank" -> s18OracleSql,
     "s19_range_search" -> s19OracleSql(LloydRounds),
     "s05_quantize_census" ->

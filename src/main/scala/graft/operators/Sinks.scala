@@ -881,6 +881,17 @@ object Sinks {
   def p15IncrementalView(spark: SparkSession, dir: String): DataFrame = {
     val wh = graft.core.IO.scratchDir("graft-p15")
     val ev = p15Events(spark, dir)
+    val (maxDay, lateDay, isDelta) = p15Regime(ev)
+    p15Build(wh, ev.filter(!isDelta))
+    p15Refresh(spark, wh, ev.filter(isDelta), Seq(lateDay, maxDay))
+    p15ViewRead(spark, wh, lateDay)
+  }
+
+  /** The p15/st15 ingest regime: (maxDay, lateDay, isDelta) — the NEW
+    * day plus late corrections (event_id ≡ 0 mod 7) to the previous
+    * one. One scalar routing read (max day). Shared by the batch gate
+    * and its streaming leg so both exercise the same regime. */
+  private[graft] def p15Regime(ev: DataFrame): (Long, Long, Column) = {
     val maxDay = ev.agg(max(col("day"))).head().getLong(0) // scalar routing read
     val lateDay = java.lang.Long.parseLong(
       java.time.LocalDate.parse(maxDay.toString,
@@ -888,16 +899,114 @@ object Sinks {
         .minusDays(1).format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
     val isDelta = col("day") === maxDay ||
       (col("day") === lateDay && col("event_id") % 7 === 0)
-    p15Build(wh, ev.filter(!isDelta))
-    p15Refresh(spark, wh, ev.filter(isDelta), Seq(lateDay, maxDay))
+    (maxDay, lateDay, isDelta)
+  }
+
+  /** Read the stored view back with the src column derived from the
+    * regime's day arithmetic (refreshed iff day ≥ lateDay). */
+  private[graft] def p15ViewRead(spark: SparkSession, wh: String,
+      lateDay: Long): DataFrame =
     spark.read.parquet(wh)
       .select(col("event_type"), col("day").cast("long").as("day"),
         col("n"), col("sum_cents"),
         when(col("day") >= lateDay, "refreshed").otherwise("carried").as("src"))
       .orderBy("day", "event_type")
+
+  // ---- p16: file-level min/max data skipping (zone maps) ---------------
+
+  /** Width-bin count for the p16 layout — one landed file per occupied
+    * user_id width bin, so the file:stats relationship is 1:1 and the
+    * oracle can re-derive the manifest from the data. */
+  private[graft] val P16Files = 16L
+
+  /** Land events clustered by user_id width bins (one file per
+    * occupied bin) and derive the per-FILE min/max stats manifest in
+    * one scan over the landed layout — the write half of the zone-map
+    * lifecycle. Returns (root, width). */
+  private[graft] def p16Land(spark: SparkSession, dir: String): (String, Long) = {
+    val root = graft.core.IO.scratchDir("graft-p16")
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val maxU = ev.agg(max(col("user_id"))).head().getLong(0) // scalar routing read
+    val width = maxU / P16Files + 1
+    ev.withColumn("fid", expr(s"CAST(user_id DIV $width AS BIGINT)"))
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid")
+      .option("compression", "zstd").parquet(s"$root/d")
+    spark.read.parquet(s"$root/d")
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        count(lit(1)).as("nf"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    (root, width)
   }
 
+  /** The stats-pruned read: select files whose [min_u, max_u] interval
+    * overlaps the predicate in MANIFEST space (≤ [[P16Files]] rows — a
+    * bounded routing read, the p13 pattern), hand the scan the
+    * explicit path list, and keep the predicate as the residual
+    * filter. Returns (prunedScan, pathsSelected, nFilesTotal). */
+  private[graft] def p16Read(spark: SparkSession, root: String,
+      lo: Long, hi: Long): (DataFrame, Seq[String], Long) = {
+    val man = spark.read.parquet(s"$root/manifest")
+    val nTotal = man.count()
+    val selected = man.filter(col("max_u") >= lo && col("min_u") <= hi)
+      .select("path").collect().map(_.getString(0)).toSeq
+    val pruned = spark.read.option("basePath", s"$root/d")
+      .parquet(selected: _*)
+      .filter(col("user_id").between(lo, hi))
+    (pruned, selected, nTotal)
+  }
+
+  /** p16: FILE-LEVEL MIN/MAX DATA SKIPPING (zone maps) — the
+    * Delta/Iceberg data-skipping tier below p01's partition pruning
+    * and beside p13's snapshot manifest: a value-range predicate on a
+    * NON-partition column prunes whole files from per-file min/max
+    * statistics BEFORE any scan, with the predicate kept as the
+    * residual filter on the survivors. The layout clusters events
+    * into user_id width bins (one file per occupied bin — p08's
+    * clustering idea at file granularity), the manifest carries each
+    * file's actual min/max (tighter than the bin arithmetic — a bin
+    * whose occupied range misses the predicate is skipped even when
+    * its nominal range overlaps), and the read routes through the
+    * manifest exactly like p13: unselected files are never LISTED,
+    * not merely filtered. The gate publishes the pruning census
+    * (files total vs scanned) next to the query result, and the
+    * oracle re-derives manifest, selection, and aggregate from the
+    * same width arithmetic — equality proves skipping is semantically
+    * invisible. 100 TB: the manifest is O(files) metadata routed on
+    * the driver exactly as every table format does it; the scan cost
+    * is O(selected files) regardless of table size. */
+  def p16StatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (root, width) = p16Land(spark, dir)
+    val lo = width * 5 + width / 2
+    val hi = width * 7 - 1
+    val (pruned, selected, nTotal) = p16Read(spark, root, lo, hi)
+    pruned.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .select(lit(nTotal).as("n_files_total"),
+        lit(selected.size.toLong).as("n_files_scanned"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  private[graft] val p16Sql: String =
+    "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+      s"w AS (SELECT (SELECT max(user_id) FROM ev) // $P16Files + 1 AS width), " +
+      "f AS (SELECT user_id // (SELECT width FROM w) AS fid, user_id, cents FROM ev), " +
+      "st AS (SELECT fid, min(user_id) AS mn, max(user_id) AS mx FROM f GROUP BY fid), " +
+      "pr AS (SELECT width * 5 + width // 2 AS lo, width * 7 - 1 AS hi FROM w), " +
+      "sel AS (SELECT fid FROM st, pr WHERE mx >= lo AND mn <= hi) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_files_total, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_files_scanned, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents " +
+      "FROM f, pr WHERE f.fid IN (SELECT fid FROM sel) AND user_id BETWEEN lo AND hi"
+
   val oracles: Map[String, String] = Map(
+    // p16: manifest, selection, and aggregate re-derived from the same
+    // width arithmetic — equality proves stats-based file skipping is
+    // semantically invisible (and the census row pins the pruning)
+    "p16_stats_skipping" -> p16Sql,
     // p15: the full recompute IS the oracle — hash equality proves the
     // delta-refreshed view equals recomputing from scratch, with src
     // derived from the same day arithmetic

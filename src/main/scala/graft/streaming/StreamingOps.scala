@@ -900,7 +900,70 @@ object StreamingOps {
       .groupBy(col("k")).agg(count(lit(1)).as("n_emitted"))
       .orderBy("k")
 
+  /** st15: STREAMING INCREMENTAL VIEW MAINTENANCE — p15's streaming
+    * leg, completing the batch↔streaming symmetry on the AGGREGATE
+    * side the way st12 did for the keyed snapshot (p12↔st12,
+    * p15↔st15): the stored (event_type, day) view is built over the
+    * base slice, then the SAME delta p15 folds in one shot arrives as
+    * three streamed files and each micro-batch runs
+    * [[graft.operators.Sinks.p15Refresh]] inside foreachBatch —
+    * partial-aggregate the batch, read back only its touched days'
+    * stored partials, merge, dynamic-overwrite. sum/count partials
+    * are associative, so ANY batch split composes: a day split across
+    * micro-batches is folded twice, the second fold reading the
+    * first's partials — and the final stored view must equal the full
+    * recompute, which is exactly what the shared p15 oracle states
+    * (hash equality IS streamed-incremental == full). Per batch the
+    * touched-day list is a bounded routing read (≤ 2 days here; ≤
+    * days-per-batch in general). At deploy this is the Delta/Iceberg
+    * continuous MERGE-into-aggregate loop; state lives in the table,
+    * not the stream (no watermark, no keyed state — the st10
+    * stateless-fold discipline on the aggregate side). */
+  def st15StreamingViewMaintenance(spark: SparkSession, dir: String): DataFrame =
+    st15Core(spark, dir)._1
+
+  /** Seam returning (final view, n non-empty micro-batches) — the
+    * StreamingSpec pins batches = 3 and equality with batch p15. */
+  private[graft] def st15Core(spark: SparkSession,
+      dir: String): (DataFrame, Int) = {
+    import graft.operators.Sinks
+    val wh = graft.core.IO.scratchDir("graft-st15") + "/view"
+    val ev = Sinks.p15Events(spark, dir)
+    val (_, lateDay, isDelta) = Sinks.p15Regime(ev)
+    Sinks.p15Build(wh, ev.filter(!isDelta))
+    val dRoot = graft.core.IO.scratchDir("graft-st15-delta")
+    ev.filter(isDelta).repartition(3) // three landed files → 3 refreshes
+      .write.mode("overwrite").parquet(dRoot)
+    val dStream = spark.readStream
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, day BIGINT, cents BIGINT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dRoot)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chk = graft.core.IO.scratchDir("graft-st15-chk")
+    val q = dStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches.incrementAndGet()
+          // bounded routing read: the batch's own touched-day list
+          val touched = batch.select("day").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          Sinks.p15Refresh(spark, wh, batch.toDF(), touched)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    (Sinks.p15ViewRead(spark, wh, lateDay), nBatches.get())
+  }
+
   val oracles: Map[String, String] = Map(
+    // st15: p15's oracle VERBATIM — the full recompute; hash equality
+    // proves the three streamed folds compose to exactly the one-shot
+    // refresh (and both to the full recompute)
+    "st15_streaming_view" ->
+      graft.operators.Sinks.oracles("p15_incremental_view"),
     // st14: the construction proves the literals — A emits at 10:00
     // (first) and again at 12:00 (state evicted at watermark 11:20);
     // A@10:01 deduped within the delay; B emits once

@@ -1893,6 +1893,88 @@ class OperatorSpec extends AnyFunSuite {
       s"expected the measured semantic leak at sf0.001: ${rows("semantic")}")
   }
 
+  test("q37 gap fill: LOCF and linear interpolation exact on a hand-built series") {
+    import spark.implicits._
+    // present buckets: h=0 → 100, h=3 → 400, h=4 → 250 for key 'a';
+    // single-bucket key 'b' (span 1, no gaps — the degenerate face)
+    val b = Seq(("a", 0L, 2L, 100L), ("a", 3L, 1L, 400L), ("a", 4L, 1L, 250L),
+        ("b", 7L, 1L, 50L))
+      .toDF("event_type", "h", "n", "c")
+    val rows = Relational.q37Fill(b).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // the gap between (0,100) and (3,400): locf carries 100; linear
+    // interpolation hits 200 and 300 exactly (integer grid)
+    assert(rows(("a", 1L)) == (("gap", 0L, 100L, 200L)))
+    assert(rows(("a", 2L)) == (("gap", 0L, 100L, 300L)))
+    // present rows carry their own value in BOTH fills
+    assert(rows(("a", 0L)) == (("present", 2L, 100L, 100L)))
+    assert(rows(("a", 3L)) == (("present", 1L, 400L, 400L)))
+    assert(rows(("a", 4L)) == (("present", 1L, 250L, 250L)))
+    assert(rows(("b", 7L)) == (("present", 1L, 50L, 50L)))
+    assert(rows.size == 6, "calendar must span exactly min..max per key")
+    // the real corpus keeps both faces live at gate SF
+    val srcs = Relational.q37(spark, sf).select("src").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(srcs == Set("present", "gap"),
+      s"q37 must fill real gaps at sf0.001, saw $srcs")
+  }
+
+  test("p16 stats skipping: files pruned, scan list exact, result equals the full scan") {
+    import org.apache.spark.sql.functions._
+    val (root, width) = Sinks.p16Land(spark, sf)
+    val lo = width * 5 + width / 2
+    val hi = width * 7 - 1
+    val (pruned, selected, nTotal) = Sinks.p16Read(spark, root, lo, hi)
+    // pruning bites: strictly fewer files than the manifest lists,
+    // but at least one survives (the predicate is interior)
+    assert(selected.nonEmpty && selected.size < nTotal,
+      s"expected real pruning, scanned ${selected.size} of $nTotal")
+    // the scan reads EXACTLY the selected files — unselected files are
+    // never listed (the manifest IS the scan plan)
+    val read = pruned.inputFiles.map(_.replaceFirst("^file:/*", "/")).toSet
+    val want = selected.map(_.replaceFirst("^file:/*", "/")).toSet
+    assert(read == want, s"scan file list diverged from the manifest selection")
+    // skipping is semantically invisible: pruned agg == full-scan agg
+    val got = pruned.agg(count(lit(1)), sum(col("cents"))).collect()(0)
+    val full = spark.read.parquet(s"$root/d")
+      .filter(col("user_id").between(lo, hi))
+      .agg(count(lit(1)), sum(col("cents"))).collect()(0)
+    assert(got == full, s"pruned result $got != full-scan result $full")
+    // counterfactual: the whole-domain predicate selects every file
+    val (_, all, tot) = Sinks.p16Read(spark, root, 0L, Long.MaxValue)
+    assert(all.size.toLong == tot, "whole-domain predicate must select all files")
+  }
+
+  test("s20 binary signatures: scale-invariant, self-distance zero, recall floor vs exact") {
+    import org.apache.spark.sql.functions._
+    // recall@5 of the 1-bit tier vs exact s01 at sf0.001 — floor set
+    // from the measured value (see NOTES round 14) with margin
+    val exact = Similarity.s01KnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.s20BinaryRerank(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect bq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"s20 recall@5 vs exact fell to $recall")
+    // hamming of the top-1 picks is bounded far below random (32)
+    val ham1 = Similarity.s20BinaryRerank(spark, sf)
+      .filter(col("rnk") === 1).agg(max(col("ham"))).collect()(0).getLong(0)
+    assert(ham1 < 32, s"top-1 hamming $ham1 should beat the random baseline 32")
+    // cosine is scale-invariant and so must the signature be:
+    // sig(2v) == sig(v) for every corpus vector
+    val e = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val s1 = Similarity.s20SigCols(e).select("vec_id", "h0", "h1")
+    val s2 = Similarity.s20SigCols(
+        e.withColumn("e", expr("transform(e, x -> x * 2D)")))
+      .select(col("vec_id"), col("h0").as("g0"), col("h1").as("g1"))
+    val diff = s1.join(s2, "vec_id")
+      .filter(col("h0") =!= col("g0") || col("h1") =!= col("g1")).count()
+    assert(diff == 0, s"$diff signatures changed under uniform scaling")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000

@@ -199,6 +199,19 @@ class StreamingSpec extends AnyFunSuite {
         s"(${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("st15 streaming view maintenance: 3 micro-batch refreshes equal the one-shot incremental view") {
+    val (outDf, n) = StreamingOps.st15Core(spark, sf)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.Sinks.p15IncrementalView(spark, sf)
+      .collect().map(key).toSeq
+    assert(n == 3, s"expected exactly 3 non-empty micro-batch refreshes, got $n")
+    assert(streamed == batch,
+      s"streamed view diverged from the one-shot incremental view " +
+        s"(${streamed.size} vs ${batch.size} rows)")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
