@@ -470,6 +470,27 @@ object SparkEntry {
     // full recompute (p15's oracle verbatim)
     "st15_streaming_view" ->
       (graft.streaming.StreamingOps.st15StreamingViewMaintenance _),
+    // s21: the persisted form of s20 — signatures written once at
+    // ingest (16 B/row), query batches serve from the stored artifact
+    // alone; deterministic packing ⇒ shares s20's oracle verbatim
+    "s21_persisted_binary" -> (Similarity.s21PersistedBinary _),
+    // m11: reverse image search — the retrieval verb on the persisted
+    // m08 media index (banded dHash probe + Hamming verify; content
+    // tier for undecodable probes; sentinel rows for empty queries)
+    "m11_reverse_image_search" -> (Multimodal.m11ReverseImageSearch _),
+    // t22: phrase search via positional postings — the adjacency-
+    // aware lexical tier BM25 can't express; postings-lookup-first,
+    // corpus-derived deterministic query bigrams
+    "t22_phrase_search" -> (TextOps.t22PhraseSearch _),
+    // p17: partition-spec evolution — historical files keep the old
+    // layout (day=), new data lands at the finer grain (day=/hr=);
+    // one logical query adapts per era (dir pruning vs pushed filter)
+    "p17_partition_evolution" -> (Sinks.p17PartitionEvolution _),
+    // e05: the retrieval SERVING pipeline — lexical + vector → RRF
+    // fusion → MMR diversification as ONE job (the e01 composition
+    // argument on the query side; fused grid rescaled exactly onto
+    // the MMR micro-unit grid)
+    "e05_serving_pipeline" -> (Pipeline.e05ServingPipeline _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -535,7 +535,19 @@ object Multimodal {
     * dhash tier would be vacuous at every SF (the t11/d10 pattern).
     * MultimodalSpec pins the sniff, both hash values and the
     * distance. */
-  private[graft] def canaryBmp(perturbed: Boolean): Array[Byte] = {
+  private[graft] def canaryBmp(perturbed: Boolean): Array[Byte] =
+    gridBmp((x, y) => if (perturbed && y == 0 && x == 4) 10 else 20 * x + 10)
+
+  /** The m11 "far" probe: the canary's 9×8 grid with the gray gradient
+    * REVERSED (170 − 20·x, strictly decreasing left-to-right), so every
+    * gradient bit is UNSET where the canary's is SET — dHash Hamming
+    * exactly 64, all [[M05Bands]] bands differ, and the banded probe
+    * provably finds no candidate (the sentinel face of retrieval). */
+  private[graft] def farBmp: Array[Byte] = gridBmp((x, _) => 170 - 20 * x)
+
+  /** 9×8 24-bit grayscale BMP with per-pixel gray from `px(x, y)` —
+    * pixels map 1:1 onto [[dHash64]]'s 9×8 grid (see [[canaryBmp]]). */
+  private def gridBmp(px: (Int, Int) => Int): Array[Byte] = {
     val (w, h) = (9, 8)
     val rowBytes = w * 3
     val stride = (rowBytes + 3) / 4 * 4
@@ -548,7 +560,7 @@ object Multimodal {
     out.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
     for (y <- h - 1 to 0 by -1) { // BMP stores rows bottom-up
       for (x <- 0 until w) {
-        val v = if (perturbed && y == 0 && x == 4) 10 else 20 * x + 10
+        val v = px(x, y)
         out.put(v.toByte).put(v.toByte).put(v.toByte) // B, G, R
       }
       out.put(Array.fill[Byte](stride - rowBytes)(0))
@@ -1507,7 +1519,101 @@ object Multimodal {
     segments.unionByName(fallback).orderBy("media_id")
   }
 
+  // ---- m11: reverse image search over the persisted media index ------
+
+  /** Results kept per query — the retrieval page size. */
+  private[graft] val M11TopK = 3
+
+  /** m11: REVERSE IMAGE SEARCH — the retrieval verb on the persisted
+    * media index, closing the same dedup↔retrieval asymmetry on the
+    * media side that s01-s21 close for vectors (m08 DEDUPS deltas
+    * against the banded index; m11 QUERIES it — the TinEye/"search by
+    * image" shape): a query image decodes to its dHash64, probes the
+    * (band, bh)-bucketed postings (pigeonhole-exact for Hamming ≤
+    * [[M05HammingMax]]), verifies by bit_count(xor) on the phash
+    * columns riding the join, and ranks matches by Hamming; query
+    * payloads that don't decode route through the phash-bucketed
+    * content table instead (exact-byte retrieval). Queries with no
+    * candidate keep a sentinel row (the s19 zero-hit discipline).
+    * The probe set: the perturbed canary (must retrieve the stored
+    * canary at Hamming exactly 1), an exact canary copy (Hamming 0),
+    * the reversed-gradient [[farBmp]] (all bands differ — provably no
+    * candidate), and doc 0's own bytes (content tier, replayed by the
+    * oracle from md5 prefixes — the corpus-dependent face). 100 TB:
+    * identical to m08's serve shape — queries are delta-sized, probe
+    * keys shuffle INTO the index's bucket layout, the corpus is never
+    * re-decoded or re-shuffled. */
+  def m11ReverseImageSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = media(spark, dir).select(col("media_id"), col("payload"))
+      .unionAll(Seq((-1L, canaryBmp(false))).toDF("media_id", "payload"))
+    val (bandT, contT) = m08BuildIndex(spark, corpus)
+    val queries = Seq(
+        (-101L, canaryBmp(true)), // near-dup probe → canary at Hamming 1
+        (-102L, canaryBmp(false)), // exact probe → Hamming 0
+        (-103L, farBmp)) // all bands differ → sentinel
+      .toDF("media_id", "payload")
+      .unionAll(corpus.filter(col("media_id") === 0L)
+        .select(lit(-104L).as("media_id"), col("payload")))
+    m11Search(spark, queries, bandT, contT)
+  }
+
+  /** The serve half of m11 over an already-built m08 index: banded
+    * probe + inline Hamming verify for decodable queries, content-
+    * table lookup for the rest, per-query top-[[M11TopK]], sentinel
+    * rows for empty queries. */
+  private[graft] def m11Search(spark: SparkSession, queries: DataFrame,
+      bandT: String, contT: String): DataFrame = {
+    val hashed = perceptualHashes(spark, queries)
+    val dhCand = dhashBands(hashed.filter(col("method") === "dhash"))
+      .as("d").hint("merge")
+      .join(spark.table(bandT).as("c"),
+        col("d.band") === col("c.band") && col("d.bh") === col("c.bh"))
+      .select(col("d.media_id").as("qid"), col("c.media_id").as("mid"),
+        bit_count(col("d.phash").bitwiseXOR(col("c.phash"))).cast("long").as("ham"))
+      .distinct() // a pair can meet under several intact bands
+      .withColumn("method", lit("dhash"))
+    val contCand = hashed.filter(col("method") === "content")
+      .as("d").hint("merge")
+      .join(spark.table(contT).as("c"), col("d.phash") === col("c.phash"))
+      .select(col("d.media_id").as("qid"), col("c.media_id").as("mid"),
+        lit(0L).as("ham"), lit("content").as("method"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ham").asc, col("mid").asc)
+    val ranked = dhCand.unionByName(contCand)
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= M11TopK)
+    hashed.select(col("media_id").as("query_id")).distinct()
+      .join(ranked, col("query_id") === col("qid"), "left")
+      .select(col("query_id"),
+        coalesce(col("rnk").cast("long"), lit(0L)).as("rnk"),
+        coalesce(col("mid"), lit(-1L)).as("media_id"),
+        coalesce(col("ham"), lit(-1L)).as("hamming"),
+        coalesce(col("method"), lit("none")).as("method"))
+      .orderBy("query_id", "rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    // m11: the three constructed probes enter as the literals their
+    // construction proves (canary pair Hamming exactly 1 — spec-pinned
+    // — and the reversed gradient at Hamming 64 → sentinel); the
+    // content-tier probe is replayed from md5 prefixes (doc 0's bytes
+    // retrieve every payload-identical corpus item), the m07/m08
+    // oracle discipline
+    "m11_reverse_image_search" ->
+      ("WITH cq AS (SELECT doc_id, substring(md5(text), 1, 16) AS h FROM documents), " +
+        "q0 AS (SELECT substring(md5(text), 1, 16) AS h FROM documents WHERE doc_id = 0), " +
+        "cont AS (SELECT CAST(-104 AS BIGINT) AS query_id, " +
+        "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk, " +
+        "doc_id AS media_id, CAST(0 AS BIGINT) AS hamming, 'content' AS method " +
+        s"FROM cq, q0 WHERE cq.h = q0.h QUALIFY rnk <= $M11TopK) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(-103 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS rnk, " +
+        "CAST(-1 AS BIGINT) AS media_id, CAST(-1 AS BIGINT) AS hamming, 'none' AS method " +
+        "UNION ALL SELECT -102, 1, -1, 0, 'dhash' " +
+        "UNION ALL SELECT -101, 1, -1, 1, 'dhash' " +
+        "UNION ALL SELECT query_id, rnk, media_id, hamming, method FROM cont) " +
+        "ORDER BY query_id, rnk"),
     // m10: the fallback census is replayed from the corpus (every
     // documents-derived payload is undecodable as audio); the two
     // canary rows enter as the hand-computed literals they provably

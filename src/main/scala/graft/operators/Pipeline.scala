@@ -570,7 +570,57 @@ object Pipeline {
       "ORDER BY tier"
   }
 
+  // ---- e05: retrieval SERVING pipeline (fuse → diversify) --------------
+
+  /** The served page size — matches s18's K so the diversity rounds
+    * replay through the shared [[Similarity.mmrRoundsSql]] generator. */
+  private[graft] val E05K = 5
+
+  /** e05: the retrieval SERVING pipeline — the e01 composition
+    * argument applied to the QUERY side of the engine: what a search
+    * endpoint actually returns is not one tier's ranking but the
+    * chain lexical(BM25) + vector(cosine) → RRF fusion → MMR
+    * diversification, run as ONE job. s14 proves fusion and s18
+    * proves diversification; e05 proves they COMPOSE — interop drift
+    * between the fused pool's integer grid and the MMR objective
+    * breaks this gate even when both per-operator gates stay green.
+    * The fused rrf_mu grid (max 2·10⁶/61 ≈ 32786) rescales onto the
+    * cosine micro-unit grid as rrf_mu·61 div 2 (exact integers, max
+    * ≈ 10⁶), so the 7/3 MMR weights trade relevance against
+    * within-page similarity at the calibration s18 measured. Scale
+    * shape: both pools are corpus-wide only in their own tiers'
+    * scale-safe forms (postings lookup / broadcast queries); fusion
+    * and the k greedy rounds touch ≤ PoolK rows per query. */
+  def e05ServingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_mu").desc, col("doc_id").asc)
+    val pool = Similarity.s14Fused(spark, dir)
+      .withColumn("rp", row_number().over(wP))
+      .filter(col("rp") <= Similarity.S14PoolK)
+      .join(Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        col("doc_id") === col("vec_id"))
+      .select(col("query_id").as("qid"), col("doc_id").as("nid"), col("e"),
+        expr("rrf_mu * 61 div 2").as("rel_m"))
+    Similarity.mmrSelect(pool, E05K)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("nid").as("doc_id"), col("score_m").as("mmr_score_m"))
+      .orderBy("query_id", "rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    // e05: s14's fused-pool CTEs + the rel-grid rescale + the SHARED
+    // unrolled MMR rounds (one selection rule across s18/e05)
+    "e05_serving_pipeline" -> (Similarity.s14FusedCtesSql + ", " +
+      "fpool AS (SELECT query_id, doc_id, rrf_mu FROM (" +
+      "SELECT query_id, doc_id, rrf_mu, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rrf_mu DESC, doc_id) AS rp FROM fus) " +
+      s"WHERE rp <= ${Similarity.S14PoolK}), " +
+      "pool AS (SELECT f.query_id AS qid, f.doc_id AS nid, ee.emb, " +
+      "CAST(f.rrf_mu * 61 // 2 AS BIGINT) AS rel_m " +
+      "FROM fpool f JOIN e ee ON ee.vec_id = f.doc_id)" +
+      Similarity.mmrRoundsSql(E05K, "doc_id")),
     "e04_leakage_audit" -> e04Sql,
     "e01_curation_pipeline" -> e01Sql,
     "e02_incremental_curation" -> e02Sql,

@@ -1692,6 +1692,19 @@ object Similarity {
     * deployment swaps in the approximate tiers unchanged (rank
     * columns are rank columns). */
   def s14HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val fused = s14Fused(spark, dir)
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_mu").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= S14K)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("rrf_mu"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The fusion half of [[s14HybridRrf]] up to (query_id, doc_id,
+    * rrf_mu) — the pool e05's serving pipeline diversifies. */
+  private[graft] def s14Fused(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
     // lexical side: t18's scoring pipeline, query terms = each query
     // doc's first 3 distinct tokens, self excluded
@@ -1738,24 +1751,28 @@ object Similarity {
     val vec = vscored.withColumn("rv", row_number().over(wVec))
       .filter(col("rv") <= S14PoolK).select("query_id", "doc_id", "rv")
     // fusion: exact integer RRF over the outer-joined pools
-    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(expr(s"1000000 div ($S14RrfK + rl)"), lit(0L)) +
           coalesce(expr(s"1000000 div ($S14RrfK + rv)"), lit(0L)))
           .cast("long").as("rrf_mu"))
-    val wF = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_mu").desc, col("doc_id").asc)
-    fused.withColumn("rnk", row_number().over(wF))
-      .filter(col("rnk") <= S14K)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("doc_id"), col("rrf_mu"))
-      .orderBy("query_id", "rnk")
   }
 
   /** s14 oracle: the t18-style lexical CTEs (query terms from the
     * query docs themselves), the s01-style vector CTEs, and the
     * integer RRF fusion over the full-outer-joined pools. */
-  private[graft] val s14OracleSql: String =
+  // def, not val: s14FusedCtesSql is declared below — a val here would
+  // read null during object initialization
+  private[graft] def s14OracleSql: String =
+    s14FusedCtesSql +
+      " SELECT query_id, rn AS rnk, doc_id, rrf_mu FROM (SELECT query_id, doc_id, rrf_mu, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rrf_mu DESC, doc_id) AS rn FROM fus) " +
+      s"WHERE rn <= $S14K ORDER BY query_id, rnk"
+
+  /** [[s14OracleSql]]'s CTE chain up to `fus(query_id, doc_id,
+    * rrf_mu)` — WITHOUT the final SELECT, so e05's oracle can chain
+    * the MMR rounds onto the same fused pool. */
+  private[graft] val s14FusedCtesSql: String =
     "WITH tok AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS term FROM documents), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
       "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
@@ -1783,10 +1800,7 @@ object Similarity {
       "fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, " +
       "coalesce(l.doc_id, v.doc_id) AS doc_id, " +
       s"CAST(coalesce(1000000 // ($S14RrfK + l.rl), 0) + coalesce(1000000 // ($S14RrfK + v.rv), 0) AS BIGINT) AS rrf_mu " +
-      "FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id) " +
-      "SELECT query_id, rn AS rnk, doc_id, rrf_mu FROM (SELECT query_id, doc_id, rrf_mu, " +
-      "row_number() OVER (PARTITION BY query_id ORDER BY rrf_mu DESC, doc_id) AS rn FROM fus) " +
-      s"WHERE rn <= $S14K ORDER BY query_id, rnk"
+      "FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id)"
 
   /** ‖a−b‖² in DuckDB by the identical inner-product identity as
     * [[l2sq]] — same three dot products, same left-associated sum. */
@@ -2014,23 +2028,32 @@ object Similarity {
   /** s18 oracle: the identical pool + k unrolled greedy rounds in
     * DuckDB — same integer micro-unit grid, same 7/3 weights, same
     * lowest-nid tie rule. */
-  private[graft] def s18OracleSql: String = {
-    def simM(a: String, b: String) =
-      s"CAST(round(round(list_cosine_similarity($a, $b), 6) * 1e6, 0) AS BIGINT)"
-    val sb = new StringBuilder
-    sb ++= "WITH eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
+  private[graft] def s18OracleSql: String =
+    "WITH eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe " +
       "FROM embeddings WHERE vec_id < 10), " +
       "ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"sc AS (SELECT eq.qid, ee.vec_id AS nid, ee.emb, ${simM("eq.qe", "ee.emb")} AS rel_m " +
+      s"sc AS (SELECT eq.qid, ee.vec_id AS nid, ee.emb, ${mmrSimM("eq.qe", "ee.emb")} AS rel_m " +
       "FROM eq JOIN ee ON ee.vec_id <> eq.qid), " +
       "pool AS (SELECT qid, nid, emb, rel_m FROM (SELECT qid, nid, emb, rel_m, " +
-      s"row_number() OVER (PARTITION BY qid ORDER BY rel_m DESC, nid) AS rn FROM sc) WHERE rn <= $MmrPool), " +
-      s"u1 AS (SELECT qid, nid, emb, CAST(1 AS BIGINT) AS rnk, $MmrRelW * rel_m AS score_m " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY rel_m DESC, nid) AS rn FROM sc) WHERE rn <= $MmrPool)" +
+      mmrRoundsSql(K, "neighbor_id")
+
+  /** Integer micro-unit cosine in DuckDB — [[cosMicroCol]]'s replica. */
+  private def mmrSimM(a: String, b: String) =
+    s"CAST(round(round(list_cosine_similarity($a, $b), 6) * 1e6, 0) AS BIGINT)"
+
+  /** The k unrolled greedy MMR rounds over an in-scope
+    * `pool(qid, nid, emb, rel_m)` CTE, ending in the final SELECT
+    * (ids surfaced as `outIdCol`) — shared by the s18 and e05
+    * oracles so both replay ONE selection rule. */
+  private[graft] def mmrRoundsSql(k: Int, outIdCol: String): String = {
+    val sb = new StringBuilder
+    sb ++= s", u1 AS (SELECT qid, nid, emb, CAST(1 AS BIGINT) AS rnk, $MmrRelW * rel_m AS score_m " +
       "FROM (SELECT qid, nid, emb, rel_m, " +
       "row_number() OVER (PARTITION BY qid ORDER BY rel_m DESC, nid) AS rk FROM pool) WHERE rk = 1)"
-    for (r <- 2 to K) {
+    for (r <- 2 to k) {
       val prev = s"u${r - 1}"
-      sb ++= s", sc$r AS (SELECT p.qid, p.nid, p.rel_m, max(${simM("p.emb", "s.emb")}) AS ms " +
+      sb ++= s", sc$r AS (SELECT p.qid, p.nid, p.rel_m, max(${mmrSimM("p.emb", "s.emb")}) AS ms " +
         s"FROM (SELECT a.* FROM pool a LEFT JOIN $prev d ON d.qid = a.qid AND d.nid = a.nid " +
         s"WHERE d.nid IS NULL) p JOIN $prev s ON s.qid = p.qid " +
         "GROUP BY p.qid, p.nid, p.rel_m), " +
@@ -2042,8 +2065,8 @@ object Similarity {
         s"SELECT k.qid, k.nid, p.emb, k.rnk, k.score_m FROM pick$r k " +
         "JOIN pool p ON p.qid = k.qid AND p.nid = k.nid)"
     }
-    sb ++= s" SELECT qid AS query_id, rnk, nid AS neighbor_id, score_m AS mmr_score_m " +
-      s"FROM u$K ORDER BY query_id, rnk"
+    sb ++= s" SELECT qid AS query_id, rnk, nid AS $outIdCol, score_m AS mmr_score_m " +
+      s"FROM u$k ORDER BY query_id, rnk"
     sb.toString
   }
 
@@ -2187,7 +2210,69 @@ object Similarity {
       "FROM nom m JOIN e a ON a.vec_id = m.qid JOIN e b ON b.vec_id = m.nid) " +
       s"WHERE rn <= $K ORDER BY query_id, rnk"
 
+  /** Write the 1-bit signature store once — (vec_id, h0, h1), 16 B of
+    * signature per row however wide the vectors — and return its
+    * path. The ingest half of the s21 lifecycle. */
+  private[graft] def s21BuildSigStore(spark: SparkSession, dir: String): String = {
+    val root = graft.core.IO.scratchDir("graft-s21")
+    s20SigCols(emb(spark, dir)).select(col("vec_id"), col("h0"), col("h1"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$root/sigs")
+    s"$root/sigs"
+  }
+
+  /** The s21 serve path over an already-written signature store: the
+    * Hamming scan touches ONLY the store (no signature is ever
+    * recomputed from a vector — PlanSpec pins the scan's ReadSchema);
+    * full vectors are read for the R nominees alone. */
+  private[graft] def s21Search(spark: SparkSession, dir: String,
+      sigPath: String): DataFrame = {
+    val sigs = spark.read.parquet(sigPath)
+    val qs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("h0").as("q0"), col("h1").as("q1"))
+    val wHam = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid").asc)
+    val nominated = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (bit_count(col("h0").bitwiseXOR(col("q0"))) +
+          bit_count(col("h1").bitwiseXOR(col("q1")))).cast("long").as("ham"))
+      .withColumn("rn", row_number().over(wHam))
+      .filter(col("rn") <= S10Rerank)
+      .select(col("qid"), col("nid"), col("ham"))
+    val all = emb(spark, dir)
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    broadcast(nominated.join(broadcast(queries), Seq("qid")))
+      .join(all, col("nid") === col("vec_id"))
+      .select(col("qid"), col("nid"), col("ham"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("nid").as("neighbor_id"), col("ham"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s21: the PERSISTED form of s20 — the s11/t18b persistence
+    * argument applied to the binary tier: signatures are computed once
+    * at ingest and written as their own 16-byte-per-row store; query
+    * batches serve from the stored artifact alone (query signatures
+    * included — they are rows of the same store), with full vectors
+    * read only for the R nominees. Signature packing is deterministic,
+    * so the stored store equals the fresh one and s21 shares s20's
+    * oracle VERBATIM — persistence proven semantically invisible row
+    * for row. At 100 TB this is the operative form: the Hamming scan
+    * reads a store 32× smaller than the vectors, and re-ingest cost is
+    * O(delta) map-only appends (no model to retrain — the fold-in
+    * story is trivial where s12's needed frozen centroids). */
+  def s21PersistedBinary(spark: SparkSession, dir: String): DataFrame =
+    s21Search(spark, dir, s21BuildSigStore(spark, dir))
+
   val oracles: Map[String, String] = Map(
+    "s21_persisted_binary" -> s20OracleSql,
     "s20_binary_rerank" -> s20OracleSql,
     "s18_mmr_rerank" -> s18OracleSql,
     "s19_range_search" -> s19OracleSql(LloydRounds),

@@ -989,6 +989,84 @@ object Sinks {
         col("n_rows"), col("sum_cents"))
   }
 
+  // ---- p17: partition-spec evolution ------------------------------------
+
+  /** Land the two eras: days before the newest under the ORIGINAL spec
+    * (day=), the newest day under the EVOLVED spec (day=/hr=). Returns
+    * (root, prevDay, maxDay). */
+  private[graft] def p17Land(spark: SparkSession, dir: String): (String, Long, Long) = {
+    val root = graft.core.IO.scratchDir("graft-p17")
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      date_format(col("ts"), "yyyyMMdd").cast("long").as("day"),
+      hour(col("ts")).cast("long").as("hr"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val maxDay = ev.agg(max(col("day"))).head().getLong(0) // scalar routing read
+    val prevDay = java.lang.Long.parseLong(
+      java.time.LocalDate.parse(maxDay.toString,
+          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+        .minusDays(1).format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
+    ev.filter(col("day") < maxDay).write.mode("overwrite")
+      .partitionBy("day").option("compression", "zstd").parquet(s"$root/e1")
+    ev.filter(col("day") === maxDay).write.mode("overwrite")
+      .partitionBy("day", "hr").option("compression", "zstd").parquet(s"$root/e2")
+    (root, prevDay, maxDay)
+  }
+
+  /** The two era reads under one predicate (previous day + newest day,
+    * afternoon hours): era 1 prunes partitions on day and pushes hr
+    * down as a DATA filter; era 2 prunes on BOTH — PlanSpec pins the
+    * asymmetry, which IS the spec-evolution contract. */
+  private[graft] def p17Queries(spark: SparkSession, root: String,
+      prevDay: Long, maxDay: Long): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$root/e1")
+      .filter(col("day") === prevDay && col("hr").between(12, 23)),
+    spark.read.parquet(s"$root/e2")
+      .filter(col("day") === maxDay && col("hr").between(12, 23)))
+
+  /** p17: PARTITION-SPEC EVOLUTION — the lakehouse face p11 (schema
+    * evolution) doesn't cover: the table's PARTITIONING changed
+    * mid-life (day= → day=/hr=, the Iceberg spec-evolution shape).
+    * Old files keep the old layout forever — no rewrite of historical
+    * data — and one logical query spanning both eras adapts per era:
+    * the day predicate prunes directories in both, the hour predicate
+    * prunes directories only where the spec carries hours and rides
+    * as a pushed data filter where it doesn't. The gate publishes the
+    * per-era census under the same predicate; the oracle replays both
+    * eras from the raw events (era = the day arithmetic), so hash
+    * equality proves the evolved layout serves exactly the logical
+    * table. 100 TB: this is why table formats version partition specs
+    * instead of rewriting the lake — historical petabytes stay
+    * byte-stable while new data lands at the finer grain. */
+  def p17PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val (root, prevDay, maxDay) = p17Land(spark, dir)
+    val (q1, q2) = p17Queries(spark, root, prevDay, maxDay)
+    def census(df: DataFrame, era: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"),
+          countDistinct(col("hr")).as("n_hours"))
+        .select(lit(era).as("era"), col("n_rows"), col("sum_cents"),
+          col("n_hours"))
+    census(q1, "day_spec").unionByName(census(q2, "day_hour_spec"))
+      .orderBy("era")
+  }
+
+  private[graft] val p17Sql: String =
+    "WITH ev AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, " +
+      "CAST(hour(ts) AS BIGINT) AS hr, CAST(round(value * 100) AS BIGINT) AS cents, " +
+      "CAST(ts AS DATE) AS d FROM events), " +
+      "md AS (SELECT max(d) AS mx FROM ev), " +
+      "ds AS (SELECT CAST(strftime(mx, '%Y%m%d') AS BIGINT) AS maxday, " +
+      "CAST(strftime(mx - 1, '%Y%m%d') AS BIGINT) AS prevday FROM md) " +
+      "SELECT era, n_rows, sum_cents, n_hours FROM (" +
+      "SELECT 'day_spec' AS era, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents, " +
+      "CAST(count(DISTINCT hr) AS BIGINT) AS n_hours " +
+      "FROM ev, ds WHERE day = prevday AND hr BETWEEN 12 AND 23 " +
+      "UNION ALL SELECT 'day_hour_spec', CAST(count(*) AS BIGINT), " +
+      "CAST(coalesce(sum(cents), 0) AS BIGINT), CAST(count(DISTINCT hr) AS BIGINT) " +
+      "FROM ev, ds WHERE day = maxday AND hr BETWEEN 12 AND 23) ORDER BY era"
+
   private[graft] val p16Sql: String =
     "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
       s"w AS (SELECT (SELECT max(user_id) FROM ev) // $P16Files + 1 AS width), " +
@@ -1003,6 +1081,10 @@ object Sinks {
       "FROM f, pr WHERE f.fid IN (SELECT fid FROM sel) AND user_id BETWEEN lo AND hi"
 
   val oracles: Map[String, String] = Map(
+    // p17: both eras replayed from the raw events (era = the day
+    // arithmetic) — hash equality proves the evolved layout serves
+    // exactly the logical table
+    "p17_partition_evolution" -> p17Sql,
     // p16: manifest, selection, and aggregate re-derived from the same
     // width arithmetic — equality proves stats-based file skipping is
     // semantically invisible (and the census row pins the pruning)

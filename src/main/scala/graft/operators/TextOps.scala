@@ -1384,7 +1384,82 @@ object TextOps {
       "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
       "FROM r LEFT JOIN k USING (source) ORDER BY source"
 
+  // ---- t22: phrase search via positional postings ----------------------
+
+  private[graft] val T22TopK = 5
+  private[graft] val T22NumQueries = 5
+
+  /** t22: PHRASE SEARCH — the positional-index tier of lexical
+    * retrieval that t18's bag-of-words BM25 cannot express (Lucene's
+    * PhraseQuery / postings-with-positions): postings carry (doc, pos,
+    * term), and a two-term phrase matches where term₁ at p is followed
+    * by term₂ at p+1 — adjacency as a keyed join, never a substring
+    * scan over the corpus. The query batch is corpus-derived and
+    * deterministic (each query q < [[T22NumQueries]] searches for doc
+    * q's own leading bigram, so every query has ≥1 structural hit and
+    * near-dup cluster members surface as the interesting extras);
+    * results rank by occurrence count then doc id, with the per-query
+    * match census riding each row. Postings-lookup-FIRST discipline:
+    * BOTH posting sides restrict to the broadcast query-term sets
+    * before the adjacency join, so everything downstream of the
+    * tokenize pass is candidate-sized. 100 TB: positional postings
+    * persist term-bucketed exactly like t18b's (positions are one
+    * extra int per posting); the adjacency join keys on (doc, pos) —
+    * no window, no self-join on the full corpus. */
+  def t22PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    t22Over(docs(spark, dir))
+
+  /** [[t22PhraseSearch]] over an explicit (doc_id, text) frame — the
+    * OperatorSpec seam: a hand-built corpus pins adjacency and the
+    * OVERLAPPING-occurrence count ("a a a" matches "a a" twice). */
+  private[graft] def t22Over(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+    val q = d.filter(col("doc_id") < T22NumQueries)
+      .select(col("doc_id").as("query_id"),
+        element_at(tokens(col("text")), 1).as("w1"),
+        element_at(tokens(col("text")), 2).as("w2"))
+    val pa = tok.join(broadcast(q.select(col("w1").as("term")).distinct()),
+      Seq("term"))
+    val pb = tok
+      .join(broadcast(q.select(col("w2").as("term")).distinct()), Seq("term"))
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos2"),
+        col("term").as("term2"))
+    val hits = pa.join(broadcast(q), col("term") === col("w1"))
+      .join(pb, col("doc_b") === col("doc_id") &&
+        col("pos2") === col("pos") + 1 && col("term2") === col("w2"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    val wN = Window.partitionBy(col("query_id"))
+    hits.withColumn("rnk", row_number().over(wR).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(wN))
+      .filter(col("rnk") <= T22TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_occ"),
+        col("n_docs"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private[graft] val t22Sql: String =
+    "WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      "p0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM tok), " +
+      "p AS (SELECT doc_id, pos, w[pos] AS term FROM p0), " +
+      s"q AS (SELECT doc_id AS query_id, w[1] AS w1, w[2] AS w2 FROM tok WHERE doc_id < $T22NumQueries), " +
+      "hit AS (SELECT q.query_id, a.doc_id, count(*) AS n_occ FROM q " +
+      "JOIN p a ON a.term = q.w1 " +
+      "JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.w2 " +
+      "GROUP BY 1, 2) " +
+      "SELECT query_id, rnk, doc_id, CAST(n_occ AS BIGINT) AS n_occ, n_docs FROM (" +
+      "SELECT query_id, doc_id, n_occ, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY n_occ DESC, doc_id) AS rnk, " +
+      "count(*) OVER (PARTITION BY query_id) AS n_docs FROM hit) " +
+      s"WHERE rnk <= $T22TopK ORDER BY query_id, rnk"
+
   val oracles: Map[String, String] = Map(
+    "t22_phrase_search" -> t22Sql,
     // the same shingle census + interval-union window arithmetic,
     // token for token — a span found by one engine and not the other
     // (or merged differently at an overlap) breaks the hash

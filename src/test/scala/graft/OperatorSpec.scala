@@ -1975,6 +1975,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff signatures changed under uniform scaling")
   }
 
+  test("t22 phrase search: adjacency exact, overlapping occurrences counted, ranking by count") {
+    import spark.implicits._
+    // doc 0's bigram "a a" occurs TWICE in doc 0 (overlapping: pos 1-2
+    // and 2-3) and once in doc 2; doc 1's "x y" twice in doc 1 only;
+    // doc 2's "b a" once in doc 2 only
+    val d = Seq((0L, "a a a b"), (1L, "x y x y x"), (2L, "b a a c"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.t22Over(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((0L, 1L)) == ((0L, 2L, 2L)), "q0 rank 1: doc 0, 2 overlapping occurrences")
+    assert(rows((0L, 2L)) == ((2L, 1L, 2L)), "q0 rank 2: doc 2, 1 occurrence")
+    assert(rows((1L, 1L)) == ((1L, 2L, 1L)), "q1: doc 1 only, 2 occurrences")
+    assert(rows((2L, 1L)) == ((2L, 1L, 1L)), "q2: doc 2 only")
+    assert(rows.size == 4, s"unexpected extra phrase hits: $rows")
+  }
+
+  test("s21 persisted binary store: stored-signature serve equals the fresh s20 run") {
+    val fresh = Similarity.s20BinaryRerank(spark, sf).collect().toSeq
+    val stored = Similarity.s21PersistedBinary(spark, sf).collect().toSeq
+    assert(fresh == stored,
+      s"persistence must be semantically invisible (${fresh.size} vs ${stored.size} rows)")
+  }
+
+  test("e05 serving pipeline: round 1 is s14's fused winner; diversity measurably reorders a page") {
+    val e05 = Pipeline.e05ServingPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s14 = Similarity.s14HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e05Top1 = e05.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val s14Top1 = s14.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    // the first greedy round has an empty selected set — pure fused
+    // relevance — so rank 1 must agree with s14 query for query
+    assert(e05Top1 == s14Top1, s"round-1 picks diverged: $e05Top1 vs $s14Top1")
+    // diversity must bite somewhere: at least one query's page differs
+    // from the pure fused top-5 in ORDER or SET
+    val e05Pages = e05.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val s14Pages = s14.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(e05Pages.exists { case (q, page) => s14Pages(q) != page },
+      "MMR never reordered any page — the diversity stage is vacuous")
+  }
+
   test("p04 split bucket: overflow-safe and equal to the true modular product at 2^62") {
     import spark.implicits._
     // doc_ids near 2^62: the naive (doc_id * 2654435761) % 1000

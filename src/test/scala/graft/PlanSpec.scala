@@ -84,6 +84,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition pruning on the day partitions:\n$p")
   }
 
+  test("p17 era scans: the hour predicate prunes directories only under the evolved spec") {
+    val (root, prevDay, maxDay) = operators.Sinks.p17Land(spark, sf)
+    val (q1, q2) = operators.Sinks.p17Queries(spark, root, prevDay, maxDay)
+    val (p1, p2) = (formatted(q1), formatted(q2))
+    // era 1 (day= spec): day prunes partitions, hr is a PUSHED DATA filter
+    assert("PartitionFilters[^\n]*day".r.findFirstIn(p1).isDefined,
+      s"era-1 scan must prune on day:\n$p1")
+    assert("PartitionFilters[^\n]*hr".r.findFirstIn(p1).isEmpty,
+      s"era-1 spec has no hr partition — hr must not be a partition filter:\n$p1")
+    assert("PushedFilters[^\n]*hr".r.findFirstIn(p1).isDefined,
+      s"era-1 scan must push hr down as a data filter:\n$p1")
+    // era 2 (day=/hr= spec): hr prunes DIRECTORIES
+    assert("PartitionFilters[^\n]*hr".r.findFirstIn(p2).isDefined,
+      s"era-2 scan must prune on hr:\n$p2")
+  }
+
+  test("s21 serve path nominates from the stored signatures, never recomputing them") {
+    val sigPath = operators.Similarity.s21BuildSigStore(spark, sf)
+    val p = formatted(operators.Similarity.s21Search(spark, sf, sigPath))
+    assert(p.contains("graft-s21"),
+      s"expected a scan over the persisted signature store:\n$p")
+    // a recompute would re-pack signatures from the vectors via the
+    // slice()-based fold — its absence pins store-only nomination
+    assert(!p.contains("slice("),
+      s"signature packing expression found in the serve plan:\n$p")
+  }
+
   test("p12 base-side merge scan is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("p12plan").toString + "/snap"
