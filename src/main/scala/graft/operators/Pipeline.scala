@@ -595,6 +595,11 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val wP = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_mu").desc, col("doc_id").asc)
+    // materialize the ≤ PoolK·queries-row pool ONCE before the greedy
+    // rounds: mmrSelect references it in every materialized round
+    // (anti-join, round-1, pick join), and an uncached pool would
+    // recompute the whole two-tier fusion DAG per reference — measured
+    // 205 s vs s14's own 4.6 s at the 10× gate before this boundary
     val pool = Similarity.s14Fused(spark, dir)
       .withColumn("rp", row_number().over(wP))
       .filter(col("rp") <= Similarity.S14PoolK)
@@ -603,10 +608,18 @@ object Pipeline {
         col("doc_id") === col("vec_id"))
       .select(col("query_id").as("qid"), col("doc_id").as("nid"), col("e"),
         expr("rrf_mu * 61 div 2").as("rel_m"))
-    Similarity.mmrSelect(pool, E05K)
+      .localCheckpoint()
+    val sel = Similarity.mmrSelect(pool, E05K)
+    val out = sel
       .select(col("qid").as("query_id"), col("rnk"),
         col("nid").as("doc_id"), col("score_m").as("mmr_score_m"))
       .orderBy("query_id", "rnk")
+      .localCheckpoint()
+    // release the pool and the final round's checkpoint — only the
+    // ≤ K·queries-row page stays pinned (the s18/e04 discipline)
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(pool)
+    org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(sel)
+    out
   }
 
   val oracles: Map[String, String] = Map(
