@@ -386,7 +386,16 @@ object Bench {
         Seq("build_sec" -> b, "fold_sec" -> f, "search_sec" -> s)
       } catch { case _: Throwable =>
         Seq("build_sec" -> -1.0, "fold_sec" -> -1.0, "search_sec" -> -1.0) }
-      Seq("s11_persisted_ivf_pq" -> s11, "s12_ivf_pq_foldin" -> s12)
+      // s21: same conflation on the binary tier — the one-time
+      // signature-store build vs the 16 B/row Hamming serve
+      val s21 = try {
+        var p: String = null
+        val b = time { p = sim.s21BuildSigStore(spark, sfDir) }
+        val s = time(force(sim.s21Search(spark, sfDir, p)))
+        Seq("build_sec" -> b, "search_sec" -> s)
+      } catch { case _: Throwable => Seq("build_sec" -> -1.0, "search_sec" -> -1.0) }
+      Seq("s11_persisted_ivf_pq" -> s11, "s12_ivf_pq_foldin" -> s12,
+        "s21_persisted_binary" -> s21)
     }
 
     // ---- LSH band-bucket cap census ----
