@@ -451,6 +451,10 @@ object SparkEntry {
     // re-emits; both faces deterministic via the constructed feed
     "st14_streaming_ttl_dedup" ->
       (graft.streaming.StreamingOps.st14StreamingTtlDedup _),
+    // q38: RANGE-frame window — trailing-24h per-user aggregates with
+    // a VALUE-based frame (the window semantics ROWS frames can't
+    // state deterministically over tied sort keys)
+    "q38_range_frame" -> (Relational.q38 _),
     // q37: time-series gap-fill / resample — per-key calendar
     // densification with LOCF and linear-interpolation fills on the
     // integer cents grid; windows run over calendar-sized rows only

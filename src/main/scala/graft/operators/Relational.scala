@@ -1014,7 +1014,52 @@ object Relational {
       "ELSE CAST(floor((vp * (hn - h) + vn * (h - hp)) / CAST(hn - hp AS DOUBLE)) AS BIGINT) END AS BIGINT) AS interp_cents " +
       "FROM f ORDER BY event_type, hour_idx"
 
+  // ---- q38: RANGE-frame (value-based) sliding window --------------------
+
+  /** Trailing window width in seconds (24 h inclusive of the current
+    * second: sec ∈ [cur − 86399, cur]). */
+  private[graft] val Q38RangeSec = 86399L
+
+  /** q38: the RANGE-frame window — the one window semantics the rest
+    * of the surface never exercises: q24/q25's frames are ROWS-based
+    * (positional), but a trailing-24-hours-per-user aggregate needs a
+    * VALUE-based frame — peers are selected by distance in the ORDER
+    * BY value, so ties (same-second events) are all in or all out
+    * together and the result is well-defined regardless of intra-peer
+    * order (a ROWS frame over a tied sort would be nondeterministic
+    * here). Every event row carries its user's event count and cents
+    * sum over the trailing 24 h — the rolling-exposure/velocity
+    * feature a fraud or rate-limit pipeline computes. Scale shape: one
+    * user_id-partitioned sort window; per-partition work is bounded by
+    * a user's own history, never the corpus (the q12 discipline). */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    q38Over(t(spark, dir, "events").select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"),
+      round(col("value") * 100).cast("long").as("cents")))
+
+  /** [[q38]] over an explicit (event_id, user_id, sec, cents) frame —
+    * the OperatorSpec seam: hand-built ties and exact 24 h boundaries
+    * pin the frame's inclusive edges and peer handling. */
+  private[graft] def q38Over(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-Q38RangeSec, 0)
+    ev.withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("cents_24h", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("n_24h"), col("cents_24h"))
+      .orderBy(col("event_id"))
+  }
+
+  private[graft] val q38Sql: String =
+    "WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+      "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+      "SELECT event_id, user_id, sec, count(*) OVER w AS n_24h, " +
+      "CAST(sum(cents) OVER w AS BIGINT) AS cents_24h FROM ev " +
+      s"WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN $Q38RangeSec PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"
+
   val oracles: Map[String, String] = Map(
+    "q38_range_frame" -> q38Sql,
     "q37_gap_fill" -> q37Sql,
     "q36_profile_constraints" -> q36Sql,
     "q35_pagerank" -> q35Sql,

@@ -1999,6 +1999,27 @@ class OperatorSpec extends AnyFunSuite {
       s"persistence must be semantically invisible (${fresh.size} vs ${stored.size} rows)")
   }
 
+  test("q38 range frame: inclusive 24h edges, same-second peers all in together") {
+    import spark.implicits._
+    // user 1: t=0, t=86399 (inside the trailing window of each other's
+    // edge), t=86400 (exactly outside t=0's window), plus two
+    // same-second peers at t=86400 — a value-based frame includes BOTH
+    // peers in BOTH rows' frames (a ROWS frame could not say that
+    // deterministically under the tied sort)
+    val ev = Seq(
+        (1L, 10L, 0L, 100L), (2L, 10L, 86399L, 10L),
+        (3L, 10L, 86400L, 1L), (4L, 10L, 86400L, 2L),
+        (5L, 20L, 50L, 7L))
+      .toDF("event_id", "user_id", "sec", "cents")
+    val rows = Relational.q38Over(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) == ((1L, 100L)), "t=0 sees only itself")
+    assert(rows(2L) == ((2L, 110L)), "t=86399 still includes t=0 (inclusive edge)")
+    assert(rows(3L) == ((3L, 13L)), "t=86400 drops t=0, includes BOTH same-second peers")
+    assert(rows(4L) == ((3L, 13L)), "tied peers carry identical frames")
+    assert(rows(5L) == ((1L, 7L)), "partitions are per user")
+  }
+
   test("e05 serving pipeline: round 1 is s14's fused winner; diversity measurably reorders a page") {
     val e05 = Pipeline.e05ServingPipeline(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
