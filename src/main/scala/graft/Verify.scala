@@ -52,6 +52,9 @@ object Verify {
       .map { case (k, vs) => s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/exact_twins.json"), twins)
+    // stop the StateStore maintenance scheduler before SparkEnv dies —
+    // keeps the driver-captured tail free of post-stop stack traces
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

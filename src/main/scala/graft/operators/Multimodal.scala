@@ -1129,16 +1129,25 @@ object Multimodal {
     *    nothing else — the index is 33 bytes/row regardless of how
     *    many megabytes the payloads are, and the corpus is DECODED
     *    EXACTLY ONCE, at ingest. */
+  /** `cap` — whether hot (band, bh) buckets are capped at write time.
+    * The cap is a precision/perf valve for DEDUP (a capped bucket can
+    * only miss candidate PAIRS among payloads that all hash alike —
+    * acceptable there); RETRIEVAL (m11) builds with cap = false,
+    * because a dropped posting silently breaks the pigeonhole-exact
+    * recall guarantee for Hamming ≤ [[M05HammingMax]] (round-14
+    * ADVICE): a query whose true match fell out of a hot bucket would
+    * return a sentinel instead of the match. */
   private[graft] def m08BuildIndex(
-      spark: SparkSession, corpus: DataFrame): (String, String) = {
+      spark: SparkSession, corpus: DataFrame,
+      cap: Boolean = true): (String, String) = {
     val wh = graft.core.IO.scratchDir("graft-m08")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val bandT = s"graft_m08_bands_$tag"
     val contT = s"graft_m08_content_$tag"
     val hashed = perceptualHashes(spark, corpus)
-    val bands = Dedup.capBandBuckets(
-      dhashBands(hashed.filter(col("method") === "dhash")),
-      Seq("band", "bh"), Dedup.bandCap(corpus.count()))
+    val rawBands = dhashBands(hashed.filter(col("method") === "dhash"))
+    val bands = if (cap) Dedup.capBandBuckets(
+      rawBands, Seq("band", "bh"), Dedup.bandCap(corpus.count())) else rawBands
     bands.write.mode("overwrite").format("parquet")
       .bucketBy(Dedup.D13Buckets, "band", "bh").sortBy("band", "bh")
       .option("path", s"$wh/bands_$tag").saveAsTable(bandT)
@@ -1547,7 +1556,9 @@ object Multimodal {
     import spark.implicits._
     val corpus = media(spark, dir).select(col("media_id"), col("payload"))
       .unionAll(Seq((-1L, canaryBmp(false))).toDF("media_id", "payload"))
-    val (bandT, contT) = m08BuildIndex(spark, corpus)
+    // cap = false: retrieval needs every posting for the pigeonhole-
+    // exact recall claim — see m08BuildIndex's cap scaladoc
+    val (bandT, contT) = m08BuildIndex(spark, corpus, cap = false)
     val queries = Seq(
         (-101L, canaryBmp(true)), // near-dup probe → canary at Hamming 1
         (-102L, canaryBmp(false)), // exact probe → Hamming 0

@@ -1031,15 +1031,29 @@ object Relational {
     * sum over the trailing 24 h — the rolling-exposure/velocity
     * feature a fraud or rate-limit pipeline computes. Scale shape: one
     * user_id-partitioned sort window; per-partition work is bounded by
-    * a user's own history, never the corpus (the q12 discipline). */
+    * a user's own history, never the corpus (the q12 discipline). The
+    * GATE output is the per-user PEAK of that rolling feature (max
+    * trailing-24 h count/cents — the number a rate limiter actually
+    * thresholds on), so the result set is bounded by user cardinality
+    * while the window underneath stays corpus-wide; the raw per-event
+    * frame remains spec-pinned through [[q38Over]] (round-14 ADVICE:
+    * the previous per-event output made q38 the one gate whose
+    * RESULT was corpus-sized, charging the bench a total-order sort
+    * the window semantics never needed). */
   def q38(spark: SparkSession, dir: String): DataFrame =
     q38Over(t(spark, dir, "events").select(col("event_id"), col("user_id"),
       col("ts").cast("long").as("sec"),
       round(col("value") * 100).cast("long").as("cents")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("n_24h")).as("peak_n_24h"),
+        max(col("cents_24h")).as("peak_cents_24h"))
+      .orderBy(col("user_id"))
 
-  /** [[q38]] over an explicit (event_id, user_id, sec, cents) frame —
-    * the OperatorSpec seam: hand-built ties and exact 24 h boundaries
-    * pin the frame's inclusive edges and peer handling. */
+  /** The per-event RANGE frame over an explicit (event_id, user_id,
+    * sec, cents) frame — the OperatorSpec seam: hand-built ties and
+    * exact 24 h boundaries pin the frame's inclusive edges and peer
+    * handling row-for-row. */
   private[graft] def q38Over(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
       .rangeBetween(-Q38RangeSec, 0)
@@ -1047,16 +1061,17 @@ object Relational {
       .withColumn("cents_24h", sum(col("cents")).over(w))
       .select(col("event_id"), col("user_id"), col("sec"),
         col("n_24h"), col("cents_24h"))
-      .orderBy(col("event_id"))
   }
 
   private[graft] val q38Sql: String =
     "WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
-      "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
-      "SELECT event_id, user_id, sec, count(*) OVER w AS n_24h, " +
+      "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+      "f AS (SELECT event_id, user_id, sec, count(*) OVER w AS n_24h, " +
       "CAST(sum(cents) OVER w AS BIGINT) AS cents_24h FROM ev " +
-      s"WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN $Q38RangeSec PRECEDING AND CURRENT ROW) " +
-      "ORDER BY event_id"
+      s"WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN $Q38RangeSec PRECEDING AND CURRENT ROW)) " +
+      "SELECT user_id, count(*) AS n_events, max(n_24h) AS peak_n_24h, " +
+      "CAST(max(cents_24h) AS BIGINT) AS peak_cents_24h " +
+      "FROM f GROUP BY user_id ORDER BY user_id"
 
   val oracles: Map[String, String] = Map(
     "q38_range_frame" -> q38Sql,

@@ -311,35 +311,31 @@ object Sinks {
     * rewrite is the gate-scoped stand-in for that commit. */
   private[graft] def p14Vacuum(spark: SparkSession, root: String,
       retainFrom: Long): Unit = {
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
     val kept = spark.read.parquet(s"$root/manifest")
       .filter(col("snap") >= retainFrom)
       .select("snap", "pk", "dver").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val live = kept.map { case (_, pk, dver) => s"dv=$dver/pk=$pk" }.toSet
-    val dRoot = java.nio.file.Paths.get(root, "d")
-    java.nio.file.Files.list(dRoot).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("dv="))
-      .flatMap(dv => java.nio.file.Files.list(dv).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("pk=")))
-      .filter(p => !live.contains(
-        s"${p.getParent.getFileName}/${p.getFileName}"))
-      .foreach { dir =>
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
-      }
+    // Hadoop FileSystem, not java.nio: the table root may live on any
+    // store the session can reach (HDFS/S3A/local) — vacuum must use
+    // the same FS abstraction the writes did (round-14 verdict item 6)
+    val dRoot = new Path(root, "d")
+    val fs = dRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDirs = fs.listStatus(dRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dv="))
+    dvDirs.flatMap(dv => fs.listStatus(dv.getPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pk=")))
+      .map(_.getPath)
+      .filter(p => !live.contains(s"${p.getParent.getName}/${p.getName}"))
+      .foreach(p => fs.delete(p, true))
     // a dv dir whose last bucket died holds only write markers
     // (_SUCCESS) — drop the whole dir
-    java.nio.file.Files.list(dRoot).iterator().asScala.toSeq
-      .filter(p => p.getFileName.toString.startsWith("dv=") &&
-        !java.nio.file.Files.list(p).iterator().asScala
-          .exists(_.getFileName.toString.startsWith("pk=")))
-      .foreach { dir =>
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
-      }
+    fs.listStatus(dRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dv="))
+      .filter(dv => !fs.listStatus(dv.getPath)
+        .exists(_.getPath.getName.startsWith("pk=")))
+      .foreach(dv => fs.delete(dv.getPath, true))
     import spark.implicits._
     kept.toSeq.toDF("snap", "pk", "dver")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
@@ -945,16 +941,29 @@ object Sinks {
     * overlaps the predicate in MANIFEST space (≤ [[P16Files]] rows — a
     * bounded routing read, the p13 pattern), hand the scan the
     * explicit path list, and keep the predicate as the residual
-    * filter. Returns (prunedScan, pathsSelected, nFilesTotal). */
+    * filter. A predicate overlapping NO file's interval returns an
+    * empty frame with the landed schema (read from one manifest-named
+    * footer and filtered to nothing — still a bounded routing read;
+    * `parquet()` with zero varargs paths would throw instead).
+    * Returns (prunedScan, pathsSelected, nFilesTotal). */
   private[graft] def p16Read(spark: SparkSession, root: String,
       lo: Long, hi: Long): (DataFrame, Seq[String], Long) = {
     val man = spark.read.parquet(s"$root/manifest")
     val nTotal = man.count()
     val selected = man.filter(col("max_u") >= lo && col("min_u") <= hi)
       .select("path").collect().map(_.getString(0)).toSeq
-    val pruned = spark.read.option("basePath", s"$root/d")
-      .parquet(selected: _*)
-      .filter(col("user_id").between(lo, hi))
+    val pruned =
+      if (selected.nonEmpty)
+        spark.read.option("basePath", s"$root/d")
+          .parquet(selected: _*)
+          .filter(col("user_id").between(lo, hi))
+      else {
+        // schema-only read of one known file; lit(false) prunes every
+        // row group so no data pages are touched
+        val anyPath = man.orderBy("path").select("path").head().getString(0)
+        spark.read.option("basePath", s"$root/d").parquet(anyPath)
+          .filter(lit(false))
+      }
     (pruned, selected, nTotal)
   }
 

@@ -941,15 +941,28 @@ object StreamingOps {
       .parquet(dRoot)
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val chk = graft.core.IO.scratchDir("graft-st15-chk")
+    // foreachBatch is AT-LEAST-ONCE: a batch retried after its
+    // overwrite landed but before the checkpoint committed would fold
+    // the same delta into the stored partials twice. The standard
+    // guard (Delta's txnVersion idea): a per-batchId marker recorded
+    // beside the view AFTER the overwrite — replays of an already-
+    // applied batchId skip the fold. `_applied` is underscore-hidden,
+    // so the view's parquet reads never see it. Residual window
+    // (documented, not closable without a transactional table format):
+    // a crash BETWEEN the overwrite and its marker still replays —
+    // Delta closes it by committing marker and data in one txn.
     val q = dStream.writeStream
       .option("checkpointLocation", chk)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$wh/_applied/b$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!batch.isEmpty && !fs.exists(marker)) {
           nBatches.incrementAndGet()
           // bounded routing read: the batch's own touched-day list
           val touched = batch.select("day").distinct()
             .collect().map(_.getLong(0)).toSeq
           Sinks.p15Refresh(spark, wh, batch.toDF(), touched)
+          fs.mkdirs(marker): Unit
         }
       }
       .start()

@@ -1944,6 +1944,14 @@ class OperatorSpec extends AnyFunSuite {
     // counterfactual: the whole-domain predicate selects every file
     val (_, all, tot) = Sinks.p16Read(spark, root, 0L, Long.MaxValue)
     assert(all.size.toLong == tot, "whole-domain predicate must select all files")
+    // a range overlapping NO file's [min_u, max_u] must yield an EMPTY
+    // result with the landed schema, not a zero-varargs parquet() crash
+    // (round-14 ADVICE) — user_id is non-negative, so [-10, -1] misses
+    val (none, noneSel, _) = Sinks.p16Read(spark, root, -10L, -1L)
+    assert(noneSel.isEmpty, "negative range must select no files")
+    assert(none.count() == 0L, "empty selection must read as zero rows")
+    assert(none.columns.contains("user_id") && none.columns.contains("cents"),
+      s"empty frame lost the landed schema: ${none.columns.mkString(",")}")
   }
 
   test("s20 binary signatures: scale-invariant, self-distance zero, recall floor vs exact") {
