@@ -495,6 +495,14 @@ object SparkEntry {
     // argument on the query side; fused grid rescaled exactly onto
     // the MMR micro-unit grid)
     "e05_serving_pipeline" -> (Pipeline.e05ServingPipeline _),
+    // s22: distributed k-NN graph construction — the exact top-k
+    // neighbor graph for EVERY corpus vector: corpus-as-queries IVF-PQ
+    // cell nomination (never corpus×corpus), exact-cosine refine
+    "s22_knn_graph" -> (Similarity.s22KnnGraph _),
+    // s23: beam-search serve over the s22 graph — the graph-ANN query
+    // verb: bounded-frontier greedy walk from a deterministic entry,
+    // k unrolled rounds, visited-set ranking + walk censuses
+    "s23_graph_search" -> (Similarity.s23GraphSearch _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

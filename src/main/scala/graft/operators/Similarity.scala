@@ -604,6 +604,18 @@ object Similarity {
     val all = emb(spark, dir).withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
     val queries = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    probeCellsOf(queries, ccents, fcents, k2, fineProbes)
+  }
+
+  /** [[probeCells]] over an explicit (qid, qe, qnrm) query frame — the
+    * s22 seam: k-NN graph construction probes with the WHOLE corpus as
+    * the query set, so the query frame is corpus-sized there and the
+    * 10-row gate set everywhere else. Same hierarchical probe, same
+    * rounding/tie rules. */
+  private[graft] def probeCellsOf(queries: DataFrame,
+      ccents: DataFrame, fcents: DataFrame, k2: Int,
+      fineProbes: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
     val wC = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
     val cprobes = queries.crossJoin(broadcast(ccents))
@@ -2271,7 +2283,348 @@ object Similarity {
   def s21PersistedBinary(spark: SparkSession, dir: String): DataFrame =
     s21Search(spark, dir, s21BuildSigStore(spark, dir))
 
+  // ---- s22: distributed k-NN graph construction -----------------------
+
+  /** Edges kept per source node — the graph degree. */
+  private[graft] val S22Degree = 5
+
+  /** ADC-nominated candidates per source that reach the exact re-rank
+    * — the per-node refine pool (the s10 R, sized for a degree-5
+    * graph). */
+  private[graft] val S22Pool = 20
+
+  /** The shared s22 candidate scorer: [[s09ScoredAt]] generalized to
+    * CORPUS-AS-QUERIES — every vector probes its own top
+    * [[S06FineProbes]] composite cells and ADC-scores the members of
+    * those cells. Two deliberate departures from s09's 10-query form,
+    * both scale-dictated:
+    *
+    *  - the probe table is corpus-sized, so it cannot broadcast: the
+    *    codes ⋈ probes join SHUFFLES on cell (both sides keyed by the
+    *    cell the index is already bucketed on — at deploy the code
+    *    store's bucket layout makes the corpus side exchange-free,
+    *    the d13 pattern);
+    *  - the per-query distance tables (qid, sub, code → unit) are
+    *    n·M·16 rows, so the ADC join is a keyed shuffle join instead
+    *    of s09's broadcast.
+    *
+    * Candidate generation stays cell-restricted BEFORE any distance
+    * lookup (PlanSpec pins the join order) — per-node work is
+    * O(probes·cell·M), never corpus×corpus. */
+  private def s22ScoredAll(spark: SparkSession, dir: String): DataFrame =
+    s22ScoredAllAt(spark, dir, D11CellTarget, S06FineProbes)
+
+  /** [[s22ScoredAll]] at explicit (cellTarget, fineProbes) — the
+    * S22AtScale seam: per-node candidate count is probes·cellTarget,
+    * so a single box shrinks cells to hold the per-node budget where a
+    * 1000-executor cluster would keep the defaults and spread the same
+    * total work. */
+  private[graft] def s22ScoredAllAt(spark: SparkSession, dir: String,
+      cellTarget: Long, fineProbes: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val (k1, k2) = d12FactorsAt(
+      Tables(spark, dir, "embeddings").count(), cellTarget)
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val sv = subvecs(spark, dir)
+    val cb = s07Codebooks(spark, dir, S07Rounds)
+    val codes = s07Encode(sv, cb)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val codesByCell = codes.join(
+      assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+    val all = emb(spark, dir)
+      .withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+    val queries = all.select(
+      col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val fprobes = probeCellsOf(queries, ccents, fcents, k2, fineProbes)
+      .select(col("qid"), col("cid").as("cell"))
+    val dtab = sv
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
+    // cell restriction FIRST (the s09 property), as a cell-keyed
+    // shuffle join — the probe side is corpus-sized here
+    val candidates = codesByCell.hint("shuffle_hash")
+      .join(fprobes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    candidates.join(dtab, Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("unit")).as("adc_units"))
+  }
+
+  /** s22: DISTRIBUTED k-NN GRAPH CONSTRUCTION — the exact top-
+    * [[S22Degree]] neighbor graph for EVERY corpus vector (not just
+    * the 10-query gate set): the substrate SemDeDup-at-scale, graph
+    * clustering, and HNSW-style graph serving all sit on (round-14
+    * verdict item 1; the NN-Descent/GraphBuilder verb, done IVF-first
+    * the way a Spark cluster would). Three stages, each bounded:
+    *
+    *  1. nominate — [[s22ScoredAll]]: every vector ADC-scores only the
+    *     members of its probed cells (never corpus×corpus);
+    *  2. refine — the top-[[S22Pool]] nominees per node pick up full
+    *     vectors through two id-keyed joins (at deploy, an id-keyed
+    *     vector store) and are re-ranked by EXACT cosine — the s10
+    *     recall argument: PQ only has to get true neighbors into the
+    *     pool, not into the top k;
+    *  3. emit — (src_id, rnk, dst_id, cos_sim), top-[[S22Degree]] per
+    *     node, ranking within the pool exact.
+    *
+    * Per-node cost is O(probes·cell·M + pool·dim) — constant under
+    * d12's corpus-relative cell sizing — so the build scales linearly
+    * with n. The DuckDB oracle replays train+index+probe+scan+refine
+    * row-for-row ([[s22OracleSql]]); planted-neighbor recall and the
+    * at-scale wall are measured by graft.tools.S22AtScale (NOTES). */
+  def s22KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    s22GraphAt(spark, dir, D11CellTarget, S06FineProbes, S22Pool)
+
+  /** [[s22KnnGraph]] at explicit (cellTarget, fineProbes, pool) — the
+    * S22AtScale seam. */
+  private[graft] def s22GraphAt(spark: SparkSession, dir: String,
+      cellTarget: Long, fineProbes: Int, pool: Int): DataFrame = {
+    val scored = s22ScoredAllAt(spark, dir, cellTarget, fineProbes)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    val nominated = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= pool)
+      .select(col("qid"), col("vec_id"))
+    val all = emb(spark, dir)
+    val srcs = all.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    nominated.join(srcs, Seq("qid"))
+      .join(all, Seq("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Dedup.cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= S22Degree)
+      .select(col("qid").as("src_id"), col("rn").cast("long").as("rnk"),
+        col("nid").as("dst_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("src_id", "rnk")
+  }
+
+  /** The s22 chain as a CTE block ending in `g22` = the finished graph
+    * (src_id, rnk, dst_id, cos_sim) — the s09 CTEs with the probe and
+    * distance-table CTEs generalized to corpus-as-queries (no
+    * vec_id < 10 anywhere), then ADC nomination at [[S22Pool]] and the
+    * exact-cosine refine at [[S22Degree]]. Shared by the s22 and s23
+    * oracles so both gates replay ONE graph build. Ends with ", ". */
+  private[graft] def s22CtesSql(rounds: Int, pqRounds: Int): String =
+    twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) +
+      "cpr22 AS (SELECT qid, qe, ccid FROM (" +
+      "SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS ccid, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
+      s"FROM e CROSS JOIN cent$rounds c) WHERE rk <= $S06CoarseProbes), " +
+      "fpr22 AS (SELECT qid, ccid * (SELECT k2 FROM kf) + fcid AS cid FROM (" +
+      "SELECT p.qid, f.ccid, f.fcid, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
+      s"FROM cpr22 p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes), " +
+      "dtab22 AS (SELECT q.vec_id AS qid, c.sub, c.cid, " +
+      s"CAST(round(${s07DistSql("q.v", "c.cv")} * 1e6, 0) AS BIGINT) AS unit " +
+      s"FROM sv q JOIN cb$pqRounds c ON q.sub = c.sub), " +
+      "sc22 AS (SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr22 p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab22 d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "WHERE a.vec_id <> p.qid GROUP BY p.qid, k.vec_id), " +
+      "nom22 AS (SELECT qid, nid FROM (SELECT qid, nid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM sc22) " +
+      s"WHERE rn <= $S22Pool), " +
+      // MATERIALIZED: s23's walk references g22 once per round — with
+      // DuckDB's default inlining the whole IVF-PQ+refine chain would
+      // be re-expanded inside every round's CTE tree (measured: >10 min
+      // vs 2.6 s at gate SF); semantics are identical
+      "g22 AS MATERIALIZED (SELECT qid AS src_id, rn AS rnk, nid AS dst_id, round(c, 4) AS cos_sim FROM (" +
+      "SELECT m.qid, m.nid, list_cosine_similarity(q.emb, v.emb) AS c, " +
+      "row_number() OVER (PARTITION BY m.qid " +
+      "ORDER BY round(list_cosine_similarity(q.emb, v.emb), 6) DESC, m.nid) AS rn " +
+      "FROM nom22 m JOIN e q ON q.vec_id = m.qid JOIN e v ON v.vec_id = m.nid) " +
+      s"WHERE rn <= $S22Degree), "
+
+  /** s22 oracle: [[s22CtesSql]]'s graph, emitted. */
+  private[graft] def s22OracleSql(rounds: Int, pqRounds: Int): String =
+    s22CtesSql(rounds, pqRounds) +
+      "gfin AS (SELECT 1) " +
+      "SELECT src_id, rnk, dst_id, cos_sim FROM g22 ORDER BY src_id, rnk"
+
+  // ---- s23: beam-search serve over the s22 graph -----------------------
+
+  /** Beam width — live frontier kept per query per round. */
+  private[graft] val S23Beam = 8
+
+  /** Unrolled walk rounds (the s18/Lloyd replay pattern — each round
+    * is one CTE block in the oracle). */
+  private[graft] val S23Rounds = 4
+
+  /** s23: BEAM-SEARCH SERVE over the s22 k-NN graph — the graph-ANN
+    * query verb (the hnswlib/DiskANN search shape, round-14 verdict
+    * item 2): seed the frontier with the query's own probed IVF cells
+    * (the production "coarse quantizer picks the entry points"
+    * discipline — beam_0 = the top-[[S23Beam]] exact-ranked members of
+    * the [[S06FineProbes]] probed cells, i.e. s06's scan), then walk
+    * the graph greedily for [[S23Rounds]] rounds with a
+    * [[S23Beam]]-bounded live frontier:
+    *
+    *   cand_r = beam_{r-1} ∪ neighbors(beam_{r-1});
+    *   beam_r = top-[[S23Beam]] of cand_r by exact cosine to the query
+    *            (rounded rank keys, id tie-breaks — the s01 rules);
+    *   visited_r = visited_{r-1} ∪ cand_r;
+    *
+    * answer = top-[[K]] of the final visited set, with `n_visited`
+    * (total nodes the walk ever scored) and `frontier` (per-round beam
+    * sizes) riding every result row so the gate pins the WALK, not
+    * just the ranking. The query's own corpus row is excluded from
+    * seed AND expansion (not just from the final ranking): gate
+    * queries are corpus members, and walking THROUGH self would hand
+    * the walk self's exact top-k edges for free. The walk is what lets
+    * s23 recover true neighbors OUTSIDE the probed cells — the recall
+    * property s06 structurally cannot have at the same probe budget
+    * (spec-pinned: s23 ⊇-scores s06's ceiling). beam_{r-1} ⊆ cand_r
+    * makes the best-found score monotone per round. Scale shape: per
+    * query per round the work is beam·degree edge lookups + beam·
+    * degree cosines — independent of corpus size once the graph
+    * exists; the graph is built ONCE and localCheckpointed, so the
+    * rounds replay joins against a materialized artifact, never the
+    * s22 build DAG (the e05 lesson); the round joins broadcast the
+    * tiny frontier into the edge table (at deploy, an src-keyed edge
+    * store — the s11 serve discipline). The oracle replays the s22
+    * build, the probe seed, AND every walk round CTE-for-CTE. */
+  def s23GraphSearch(spark: SparkSession, dir: String): DataFrame =
+    s23At(spark, dir, S23Rounds, S23Beam)
+
+  /** [[s23GraphSearch]] at explicit (rounds, beam) — the sweep seam. */
+  private[graft] def s23At(spark: SparkSession, dir: String,
+      rounds: Int, beamWidth: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val graph = s22KnnGraph(spark, dir)
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
+    // seed from the query's probed cells — the same (cached) two-level
+    // model the graph build trained
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+    val wSeed = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    val seed = fprobes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("node"),
+        (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= beamWidth)
+      .select(col("qid"), col("node"))
+    s23Serve(spark, emb(spark, dir), graph, seed, rounds, beamWidth)
+  }
+
+  /** The serve half of s23 over an already-materialized edge frame and
+    * a (qid, node) seed frontier — the S22AtScale seam (build once,
+    * serve many). */
+  private[graft] def s23Serve(spark: SparkSession, all: DataFrame,
+      graph: DataFrame, seed: DataFrame,
+      rounds: Int, beamWidth: Int): DataFrame = {
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.as("cd")
+        .join(broadcast(queries).as("q"), col("cd.qid") === col("q.qid"))
+        .join(all.as("v"), col("cd.node") === col("v.vec_id"))
+        .select(col("cd.qid").as("qid"), col("cd.node").as("node"),
+          Dedup.cosine(col("q.qe"), col("v.e")).as("c"))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    // union inputs get re-aliased outputs: a checkpointed union leaf
+    // re-exposes its FIRST child's attribute ids, so `vis ∪ cand`
+    // would otherwise put the same attributes under two union children
+    // (Catalyst's constraint rewrite rejects that lineage)
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    var beam = seed.localCheckpoint()
+    var vis = beam
+    val fCounts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val nbrs = broadcast(beam.as("b"))
+        .join(graph.as("g"), col("b.node") === col("g.src_id"))
+        // self never enters the walk — see the scaladoc's honesty rule
+        .filter(col("g.dst_id") =!= col("b.qid"))
+        .select(col("b.qid").as("qid"), col("g.dst_id").as("node"))
+      val cand = fresh(beam).unionByName(nbrs).distinct().localCheckpoint()
+      beam = scoreOf(cand)
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beamWidth)
+        .select(col("qid"), col("node"))
+        .localCheckpoint()
+      vis = fresh(vis).unionByName(fresh(cand)).distinct().localCheckpoint()
+      fCounts += beam.groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as(s"b$r"))
+    }
+    val nv = vis.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
+    val frontiers = fCounts.reduce((a, b) => a.join(b, Seq("qid")))
+    val wK = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    scoreOf(vis.filter(col("node") =!= col("qid")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= K)
+      .join(broadcast(nv), Seq("qid"))
+      .join(broadcast(frontiers), Seq("qid"))
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rnk"),
+        col("node").as("neighbor_id"), round(col("c"), 4).as("cos_sim"),
+        col("n_visited"),
+        concat_ws(",", (1 to rounds).map(r => col(s"b$r")): _*).as("frontier"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s23 oracle: [[s22CtesSql]]'s graph, then every walk round as its
+    * own CTE block (cand = beam ∪ neighbors, score, beam = top-B,
+    * visited accumulate — the Lloyd-replay pattern), then the final
+    * visited-set ranking with the n_visited and frontier censuses
+    * joined on. */
+  private[graft] def s23OracleSql(rounds: Int, pqRounds: Int,
+      walkRounds: Int): String = {
+    // every walk CTE is MATERIALIZED: each round references the
+    // previous round's beam/visited 2-3 times, so default inlining
+    // expands the tree exponentially in walkRounds (the same blowup
+    // g22's comment documents)
+    val walk = (1 to walkRounds).map { r =>
+      s"c$r AS MATERIALIZED (SELECT qid, node FROM b${r - 1} " +
+        s"UNION SELECT b.qid, g.dst_id AS node FROM b${r - 1} b JOIN g22 g ON g.src_id = b.node " +
+        "AND g.dst_id <> b.qid), " +
+        s"s$r AS MATERIALIZED (SELECT cd.qid, cd.node, list_cosine_similarity(q.emb, v.emb) AS c " +
+        s"FROM c$r cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node), " +
+        s"b$r AS MATERIALIZED (SELECT qid, node FROM (SELECT qid, node, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, node) AS rn " +
+        s"FROM s$r) WHERE rn <= $S23Beam), " +
+        s"v$r AS MATERIALIZED (SELECT qid, node FROM v${r - 1} UNION SELECT qid, node FROM c$r), " +
+        s"f$r AS MATERIALIZED (SELECT qid, count(*) AS b$r FROM b$r GROUP BY qid), "
+    }.mkString
+    val frontier = (1 to walkRounds)
+      .map(r => s"CAST(f$r.b$r AS VARCHAR)").mkString(" || ',' || ")
+    val fJoins = (2 to walkRounds).map(r => s"JOIN f$r USING (qid) ").mkString
+    s22CtesSql(rounds, pqRounds) + probeCtesSql(rounds) + ", " +
+      // seed = s06's scan: exact-ranked members of the probed cells
+      "b0 AS MATERIALIZED (SELECT qid, node FROM (" +
+      "SELECT p.qid, a.vec_id AS node, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+      "FROM fpr p JOIN fafin a USING (cid) WHERE a.vec_id <> p.qid) " +
+      s"WHERE rn <= $S23Beam), " +
+      "v0 AS MATERIALIZED (SELECT qid, node FROM b0), " +
+      walk +
+      s"nv AS (SELECT qid, count(*) AS n_visited FROM v$walkRounds GROUP BY qid), " +
+      s"fx AS (SELECT qid, $frontier AS frontier FROM f1 $fJoins), " +
+      s"fin AS (SELECT cd.qid, cd.node AS nid, list_cosine_similarity(q.emb, v.emb) AS c " +
+      s"FROM v$walkRounds cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node " +
+      "WHERE cd.node <> cd.qid) " +
+      "SELECT t.qid AS query_id, t.rn AS rnk, t.nid AS neighbor_id, round(t.c, 4) AS cos_sim, " +
+      "nv.n_visited, fx.frontier FROM (" +
+      "SELECT qid, nid, c, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY round(c, 6) DESC, nid) AS rn FROM fin) t " +
+      "JOIN nv ON nv.qid = t.qid JOIN fx ON fx.qid = t.qid " +
+      s"WHERE t.rn <= $K ORDER BY query_id, rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s22_knn_graph" -> s22OracleSql(LloydRounds, S07Rounds),
+    "s23_graph_search" -> s23OracleSql(LloydRounds, S07Rounds, S23Rounds),
     "s21_persisted_binary" -> s20OracleSql,
     "s20_binary_rerank" -> s20OracleSql,
     "s18_mmr_rerank" -> s18OracleSql,

@@ -2007,6 +2007,79 @@ class OperatorSpec extends AnyFunSuite {
       s"persistence must be semantically invisible (${fresh.size} vs ${stored.size} rows)")
   }
 
+  test("s22 knn graph: planted near-copies are mutual rank-1 edges; edge recall floor vs the brute graph") {
+    import org.apache.spark.sql.functions._
+    // planted corpus: the sf0.001 embeddings + 5 near-copies (every
+    // component +0.0005 → cosine ≈ 1, far above the uniform corpus's
+    // ~0.35 ceiling) at ids src+100000
+    val srcIds = Seq(100L, 200L, 300L, 350L, 450L)
+    val base = graft.core.Tables(spark, sf, "embeddings")
+    val dups = base.filter(col("vec_id").isin(srcIds: _*))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(x + 0.0005 as float))")
+          .as("embedding"),
+        col("label"))
+    val root = graft.core.IO.scratchDir("graft-s22spec")
+    base.unionByName(dups).write.mode("overwrite")
+      .parquet(s"$root/embeddings.parquet")
+    val planted = Similarity.s22KnnGraph(spark, root)
+      .filter(col("rnk") === 1).select("src_id", "dst_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    srcIds.foreach { s =>
+      assert(planted(s + 100000L) == s,
+        s"planted ${s + 100000L} must retrieve its source at rank 1, got ${planted(s + 100000L)}")
+      assert(planted(s) == s + 100000L,
+        s"source $s must retrieve its planted copy at rank 1, got ${planted(s)}")
+    }
+    // edge recall vs the exact brute graph on the unmodified corpus —
+    // floor from the measured 0.39 (uniform worst case: 4-of-16 cells
+    // probed + 4-bit ADC nomination) with regeneration margin
+    val e = base.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = e.select(col("vec_id").as("src"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("dst"), col("e").as("eb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(round(col("c"), 6).desc, col("dst").asc)
+    val truth = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Dedup.cosine(col("ea"), col("eb")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.S22Degree)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s22KnnGraph(spark, sf)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    info(s"s22 edge recall vs brute graph = $recall (${got.size} edges)")
+    assert(recall >= 0.3, s"edge recall under the measured floor: $recall")
+  }
+
+  test("s23 graph search: recall never below the s06 probe ceiling; walk censuses bounded and consistent") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.s01KnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.s06AnnIvf2Level(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.s23GraphSearch(spark, sf).collect()
+    val walk = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r06 = (exact intersect ivf).size.toDouble / exact.size
+    val r23 = (exact intersect walk).size.toDouble / exact.size
+    info(s"s23 recall@5 = $r23 vs s06 probe ceiling $r06")
+    // structural, not statistical: beam_0 ⊇-ranks s06's probed-cell
+    // scan and the final rank is top-k of a SUPERSET of it, and top-k
+    // recall is monotone in the candidate set — the walk can only add
+    assert(r23 >= r06, s"graph walk fell below its own seed: $r23 < $r06")
+    rows.foreach { r =>
+      val fs = r.getString(5).split(",").map(_.toLong)
+      assert(fs.length == Similarity.S23Rounds,
+        s"frontier census must carry one size per round: ${r.getString(5)}")
+      fs.foreach(b => assert(b >= 1 && b <= Similarity.S23Beam,
+        s"frontier size out of [1, beam]: ${r.getString(5)}"))
+      assert(r.getLong(4) >= fs.max,
+        s"n_visited ${r.getLong(4)} < max frontier ${fs.max} — censuses inconsistent")
+    }
+  }
+
   test("q38 range frame: inclusive 24h edges, same-second peers all in together") {
     import spark.implicits._
     // user 1: t=0, t=86399 (inside the trailing window of each other's

@@ -587,6 +587,37 @@ class PlanSpec extends AnyFunSuite {
       s"cell restriction must feed the ADC join, not follow it:\n$p")
   }
 
+  test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
+    val p = plan(Similarity.s22KnnGraph(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"s22 join degraded to a product:\n$p")
+    // s09's ordering argument at corpus scale: the cell-keyed probe
+    // join (now a SHUFFLE join — the probe side is corpus-sized and
+    // cannot broadcast) must be a DESCENDANT of the (qid, sub, code)
+    // ADC join, so only probed cells' code rows ever meet a distance
+    // table. The reverse order would ADC-score the whole corpus first.
+    val cellJoin = "(ShuffledHashJoin|SortMergeJoin) \\[cell#".r.findFirstMatchIn(p)
+    val adcJoin = "(ShuffledHashJoin|SortMergeJoin) \\[qid#\\d+L, sub#\\d+, code#\\d+".r.findFirstMatchIn(p)
+    assert(cellJoin.isDefined, s"no cell-keyed shuffle probe join found:\n$p")
+    assert(adcJoin.isDefined, s"no (qid, sub, code)-keyed ADC join found:\n$p")
+    assert(adcJoin.get.start < cellJoin.get.start,
+      s"cell restriction must feed the ADC join, not follow it:\n$p")
+  }
+
+  test("s23 serve: walk rounds replay against the materialized graph, never the s22 build DAG") {
+    val p = plan(Similarity.s23GraphSearch(spark, sf))
+    // the e05 lesson, pinned: the graph and every round's frontier are
+    // localCheckpointed, so the SERVE plan is ExistingRDD leaves plus
+    // broadcast joins — none of the build machinery (cell probe join,
+    // ADC join) may appear in it
+    assert(p.contains("Scan ExistingRDD"),
+      s"serve must read the materialized graph/frontiers:\n$p")
+    assert("(ShuffledHashJoin|SortMergeJoin) \\[cell#".r.findFirstIn(p).isEmpty,
+      s"s22's cell probe join leaked into the serve plan:\n$p")
+    assert("\\[qid#\\d+L, sub#\\d+, code#\\d+".r.findFirstIn(p).isEmpty,
+      s"s22's ADC join leaked into the serve plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("s11 persisted IVF-PQ: probes broadcast into the code store, which never shuffles") {
     val p = plan(Similarity.s11PersistedIvfPq(spark, sf))
     // the serving property: the persisted code store is consumed
