@@ -495,6 +495,10 @@ object SparkEntry {
     // argument on the query side; fused grid rescaled exactly onto
     // the MMR micro-unit grid)
     "e05_serving_pipeline" -> (Pipeline.e05ServingPipeline _),
+    // p18: merge-on-read deletes — a delete batch lands as its own
+    // delete file (O(deletes), data files untouched), reads anti-join
+    // it inline, compaction folds it in; both phases hash-checked
+    "p18_merge_on_read_deletes" -> (Sinks.p18MergeOnReadDeletes _),
     // s22: distributed k-NN graph construction — the exact top-k
     // neighbor graph for EVERY corpus vector: corpus-as-queries IVF-PQ
     // cell nomination (never corpus×corpus), exact-cosine refine

@@ -616,21 +616,35 @@ object Similarity {
       ccents: DataFrame, fcents: DataFrame, k2: Int,
       fineProbes: Int): DataFrame = {
     import graft.functions.VectorFunctions.array_dot
+    // NARROW rank rows: the 512-byte query vector never rides a rank
+    // window's shuffle — scores travel as (qid, cell ids, rounded
+    // score) and qe re-attaches by an id-keyed join per level. At
+    // s22's 1M corpus-as-queries the fat form shuffled ~70 GB of
+    // vectors through each window (measured — the round-15 at-scale
+    // run stalled in exactly this stage); the narrow form moves ~3 GB
+    // of scores. Ranking semantics are bit-identical: same rounded
+    // keys, same id tie-breaks.
     val wC = Window.partitionBy(col("qid"))
-      .orderBy(round(col("cos_c"), 6).desc, col("cid").asc)
-    val cprobes = queries.crossJoin(broadcast(ccents))
-      .withColumn("cos_c", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .orderBy(col("c6").desc, col("ccid").asc)
+    val cTop = queries.crossJoin(broadcast(ccents))
+      .select(col("qid"),
+        round(array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6).as("c6"),
+        col("cid").as("ccid"))
       .withColumn("rk", row_number().over(wC))
       .filter(col("rk") <= S06CoarseProbes)
-      .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("ccid"))
+      .select(col("qid"), col("ccid"))
     val wF = Window.partitionBy(col("qid"))
-      .orderBy(round(col("cos_f"), 6).desc, col("ccid").asc, col("fcid").asc)
-    cprobes.join(broadcast(fcents), Seq("ccid"))
-      .withColumn("cos_f", array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .orderBy(col("f6").desc, col("ccid").asc, col("fcid").asc)
+    cTop.join(queries, Seq("qid"))
+      .join(broadcast(fcents), Seq("ccid"))
+      .select(col("qid"), col("ccid"), col("fcid"),
+        round(array_dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6).as("f6"))
       .withColumn("rk2", row_number().over(wF))
       .filter(col("rk2") <= fineProbes)
-      .select(col("qid"), col("qe"), col("qnrm"),
+      .select(col("qid"),
         (col("ccid").cast("long") * k2 + col("fcid")).as("cid"))
+      .join(queries, Seq("qid"))
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
   }
 
   /** s06: ANN search over the TWO-LEVEL (coarse×fine) IVF — the search

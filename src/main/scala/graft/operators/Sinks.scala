@@ -1060,6 +1060,111 @@ object Sinks {
       .orderBy("era")
   }
 
+  // ---- p18: merge-on-read deletes (Iceberg-v2 delete files) ------------
+
+  /** Land the p18 base: the p12 snapshot shape (hive pk buckets).
+    * Split from [[p18LandDeletes]] so the spec can fingerprint the
+    * data files between the two lands. */
+  private[graft] def p18LandBase(spark: SparkSession, dir: String): String = {
+    val root = graft.core.IO.scratchDir("graft-p18")
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    p12LandBase(d, s"$root/d")
+    root
+  }
+
+  /** Land a delete BATCH as its own delete file — O(deletes) keys
+    * written, ZERO data files rewritten (the spec fingerprints the
+    * data dir across this call). Equality deletes keyed by doc_id —
+    * the Iceberg-v2 tier chosen over positional deletes because open
+    * parquet exposes no stable row ordinal to address; the
+    * read/compact contract is identical. */
+  private[graft] def p18LandDeletes(spark: SparkSession, dir: String,
+      root: String): Unit =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 13 === 5)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(P12Buckets.toLong)).as("pk"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$root/deletes")
+
+  /** The merge-on-read READ: scan the untouched data files and
+    * anti-join the live delete file inline (the s16 tombstone
+    * discipline applied to the lake — deletes are delta-sized, so they
+    * broadcast into the scan and the corpus never shuffles; PlanSpec
+    * pins the LeftAnti broadcast). When no delete file exists (post-
+    * compaction), the read is a plain pruned scan — exactly Iceberg's
+    * "manifest lists no delete files" fast path; the existence probe
+    * is one bounded metadata call. */
+  private[graft] def p18Read(spark: SparkSession, root: String): DataFrame = {
+    val data = spark.read.parquet(s"$root/d")
+    val delPath = new org.apache.hadoop.fs.Path(root, "deletes")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delPath)) {
+      val dels = spark.read.parquet(s"$root/deletes").select("doc_id")
+      data.join(broadcast(dels), Seq("doc_id"), "left_anti")
+    } else data
+  }
+
+  /** Compaction (p10's rewrite discipline applied to delete purging):
+    * rewrite ONLY the buckets the delete file touches (the touched
+    * list is a bounded routing read ≤ [[P12Buckets]]), folding the
+    * deletes into the data files, then drop the delete file. Untouched
+    * buckets keep their files byte-for-byte (spec-pinned); reads after
+    * compaction must return exactly the merge-on-read rows (the gate's
+    * phase pair makes that hash-checked). */
+  private[graft] def p18Compact(spark: SparkSession, root: String): Unit = {
+    val dels = spark.read.parquet(s"$root/deletes")
+    val touched = dels.select("pk").distinct().collect().map(_.getLong(0))
+    val compacted = spark.read.parquet(s"$root/d")
+      .filter(col("pk").isin(touched: _*))
+      .withColumn("pk", col("pk").cast("long"))
+      .join(broadcast(dels.select("doc_id")), Seq("doc_id"), "left_anti")
+    compacted.repartition(col("pk"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pk").parquet(s"$root/d")
+    val delPath = new org.apache.hadoop.fs.Path(root, "deletes")
+    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(delPath, true): Unit
+  }
+
+  /** p18: MERGE-ON-READ DELETES — the Iceberg-v2 half p12/p13's
+    * copy-on-write merges don't cover: a delete batch lands as its own
+    * delete file in O(deletes) with every data file untouched, reads
+    * anti-join the delete file inline, and a later compaction folds
+    * applied deletes into the data files and retires the delete file.
+    * The gate reads the lake in BOTH phases — 'mor' (delete file live,
+    * read = scan ⋈ anti deletes) and 'compacted' (delete file gone,
+    * read = plain scan) — and both phases must equal the same oracle
+    * rows (p12's delete-rule semantics), so hash equality proves the
+    * write-cheap and the read-cheap representations serve one logical
+    * table. 100 TB: this is WHY v2 lakes take deletes as files — a
+    * 10-row delete against a petabyte table writes 10 keys now and
+    * amortizes the rewrite into the next scheduled compaction, with
+    * the read tax a broadcast anti-join (never a corpus shuffle). */
+  def p18MergeOnReadDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = p18LandBase(spark, dir)
+    p18LandDeletes(spark, dir, root)
+    def shape(df: DataFrame, phase: String) =
+      df.select(lit(phase).as("phase"), col("doc_id"),
+        col("pk").cast("long").as("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+    // materialized BEFORE compaction mutates the layout underneath
+    val mor = shape(p18Read(spark, root), "mor").localCheckpoint()
+    p18Compact(spark, root)
+    val comp = shape(p18Read(spark, root), "compacted")
+    mor.unionByName(comp).orderBy("phase", "doc_id")
+  }
+
+  private[graft] val p18Sql: String =
+    "WITH live AS (SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS pk, " +
+      "CAST(0 AS BIGINT) AS ver, CAST(length(text) AS BIGINT) AS n_chars " +
+      "FROM documents WHERE doc_id % 13 <> 5) " +
+      "SELECT phase, doc_id, pk, ver, n_chars FROM (" +
+      "SELECT 'mor' AS phase, * FROM live " +
+      "UNION ALL SELECT 'compacted', * FROM live) " +
+      "ORDER BY phase, doc_id"
+
   private[graft] val p17Sql: String =
     "WITH ev AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, " +
       "CAST(hour(ts) AS BIGINT) AS hr, CAST(round(value * 100) AS BIGINT) AS cents, " +
@@ -1090,6 +1195,10 @@ object Sinks {
       "FROM f, pr WHERE f.fid IN (SELECT fid FROM sel) AND user_id BETWEEN lo AND hi"
 
   val oracles: Map[String, String] = Map(
+    // p18: both lake representations (delete file live vs compacted
+    // away) must serve the same logical rows — p12's delete-rule
+    // semantics stated once and demanded of each phase
+    "p18_merge_on_read_deletes" -> p18Sql,
     // p17: both eras replayed from the raw events (era = the day
     // arithmetic) — hash equality proves the evolved layout serves
     // exactly the logical table

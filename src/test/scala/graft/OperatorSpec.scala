@@ -1954,6 +1954,52 @@ class OperatorSpec extends AnyFunSuite {
       s"empty frame lost the landed schema: ${none.columns.mkString(",")}")
   }
 
+  test("p18 merge-on-read: delete-land touches no data byte; compaction rewrites only touched buckets") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Sinks.p18LandBase(spark, sf)
+    def md5s(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root, "d")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          base.relativize(p).toString -> d.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = md5s()
+    // a PLANTED single-bucket delete batch (pk = 3 only) so the
+    // "untouched buckets byte-identical" pin is non-vacuous — the
+    // gate's corpus-rule batch touches every bucket
+    import spark.implicits._
+    Seq(3L, 19L, 35L).map(id => (id, id % Sinks.P12Buckets))
+      .toDF("doc_id", "pk")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes")
+    assert(md5s() == before, "delete-land must not touch any data file")
+    val mor = Sinks.p18Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(3L, 19L, 35L).forall(!mor.contains(_)),
+      "merge-on-read must hide every deleted key")
+    Sinks.p18Compact(spark, root)
+    val after = md5s()
+    before.foreach { case (path, hash) =>
+      if (!path.startsWith("pk=3/"))
+        assert(after.get(path).contains(hash),
+          s"compaction rewrote untouched file $path")
+    }
+    assert(before.keys.exists(_.startsWith("pk=3/")) &&
+      before.filter(_._1.startsWith("pk=3/")) !=
+        after.filter(_._1.startsWith("pk=3/")),
+      "compaction must rewrite the touched bucket")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "deletes")),
+      "compaction must retire the applied delete file")
+    val compacted = Sinks.p18Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted == mor,
+      "compaction must be semantically invisible to the read")
+  }
+
   test("s20 binary signatures: scale-invariant, self-distance zero, recall floor vs exact") {
     import org.apache.spark.sql.functions._
     // recall@5 of the 1-bit tier vs exact s01 at sf0.001 — floor set

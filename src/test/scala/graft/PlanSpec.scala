@@ -587,6 +587,18 @@ class PlanSpec extends AnyFunSuite {
       s"cell restriction must feed the ADC join, not follow it:\n$p")
   }
 
+  test("p18 merge-on-read read: deletes broadcast into the scan as a LeftAnti; corpus never shuffles") {
+    val root = Sinks.p18LandBase(spark, sf)
+    Sinks.p18LandDeletes(spark, sf, root)
+    val p = plan(Sinks.p18Read(spark, root))
+    // the v2 read tax is a delta-sized broadcast anti-join — a shuffle
+    // or merge join here would re-partition the corpus per delete batch
+    assert(p.contains("LeftAnti"), s"read must anti-join the delete file:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"deletes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a delete batch:\n$p")
+  }
+
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
     val p = plan(Similarity.s22KnnGraph(spark, sf))
     assert(!p.contains("CartesianProduct"), s"s22 join degraded to a product:\n$p")
