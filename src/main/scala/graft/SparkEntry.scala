@@ -495,6 +495,11 @@ object SparkEntry {
     // argument on the query side; fused grid rescaled exactly onto
     // the MMR micro-unit grid)
     "e05_serving_pipeline" -> (Pipeline.e05ServingPipeline _),
+    // t23: unigram-LM tokenizer trainer (SentencePiece-class) — seed
+    // from frequent substrings, hard-EM rounds (Viterbi E-step as an
+    // unrolled DP, Laplace M-step), bottom-quarter prune, nat-grid
+    // renormalization; model rows per round
+    "t23_unigram_lm" -> (TextOps.t23UnigramLm _),
     // p18: merge-on-read deletes — a delete batch lands as its own
     // delete file (O(deletes), data files untouched), reads anti-join
     // it inline, compaction folds it in; both phases hash-checked

@@ -1458,7 +1458,214 @@ object TextOps {
       "count(*) OVER (PARTITION BY query_id) AS n_docs FROM hit) " +
       s"WHERE rnk <= $T22TopK ORDER BY query_id, rnk"
 
+  // ---- t23: unigram-LM tokenizer trainer (SentencePiece-class) -------
+
+  /** Piece length cap (SentencePiece's max_sentencepiece_length idea,
+    * sized to the gate vocabulary) — also the Viterbi DP's fan-in. */
+  private[graft] val T23MaxPiece = 4
+
+  /** Words longer than this are excluded from training in BOTH engines
+    * (the DP is unrolled to this many positions; the gate corpus max
+    * word is 8). */
+  private[graft] val T23MaxWord = 12
+
+  /** Multi-char seed pieces kept (singles are always all kept). */
+  private[graft] val T23SeedMulti = 32
+
+  private[graft] val T23Rounds = 2
+
+  /** t23: a UNIGRAM-LM tokenizer TRAINER (Kudo 2018, arXiv:1804.10959
+    * — the SentencePiece algorithm behind T5/Llama-era tokenizers; the
+    * other production tokenizer family next to t06b's BPE). The model
+    * is a piece vocabulary with probabilities; training is hard-EM:
+    *
+    *  - seed: every substring (length ≤ [[T23MaxPiece]]) of the word
+    *    vocabulary, frequency-weighted; ALL single chars survive
+    *    (coverage guarantee) plus the top [[T23SeedMulti]] multi-char
+    *    pieces by (count desc, piece asc);
+    *  - E-step: VITERBI-segment each vocabulary word under the current
+    *    piece costs — a shortest-path DP over word positions, unrolled
+    *    to [[T23MaxWord]] columns of (cost, n_pieces, seg) structs
+    *    with ties broken by the (cost, np, seg) struct order itself
+    *    (deterministic cross-engine: both engines compare structs
+    *    field-wise, strings binary);
+    *  - M-step: piece counts = frequency-weighted occurrences along
+    *    the Viterbi segmentations, +1 Laplace (the t14 rule — keeps
+    *    zero-use singles alive and every cost finite);
+    *  - prune: drop the bottom quarter of MULTI-char pieces by
+    *    (count desc, piece asc) rank — nKeep = n − n/4 in integer
+    *    arithmetic; singles are never pruned (coverage);
+    *  - renormalize on the integer nat grid: cost_e4 =
+    *    floor(ln(total/cnt)·1e4) — one IEEE ln per piece of an exact
+    *    integer ratio, the proven t05/t14 seam.
+    *
+    * State is VOCABULARY-sized end to end (the t06b discipline): the
+    * word vocab is distinct words + frequencies, the model is ≤
+    * singles + [[T23SeedMulti]] rows and updates driver-side per round
+    * (the t17 treeAggregate-then-update shape — 2 longs + a string per
+    * piece), and the E-step is one map-side DP pass over vocab rows
+    * with the model attached as a broadcast-sized map literal — the
+    * corpus is touched once, at word counting. Output: the model after
+    * every round — (round, piece, cnt, cost_e4), round 0 = seed. The
+    * DuckDB oracle replays seeding, every DP column, both EM rounds
+    * and the prune rank CTE-for-CTE ([[t23OracleSql]]); OperatorSpec
+    * pins one hand-computed E/M/prune round on a planted vocabulary. */
+  def t23UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= T23MaxWord)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    t23TrainOver(spark, words, T23Rounds)
+  }
+
+  /** The trainer over an explicit (w, n) word vocabulary — the
+    * OperatorSpec hand-fixture seam. */
+  private[graft] def t23TrainOver(spark: SparkSession, words0: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val words = words0.cache()
+    val subs = words.select(col("n"), explode(expr(
+        "flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(1, least($T23MaxPiece, length(w) - i + 1)), " +
+          "m -> substring(w, i, m))))")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    // model-sized driver reads throughout (the t06b/t17 discipline)
+    val singles = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multiTop = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(T23SeedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def renorm(cs: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = cs.map(_._2).sum
+      cs.map { case (p, c) =>
+        (p, c, math.floor(math.log(total.toDouble / c.toDouble) * T14Unit).toLong)
+      }.sortBy(_._1)
+    }
+    var model = renorm((singles ++ multiTop).toSeq)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, Long, Long)]
+    out ++= model.map(m => (0L, m._1, m._2, m._3))
+    for (r <- 1 to rounds) {
+      val costs = model.map(m => m._1 -> m._3).toMap
+      val counts = t23Viterbi(words, costs)
+        .select(col("n"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("cv"))
+        .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+      val mstep = model.map { case (p, _, _) => (p, counts.getOrElse(p, 0L) + 1L) }
+      val (sing, multi) = mstep.partition(_._1.length == 1)
+      val keepN = multi.size - multi.size / 4
+      val kept = multi.sortBy { case (p, c) => (-c, p) }.take(keepN)
+      model = renorm(sing ++ kept)
+      out ++= model.map(m => (r.toLong, m._1, m._2, m._3))
+    }
+    words.unpersist()
+    out.toSeq.toDF("round", "piece", "cnt", "cost_e4")
+      .orderBy("round", "piece")
+  }
+
+  /** The E-step: Viterbi-segment each (w, n) row under `costs` — a
+    * shortest-path DP unrolled to [[T23MaxWord]] struct columns; dp_j
+    * = min over piece lengths m of extend(dp_{j-m}, w[j-m+1..j]),
+    * minimum taken by the (cost, np, seg) struct order via
+    * array_sort (nulls last) — the exact combiner the oracle's
+    * list_sort replays. The cost map is a model-sized literal, so the
+    * whole pass is map-side codegen over vocabulary rows: no UDF, no
+    * shuffle, no corpus. */
+  private[graft] def t23Viterbi(words: DataFrame,
+      costs: Map[String, Long]): DataFrame = {
+    val cmap = typedLit(costs)
+    var df = words.withColumn("len", length(col("w")))
+      .withColumn("dp0", struct(lit(0L).as("cost"), lit(0L).as("np"),
+        lit("").as("seg")))
+    for (j <- 1 to T23MaxWord) {
+      val cands = (1 to math.min(j, T23MaxPiece)).map { m =>
+        val piece = substring(col("w"), j - m + 1, m)
+        val prev = col(s"dp${j - m}")
+        val c = element_at(cmap, piece)
+        when(col("len") >= j && c.isNotNull && prev.isNotNull,
+          struct((prev("cost") + c).as("cost"),
+            (prev("np") + lit(1L)).as("np"),
+            concat(prev("seg"), lit(" "), piece).as("seg")))
+      }
+      val combined =
+        if (cands.size == 1) cands.head
+        else element_at(array_sort(array(cands: _*)), 1)
+      df = df.withColumn(s"dp$j", combined)
+    }
+    df.withColumn("dpf",
+        element_at(array((1 to T23MaxWord).map(j => col(s"dp$j")): _*), col("len")))
+      .select(col("w"), col("n"), ltrim(col("dpf")("seg")).as("seg"))
+  }
+
+  /** The t23 trainer in DuckDB — seeding, per-round Viterbi DP columns
+    * (lateral aliases, list_sort combiner with NULLS LAST — the exact
+    * Spark array_sort semantics), M-step Laplace counts, the prune
+    * rank, and the nat-grid renormalization, all MATERIALIZED (each
+    * round references the previous model repeatedly — the t17/s23
+    * inlining lesson). */
+  private[graft] def t23OracleSql(rounds: Int): String = {
+    def dpExpr(j: Int): String = {
+      val cands = (1 to math.min(j, T23MaxPiece)).map { m =>
+        val piece = s"substr(w, ${j - m + 1}, $m)"
+        s"CASE WHEN len >= $j AND len(cm[$piece]) > 0 AND dp${j - m} IS NOT NULL " +
+          s"THEN {'cost': dp${j - m}['cost'] + cm[$piece][1], " +
+          s"'np': dp${j - m}['np'] + 1, " +
+          s"'seg': dp${j - m}['seg'] || ' ' || $piece} ELSE NULL END"
+      }
+      if (cands.size == 1) cands.head
+      else s"(list_sort([${cands.mkString(", ")}], 'ASC', 'NULLS LAST'))[1]"
+    }
+    val dpArr = (1 to T23MaxWord).map(j => s"dp$j").mkString("[", ", ", "]")
+    // one NESTED SUBQUERY per DP level: DuckDB's lateral aliases are
+    // textual substitution, so dp_j referencing dp_{j-m} inline would
+    // re-expand the whole prefix ~5× per level (binder blow-up measured
+    // as a hang at 12 levels); a subquery level computes each dp once
+    def dpChain(r: Int): String =
+      (1 to T23MaxWord).foldLeft(
+        "SELECT w, n, cm, length(w) AS len, " +
+          "{'cost': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT), 'seg': ''} AS dp0 " +
+          s"FROM w23, mp$r") { (acc, j) =>
+        s"SELECT *, ${dpExpr(j)} AS dp$j FROM ($acc)"
+      }
+    val roundsSql = (1 to rounds).map { r =>
+      s"mp$r AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), " +
+        s"list(cost ORDER BY piece)) AS cm FROM m${r - 1}), " +
+        s"vt$r AS MATERIALIZED (SELECT w, n, ltrim(dpf['seg']) AS seg FROM (" +
+        s"SELECT w, n, $dpArr[len] AS dpf FROM (${dpChain(r)}))), " +
+        s"cn$r AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cv FROM (" +
+        s"SELECT n, unnest(string_split(seg, ' ')) AS piece FROM vt$r) GROUP BY piece), " +
+        s"ms$r AS MATERIALIZED (SELECT m.piece, coalesce(c.cv, 0) + 1 AS cnt " +
+        s"FROM m${r - 1} m LEFT JOIN cn$r c USING (piece)), " +
+        s"pr$r AS MATERIALIZED (SELECT piece, cnt FROM ms$r WHERE length(piece) = 1 " +
+        "UNION ALL SELECT piece, cnt FROM (" +
+        "SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk, " +
+        s"count(*) OVER () AS nm FROM ms$r WHERE length(piece) > 1) " +
+        "WHERE rk <= nm - nm // 4), " +
+        s"m$r AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt, " +
+        s"CAST(floor(ln(CAST((SELECT sum(cnt) FROM pr$r) AS DOUBLE) / CAST(cnt AS DOUBLE)) * $T14Unit) AS BIGINT) AS cost " +
+        s"FROM pr$r), "
+    }.mkString
+    val rows = (0 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, piece, cnt, cost AS cost_e4 FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH w23 AS MATERIALIZED (SELECT w, count(*) AS n FROM (" +
+      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents) " +
+      s"WHERE length(w) <= $T23MaxWord GROUP BY w), " +
+      "sub23 AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (" +
+      s"SELECT n, unnest(flatten([[substr(w, i, m) FOR m IN range(1, least($T23MaxPiece, length(w) - i + 1) + 1)] " +
+      "FOR i IN range(1, length(w) + 1)])) AS piece FROM w23) GROUP BY piece), " +
+      "seedm AS MATERIALIZED (SELECT piece, cnt FROM sub23 WHERE length(piece) > 1 " +
+      s"ORDER BY cnt DESC, piece LIMIT $T23SeedMulti), " +
+      "seed AS MATERIALIZED (SELECT piece, cnt FROM sub23 WHERE length(piece) = 1 " +
+      "UNION ALL SELECT piece, cnt FROM seedm), " +
+      "m0 AS MATERIALIZED (SELECT piece, cnt, " +
+      s"CAST(floor(ln(CAST((SELECT sum(cnt) FROM seed) AS DOUBLE) / CAST(cnt AS DOUBLE)) * $T14Unit) AS BIGINT) AS cost " +
+      "FROM seed), " +
+      roundsSql.stripSuffix(", ") + " " +
+      s"SELECT round, piece, cnt, cost_e4 FROM ($rows) ORDER BY round, piece"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t23_unigram_lm" -> t23OracleSql(T23Rounds),
     "t22_phrase_search" -> t22Sql,
     // the same shingle census + interval-union window arithmetic,
     // token for token — a span found by one engine and not the other

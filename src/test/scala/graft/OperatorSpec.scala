@@ -2126,6 +2126,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 unigram-LM: one hand-computed seed/E/M/prune round on a planted vocabulary") {
+    import spark.implicits._
+    // planted vocab: abab×3, ab×2, b×1. Hand-derived seed substring
+    // counts: a=8, b=9, ab=8, ba=3, aba=3, bab=3, abab=3 (total 37).
+    // Viterbi under seed costs picks [abab], [ab], [b] (whole-word
+    // pieces are strictly cheapest: e.g. cost(abab)=⌊ln(37/3)e4⌋=25123
+    // < [ab,ab]=2·15314). M-step +1: a=1,b=2,ab=3,ba=1,aba=1,bab=1,
+    // abab=4. Prune keeps 4 of 5 multi pieces by (cnt desc, piece asc)
+    // — bab is the one dropped. Renormalized total=12.
+    val words = Seq(("abab", 3L), ("ab", 2L), ("b", 1L)).toDF("w", "n")
+    val rows = TextOps.t23TrainOver(spark, words, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val seed = rows.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    assert(seed == Map("a" -> 8L, "b" -> 9L, "ab" -> 8L, "ba" -> 3L,
+      "aba" -> 3L, "bab" -> 3L, "abab" -> 3L),
+      s"seed substring census diverged: $seed")
+    val seedCostB = rows.find(t => t._1 == 0L && t._2 == "b").get._4
+    assert(seedCostB == 14136L, // ⌊ln(37/9)·1e4⌋
+      s"seed nat-grid cost wrong: $seedCostB")
+    val r1 = rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet
+    assert(r1 == Set(
+      ("a", 1L, 24849L), ("b", 2L, 17917L), ("ab", 3L, 13862L),
+      ("aba", 1L, 24849L), ("ba", 1L, 24849L), ("abab", 4L, 10986L)),
+      s"round-1 E/M/prune diverged: $r1")
+    assert(!r1.exists(_._1 == "bab"), "prune must drop exactly bab")
+  }
+
   test("q38 range frame: inclusive 24h edges, same-second peers all in together") {
     import spark.implicits._
     // user 1: t=0, t=86399 (inside the trailing window of each other's
