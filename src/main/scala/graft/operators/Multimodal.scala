@@ -125,6 +125,7 @@ object Multimodal {
     val head = hexAt(0, 4)
     Magics.collectFirst { case (m, f) if head.startsWith(m) => f }
       .orElse(if (head == "52494646" && hexAt(8, 4) == "57415645") Some("wav") else None)
+      .orElse(if (head == "52494646" && hexAt(8, 4) == "41564920") Some("avi") else None)
       .orElse(if (bytes.length >= 12 && hexAt(4, 4) == "66747970") Some("mp4") else None)
       // bare-frame mp3 (no ID3 tag — common in scraped corpora): the
       // 11-bit MPEG frame sync, 0xFF then top-3 bits of the next byte
@@ -143,6 +144,8 @@ object Multimodal {
     val probes =
       when(substring(hx, 1, 8) === "52494646" &&
         substring(hx, 17, 8) === "57415645", "wav")
+        .when(substring(hx, 1, 8) === "52494646" &&
+          substring(hx, 17, 8) === "41564920", "avi")
         .when(length(hx) >= 24 && substring(hx, 9, 8) === "66747970", "mp4")
         .when(length(hx) >= 8 && substring(hx, 1, 2) === "FF" &&
           substring(hx, 3, 1).isin("E", "F"), "mp3")
@@ -885,59 +888,89 @@ object Multimodal {
       .toDF("media_id", "frame_no", "offset", "frame_hex")
   }
 
-  /** DETERMINISTIC-FAKE mp4 frame decode — clearly marked as such.
-    * The JDK ships no public mp4 pixel codec (the documented platform
-    * boundary behind m03's byte-frame fallback), and the multimodal
-    * contract for codec-less formats is: STUB the decode step with a
-    * deterministic fake while every piece of Spark-side plumbing
-    * (mapPartitions seam, row schema, dHash fingerprint path into
-    * m05's band space, partition-parallelism) stays REAL and tested.
-    * The fake: each sampled 16-byte frame window is expanded through
-    * splitmix64 into a 9×8 gray plane — exactly [[dHash64]]'s grid, so
-    * the REAL perceptual-hash code runs 1:1 over it. Same bytes → same
-    * plane → same hash, on any run and any partitioning. A deployment
-    * with a licensed decoder swaps ONLY the plane constructor; nothing
-    * downstream changes. The planes are NOT pixels — never interpret
-    * them beyond plumbing/parity tests. */
-  private[graft] def mp4FakeFramePlane(window: Array[Byte]): java.awt.image.BufferedImage = {
-    // seed = FNV-1a over the window (cheap, stable, no deps)
-    var seed = 0xcbf29ce484222325L
-    window.foreach { b => seed ^= (b & 0xffL); seed *= 0x100000001b3L }
-    val img = new java.awt.image.BufferedImage(9, 8,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    var i = 0
-    while (i < 72) {
-      // splitmix64 stream over the seed
-      seed += 0x9e3779b97f4a7c15L
-      var z = seed
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      img.getRaster.setSample(i % 9, i / 9, 0, (z & 0xff).toInt)
-      i += 1
+  /** Walk an AVI (RIFF) container's 'movi' LIST in pure byte
+    * arithmetic and return every video frame chunk as (frameIndex,
+    * dataOffset, dataLength) — the chunks whose fourcc ends 'dc'
+    * (compressed) or 'db' (uncompressed), the MJPEG/DV frame carriers.
+    * Defensive against malformed sizes (negative, truncated,
+    * non-advancing) — returns what it parsed so far, never throws.
+    * Unlike GIF, the container exposes REAL byte offsets per frame. */
+  private[graft] def aviFrames(bytes: Array[Byte],
+      maxFrames: Int = MaxGifFrames): Seq[(Int, Int, Int)] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "ISO-8859-1") else ""
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Seq.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var off = 12
+    var idx = 0
+    while (off + 8 <= bytes.length && frames.length < maxFrames) {
+      val id = fourcc(off)
+      val sz = u32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue - 8) return frames.toSeq
+      if (id == "LIST" && fourcc(off + 8) == "movi") {
+        var p = off + 12
+        val end = math.min(off + 8 + sz.toInt, bytes.length).toInt
+        while (p + 8 <= end && frames.length < maxFrames) {
+          val cid = fourcc(p)
+          val csz = u32(p + 4)
+          if (csz < 0 || p + 8 + csz > end) { p = end }
+          else {
+            if (cid.endsWith("dc") || cid.endsWith("db")) {
+              frames += ((idx, p + 8, csz.toInt))
+              idx += 1
+            }
+            p += 8 + csz.toInt + (csz.toInt & 1)
+          }
+        }
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
     }
-    img
+    frames.toSeq
   }
 
-  /** mp4 frame rows through the SAME decode seam as [[gifFrameRows]]:
-    * one row per sampled 16-byte frame window (real stride, real byte
-    * offset — unlike GIF the sampler addresses the payload directly),
-    * frame_hex = the REAL [[dHash64]] over the [[mp4FakeFramePlane]]
-    * fake decode (16 hex chars, m05's key space). Payloads shorter
-    * than one window still emit their short-tail row, mirroring the
-    * byte path's tail semantics. */
-  private[graft] def mp4FrameRows(spark: SparkSession, payloads: DataFrame): DataFrame = {
+  /** Decode every `step`-th MJPEG frame of an AVI — [[aviFrames]]'s
+    * movi walk feeding each sampled frame chunk through the REAL
+    * [[readImageBounded]] JPEG seam (same decompression-bomb guard as
+    * every image path). This closes the round-14 sanctioned mp4 fake:
+    * the JDK ships no mp4 codec, but it DOES ship a JPEG codec, and
+    * MJPEG-in-AVI is the classic container that needs nothing else —
+    * the frame tier is now pixel-real for both its video containers
+    * (GIF and AVI); ftyp/mp4 payloads fall back to the byte path like
+    * any other codec-less format. */
+  private[graft] def aviMjpegFrames(bytes: Array[Byte], step: Int = 1,
+      maxFrames: Int = MaxGifFrames): Seq[(Int, java.awt.image.BufferedImage)] =
+    aviFrames(bytes, maxFrames)
+      .filter(_._1 % math.max(1, step) == 0)
+      .flatMap { case (i, o, l) =>
+        Option(readImageBounded(bytes.slice(o, o + l))).map(i -> _)
+      }
+
+  /** AVI frame rows through the SAME decode seam as [[gifFrameRows]]:
+    * one row per sampled frame, frame_no = the frame index, offset =
+    * the frame chunk's REAL data offset in the container (the column
+    * GIF must sentinel with -1), frame_hex = the frame's [[dHash64]].
+    * Parse/decode failure (or zero frames) falls back to
+    * [[byteFrameRows]] — never throws, schema invariant, and a
+    * 'RIFF…AVI '-prefixed non-video can never desync from the oracle's
+    * byte replay. */
+  private[graft] def aviFrameRows(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        (0L to math.max(0L, (bytes.length - 1).toLong / FrameBytes) by SampleEvery)
-          .map { f =>
-            val off = (f * FrameBytes).toInt
-            val window = bytes.slice(off, off + FrameBytes)
-            (id, f, f * FrameBytes,
-              f"${dHash64(mp4FakeFramePlane(window))}%016X")
-          }
+        val rows =
+          try aviFrames(bytes)
+            .filter(_._1 % SampleEvery == 0)
+            .flatMap { case (i, o, l) =>
+              Option(readImageBounded(bytes.slice(o, o + l)))
+                .map(img => (id, i.toLong, o.toLong, f"${dHash64(img)}%016X"))
+            }
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (rows.isEmpty) byteFrameRows(id, bytes) else rows
       })
       .toDF("media_id", "frame_no", "offset", "frame_hex")
   }
@@ -946,26 +979,28 @@ object Multimodal {
     * with its offset and a hex prefix (the shape a video keyframe
     * sampler produces: one row per sampled frame, partition-parallel).
     * GIF payloads take the PIXEL-REAL path instead ([[gifFrameRows]]:
-    * decoded frames, dHash fingerprints); mp4-sniffed payloads take
-    * the DETERMINISTIC-FAKE decode path ([[mp4FrameRows]] — real seam,
-    * real dHash, fake pixel planes; see its scaladoc). The route
-    * predicates read ≤8 payload bytes (hex of 1-byte-aligned slices),
-    * never the full payload. The gate corpus carries no GIF or mp4
-    * payloads (verified: no 'GIF8' prefix, no 'ftyp' at offset 4, at
-    * any SF), so the oracle replays the byte path for every row; the
-    * GIF and mp4 branches are pinned by MultimodalSpec on constructed
-    * payloads. */
+    * decoded frames, dHash fingerprints), and so do AVI payloads
+    * ([[aviFrameRows]] — MJPEG frames through the real JPEG codec,
+    * with REAL container byte offsets). mp4 payloads take the byte
+    * path like every other codec-less format (the round-14 fake-plane
+    * stub is gone from the frame tier; mp4's real byte parsing lives
+    * in the m06 container-metadata path). The route predicates read
+    * ≤12 payload bytes (hex of byte-aligned slices), never the full
+    * payload. The gate corpus carries no GIF/AVI payloads (verified:
+    * no 'GIF8'/'RIFF' prefix at any SF), so the oracle replays the
+    * byte path for every row; the GIF and AVI branches are pinned by
+    * MultimodalSpec on constructed payloads. */
   def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val m = media(spark, dir)
     val isGif = hex(substring(col("payload"), 1, 4)) === "47494638"
-    val isMp4 = length(col("payload")) >= 12 &&
-      hex(substring(col("payload"), 5, 4)) === "66747970"
+    val isAvi = hex(substring(col("payload"), 1, 4)) === "52494646" &&
+      hex(substring(col("payload"), 9, 4)) === "41564920"
     val gifRows = gifFrameRows(spark,
       m.filter(isGif).select(col("media_id"), col("payload")))
-    val mp4Rows = mp4FrameRows(spark,
-      m.filter(!isGif && isMp4).select(col("media_id"), col("payload")))
-    byteFrameSample(m.filter(!isGif && !isMp4)).unionByName(gifRows)
-      .unionByName(mp4Rows)
+    val aviRows = aviFrameRows(spark,
+      m.filter(!isGif && isAvi).select(col("media_id"), col("payload")))
+    byteFrameSample(m.filter(!isGif && !isAvi)).unionByName(gifRows)
+      .unionByName(aviRows)
       .orderBy("media_id", "frame_no")
   }
 
@@ -1017,15 +1052,16 @@ object Multimodal {
 
   /** Per-video signatures through the SAME decode seam as m03's frame
     * sampler: GIF payloads decode every [[SampleEvery]]-th frame
-    * pixel-real ([[gifFrames]]) and dHash each; mp4-sniffed payloads
-    * run the sanctioned deterministic-fake plane decode over the same
-    * sampled 16-byte windows as [[mp4FrameRows]] (REAL seam, REAL
-    * dHash, fake pixels — see [[mp4FakeFramePlane]]); the frame-hash
-    * multiset folds to one [[simhashOverFrames]] signature per video
-    * (method "vsim"). Everything else — and any video that yields zero
-    * decodable frames — falls to the md5-prefix content tier. Row
-    * shape matches [[perceptualHashes]]/[[audioHashes]], so the shared
-    * census runs unchanged. */
+    * pixel-real ([[gifFrames]]) and dHash each; AVI payloads do the
+    * same through [[aviMjpegFrames]] (the real JPEG codec over the
+    * movi chunk walk — both video tiers are now pixel-real, the
+    * round-14 fake retired); the frame-hash multiset folds to one
+    * [[simhashOverFrames]] signature per video (method "vsim").
+    * Everything else — mp4 included (no JDK codec), and any video
+    * that yields zero decodable frames — falls to the md5-prefix
+    * content tier. Row shape matches
+    * [[perceptualHashes]]/[[audioHashes]], so the shared census runs
+    * unchanged. */
   private[graft] def videoHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("media_id").cast("long"), col("payload"))
@@ -1035,12 +1071,7 @@ object Multimodal {
           try {
             magicOf(bytes) match {
               case "gif" => gifFrames(bytes, SampleEvery).map(f => dHash64(f._2))
-              case "mp4" =>
-                (0L to math.max(0L, (bytes.length - 1).toLong / FrameBytes) by SampleEvery)
-                  .map { f =>
-                    val off = (f * FrameBytes).toInt
-                    dHash64(mp4FakeFramePlane(bytes.slice(off, off + FrameBytes)))
-                  }
+              case "avi" => aviMjpegFrames(bytes, SampleEvery).map(f => dHash64(f._2))
               case _ => Seq.empty
             }
           } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -1092,20 +1123,89 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic canary pair for m07's AVI tier — two constructed
+    * MJPEG-in-AVI videos: 5 JPEG frames (encoded by the JDK's own
+    * ImageIO JPEG writer at max quality, decoded back by the REAL
+    * [[aviMjpegFrames]] path), 36×32 px with 4×4 constant blocks so
+    * dHash's grid cells average whole blocks and JPEG's few-level
+    * noise cancels. Frames 0-3: alternating columns 110/10 → dHash
+    * bits at every odd gx = 0xAAAA…; frame 4: descending gradient →
+    * dHash 0. [[SampleEvery]]=4 keeps {0, 4}; majority-with-tie→set
+    * over 2 frames = OR ⇒ base signature 0xAAAA….  The perturbed twin
+    * darkens frame 4's block (gx=4, gy=0) to 10, which SETS that
+    * frame's bit 4 (70 > 10 where 70 > 90 failed) — bit 4 is clear in
+    * 0xAA…, so the SIGNATURE flips exactly one bit: video-level
+    * Hamming exactly 1, disjoint in every band from the GIF pair's
+    * all-ones signatures (0xFFFF ≠ 0xAAAA in each 16-bit band), so
+    * the two canary pairs can never cross-match. MultimodalSpec pins
+    * the construction frame by frame. */
+  private[graft] def canaryAvi(perturbed: Boolean): Array[Byte] = {
+    def frame(kind: String, perturb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val gx = x / 4
+        val v = if (perturb && y < 4 && gx == 4) 10
+          else if (kind == "alt") { if (gx % 2 == 0) 110 else 10 }
+          else 20 * (8 - gx) + 10 // descending
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      try {
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); ios.close() }
+      baos.toByteArray
+    }
+    val jpegs = Seq.fill(4)(frame("alt", perturb = false)) :+
+      frame("desc", perturbed)
+    aviContainer(jpegs)
+  }
+
+  /** Assemble MJPEG frames into a minimal RIFF/AVI container: a stub
+    * hdrl LIST (skipped by the parser, present for container shape)
+    * and the movi LIST of '00dc' frame chunks with even-byte padding —
+    * the exact layout [[aviFrames]] walks. */
+  private[graft] def aviContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(cc("movi"))
+    frames.foreach { j =>
+      movi.write(cc("00dc")); movi.write(u32le(j.length)); movi.write(j)
+      if ((j.length & 1) == 1) movi.write(0)
+    }
+    def list(content: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ u32le(content.length) ++ content
+    val hdrl = cc("hdrl") ++ cc("avih") ++ u32le(56) ++ Array.fill[Byte](56)(0)
+    val body = cc("AVI ") ++ list(hdrl) ++ list(movi.toByteArray)
+    cc("RIFF") ++ u32le(body.length) ++ body
+  }
+
   /** m07: video-level near-dup census — m05's structure one level up:
     * the decodable tier keys on the per-VIDEO [[simhashOverFrames]]
     * signature over m03's per-frame fingerprints instead of a single
     * image hash. Same 4×16 banding, same pigeonhole exactness for
     * Hamming ≤ 3, same hot-bucket caps, same content fallback — the
     * fourth modality through the ONE census shape
-    * ([[bandedHashCensus]]). The gate corpus carries no GIF/mp4
-    * payloads (the m03 invariant), so the [[canaryGif]] pair keeps the
-    * vsim tier non-vacuous at every SF (the canaryBmp/canaryWav
-    * pattern). */
+    * ([[bandedHashCensus]]). The gate corpus carries no GIF/AVI
+    * payloads (the m03 invariant), so TWO canary pairs keep the vsim
+    * tier non-vacuous at every SF — [[canaryGif]] (JDK GIF round-trip)
+    * and [[canaryAvi]] (JDK JPEG round-trip through the MJPEG movi
+    * walk), each Hamming exactly 1 within its pair and band-disjoint
+    * across pairs. */
   def m07VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = media(spark, dir).select(col("media_id"), col("payload"))
-    val canary = Seq((-1L, canaryGif(false)), (-2L, canaryGif(true)))
+    val canary = Seq((-1L, canaryGif(false)), (-2L, canaryGif(true)),
+        (-3L, canaryAvi(false)), (-4L, canaryAvi(true)))
       .toDF("media_id", "payload")
     val payloads = corpus.unionAll(canary)
     bandedHashCensus(spark, videoHashes(spark, payloads),
@@ -1645,10 +1745,11 @@ object Multimodal {
       m08Sql,
     "m07_video_neardup" ->
       // m05/m06's oracle shape: content tier replayed from md5
-      // prefixes (no corpus payload sniffs gif/mp4 — the m03
-      // invariant); the vsim tier is the constructed canary pair
-      // (signature Hamming exactly 1), entering as the literals it
-      // provably is (MultimodalSpec pins the construction)
+      // prefixes (no corpus payload sniffs gif/avi — the m03
+      // invariant); the vsim tier is the TWO constructed canary pairs
+      // (GIF + AVI, each signature Hamming exactly 1, band-disjoint
+      // across pairs), entering as the literals they provably are
+      // (MultimodalSpec pins both constructions)
       ("WITH ph AS (SELECT doc_id AS media_id, substring(md5(text), 1, 16) AS h FROM documents), " +
         "cp AS (SELECT a.media_id AS ida, b.media_id AS idb " +
         "FROM ph a JOIN ph b ON a.h = b.h AND a.media_id < b.media_id) " +
@@ -1656,8 +1757,8 @@ object Multimodal {
         "SELECT 'content' AS method, (SELECT count(*) FROM ph) AS n_items, " +
         "(SELECT count(*) FROM cp) AS n_pairs, (SELECT count(*) FROM cp) AS n_exact, " +
         "CAST(0 AS BIGINT) AS n_near " +
-        "UNION ALL SELECT 'vsim', CAST(2 AS BIGINT), CAST(1 AS BIGINT), " +
-        "CAST(0 AS BIGINT), CAST(1 AS BIGINT)) ORDER BY method"),
+        "UNION ALL SELECT 'vsim', CAST(4 AS BIGINT), CAST(2 AS BIGINT), " +
+        "CAST(0 AS BIGINT), CAST(2 AS BIGINT)) ORDER BY method"),
     "m06_audio_neardup" ->
       // m05's oracle shape: content tier replayed from md5 prefixes;
       // the afp tier is the constructed canary pair (Hamming exactly
