@@ -394,8 +394,41 @@ object Bench {
         val s = time(force(sim.s21Search(spark, sfDir, p)))
         Seq("build_sec" -> b, "search_sec" -> s)
       } catch { case _: Throwable => Seq("build_sec" -> -1.0, "search_sec" -> -1.0) }
+      // s23: the graph-serve gate builds the s22 graph in-query (the
+      // gate must prove serve-over-the-graph semantics end to end) —
+      // split the one-time graph build from the per-query-batch walk
+      val s23 = try {
+        var g: org.apache.spark.sql.DataFrame = null
+        var seed: org.apache.spark.sql.DataFrame = null
+        val b = time {
+          g = sim.s22KnnGraph(spark, sfDir)
+            .select(col("src_id"), col("dst_id")).localCheckpoint()
+          val n = graft.core.Tables(spark, sfDir, "embeddings").count()
+          val (k1, k2) = sim.d12Factors(n)
+          val (cc, fc, assigned) =
+            sim.twoLevelModel(spark, sfDir, k1, k2, sim.LloydRounds)
+          import graft.functions.VectorFunctions.array_dot
+          val fprobes = sim.probeCells(spark, sfDir, cc, fc, k2)
+          val wSeed = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid"))
+            .orderBy(org.apache.spark.sql.functions
+              .round(col("c"), 6).desc, col("node").asc)
+          seed = fprobes.join(assigned, Seq("cid"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("node"),
+              (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+            .withColumn("rn", row_number().over(wSeed))
+            .filter(col("rn") <= sim.S23Beam)
+            .select(col("qid"), col("node")).localCheckpoint()
+        }
+        val s = time(force(sim.s23Serve(spark,
+          graft.core.Tables(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+          g, seed, sim.S23Rounds, sim.S23Beam)))
+        Seq("build_sec" -> b, "walk_sec" -> s)
+      } catch { case _: Throwable => Seq("build_sec" -> -1.0, "walk_sec" -> -1.0) }
       Seq("s11_persisted_ivf_pq" -> s11, "s12_ivf_pq_foldin" -> s12,
-        "s21_persisted_binary" -> s21)
+        "s21_persisted_binary" -> s21, "s23_graph_search" -> s23)
     }
 
     // ---- LSH band-bucket cap census ----
