@@ -512,6 +512,19 @@ object SparkEntry {
     // verb: bounded-frontier greedy walk from a deterministic entry,
     // k unrolled rounds, visited-set ranking + walk censuses
     "s23_graph_search" -> (Similarity.s23GraphSearch _),
+    // s24: occlusion-pruned (diversified) graph — the HNSW/Vamana
+    // edge-selection heuristic over the s22 candidates: drop an edge
+    // when a kept neighbor occludes it (α=1 RNG rule), one kept edge
+    // per unrolled round
+    "s24_diverse_graph" -> (Similarity.s24DiverseGraph _),
+    // t24: interpolated Kneser–Ney bigram LM — the production
+    // smoothing family (KenLM default) next to t14's Laplace baseline;
+    // D=3/4 clears denominators so both engines score exact rationals
+    "t24_kneser_ney" -> (TextOps.t24KneserNey _),
+    // p19: dynamic partition pruning — dim-attribute predicate becomes
+    // a RUNTIME partition filter on the day-partitioned fact scan
+    // (PlanSpec pins the dynamicpruning expression)
+    "p19_dynamic_pruning" -> (Sinks.p19DynamicPruning _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -2636,7 +2636,116 @@ object Similarity {
       s"WHERE t.rn <= $K ORDER BY query_id, rnk"
   }
 
+  // ---- s24: occlusion-pruned (diversified) graph ------------------------
+
+  /** Diversified out-degree — edges kept per node after pruning. */
+  private[graft] val S24Degree = 3
+
+  /** s24: OCCLUSION-PRUNED NAVIGABLE GRAPH — the edge-selection
+    * heuristic HNSW ("select neighbors heuristic", Malkov & Yashunin
+    * 2018) and Vamana/DiskANN (α-RNG prune, Subramanya et al. 2019)
+    * apply on top of the raw k-NN graph: a candidate edge (u,v) is
+    * DROPPED when an already-kept neighbor w occludes it — w is closer
+    * to v than u is (cos(v,w) > cos(u,v), the α=1 relative-
+    * neighborhood rule) — because the walk can reach v THROUGH w; the
+    * budget goes to edges that open new directions instead of k spokes
+    * into one cluster. Greedy over the s22 candidates in exact-rank
+    * order, unrolled one kept-edge per round (the s18/Lloyd replay
+    * pattern): round r keeps, per node, the best-ranked candidate not
+    * occluded by the kept set (kept₁ = the rank-1 edge, vacuously
+    * diverse). Nodes can end under-degree when occlusion exhausts the
+    * pool — the honest outcome, never padded. Output carries the new
+    * dense rank AND the s22 rank each survivor held (`cand_rnk`), so
+    * the prune is visible in the result. Ranking keys are rounded
+    * cosines with id tie-breaks (the s01 rules) in both engines.
+    *
+    * Scale shape: per round the pair frame is |remaining|·|kept| ≤
+    * [[S22Degree]]·[[S24Degree]] rows PER NODE — linear in n, never
+    * corpus×corpus; vectors attach by id-keyed joins AFTER pair
+    * enumeration and are dropped before the grouped occlusion verdict
+    * (the "vectors never ride a rank shuffle" rule); each round's kept
+    * frame is localCheckpointed so round r+1 joins a materialized
+    * artifact, not a growing DAG (the e05 lesson). The oracle replays
+    * the s22 build and every prune round CTE-for-CTE. */
+  def s24DiverseGraph(spark: SparkSession, dir: String): DataFrame =
+    s24At(spark, dir, S24Degree)
+
+  /** [[s24DiverseGraph]] at explicit degree — the sweep/spec seam. */
+  private[graft] def s24At(spark: SparkSession, dir: String,
+      degree: Int): DataFrame = {
+    val g = s22KnnGraph(spark, dir).localCheckpoint()
+    val all = emb(spark, dir)
+    def vecsAs(id: String, v: String): DataFrame =
+      all.select(col("vec_id").as(id), col("e").as(v))
+    var kept = g.filter(col("rnk") === 1)
+      .select(col("src_id"), col("dst_id"), col("rnk"))
+      .localCheckpoint()
+    for (_ <- 2 to degree) {
+      val remaining = g.select(col("src_id"), col("dst_id"), col("rnk"))
+        .join(kept.select(col("src_id"), col("dst_id")),
+          Seq("src_id", "dst_id"), "left_anti")
+      val verdict = remaining
+        .join(kept.select(col("src_id"), col("dst_id").as("kept_dst")),
+          Seq("src_id"))
+        .join(vecsAs("dst_id", "ve"), Seq("dst_id"))
+        .join(vecsAs("kept_dst", "we"), Seq("kept_dst"))
+        .join(vecsAs("src_id", "se"), Seq("src_id"))
+        .select(col("src_id"), col("dst_id"), col("rnk"),
+          (round(Dedup.cosine(col("ve"), col("we")), 6) >
+            round(Dedup.cosine(col("se"), col("ve")), 6)).as("occ"))
+        .groupBy(col("src_id"), col("dst_id"), col("rnk"))
+        .agg(max(col("occ")).as("occluded"))
+      val wNext = Window.partitionBy(col("src_id")).orderBy(col("rnk").asc)
+      val next = verdict.filter(!col("occluded"))
+        .withColumn("rn", row_number().over(wNext))
+        .filter(col("rn") === 1)
+        .select(col("src_id"), col("dst_id"), col("rnk"))
+      kept = kept.unionByName(next).localCheckpoint()
+    }
+    val wOut = Window.partitionBy(col("src_id")).orderBy(col("rnk").asc)
+    kept.join(g, Seq("src_id", "dst_id", "rnk"))
+      .withColumn("new_rnk", row_number().over(wOut).cast("long"))
+      .select(col("src_id"), col("new_rnk").as("rnk"), col("dst_id"),
+        col("cos_sim"), col("rnk").as("cand_rnk"))
+      .orderBy("src_id", "rnk")
+  }
+
+  /** s24 oracle: [[s22CtesSql]]'s graph, then each prune round as its
+    * own CTE block (remaining = NOT EXISTS kept; occlusion verdict
+    * over the kept set with exact rounded cosines; next kept = min
+    * candidate rank among the unoccluded), then the survivors
+    * re-ranked densely. MATERIALIZED for the same blowup reason g22
+    * documents. */
+  private[graft] def s24OracleSql(rounds: Int, pqRounds: Int,
+      degree: Int): String = {
+    val prune = (2 to degree).map { r =>
+      s"vd$r AS MATERIALIZED (SELECT c.src_id, c.dst_id, c.rnk, " +
+        "max(CASE WHEN round(list_cosine_similarity(ve.emb, we.emb), 6) > " +
+        "round(list_cosine_similarity(se.emb, ve.emb), 6) THEN 1 ELSE 0 END) AS occ " +
+        s"FROM g22 c JOIN k${r - 1} k ON k.src_id = c.src_id " +
+        "JOIN e ve ON ve.vec_id = c.dst_id " +
+        "JOIN e we ON we.vec_id = k.dst_id " +
+        "JOIN e se ON se.vec_id = c.src_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM k${r - 1} x " +
+        "WHERE x.src_id = c.src_id AND x.dst_id = c.dst_id) " +
+        "GROUP BY c.src_id, c.dst_id, c.rnk), " +
+        s"n$r AS MATERIALIZED (SELECT src_id, dst_id, rnk FROM (" +
+        s"SELECT src_id, dst_id, rnk, row_number() OVER (PARTITION BY src_id ORDER BY rnk) AS rn " +
+        s"FROM vd$r WHERE occ = 0) WHERE rn = 1), " +
+        s"k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL SELECT * FROM n$r), "
+    }.mkString
+    s22CtesSql(rounds, pqRounds) +
+      "k1 AS MATERIALIZED (SELECT src_id, dst_id, rnk FROM g22 WHERE rnk = 1), " +
+      prune +
+      "kfin AS (SELECT 1) " +
+      "SELECT k.src_id, row_number() OVER (PARTITION BY k.src_id ORDER BY k.rnk) AS rnk, " +
+      "k.dst_id, g.cos_sim, k.rnk AS cand_rnk " +
+      s"FROM k$degree k JOIN g22 g ON g.src_id = k.src_id AND g.dst_id = k.dst_id " +
+      "ORDER BY 1, 2"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s24_diverse_graph" -> s24OracleSql(LloydRounds, S07Rounds, S24Degree),
     "s22_knn_graph" -> s22OracleSql(LloydRounds, S07Rounds),
     "s23_graph_search" -> s23OracleSql(LloydRounds, S07Rounds, S23Rounds),
     "s21_persisted_binary" -> s20OracleSql,

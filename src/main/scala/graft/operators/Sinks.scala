@@ -1181,6 +1181,84 @@ object Sinks {
       "CAST(coalesce(sum(cents), 0) AS BIGINT), CAST(count(DISTINCT hr) AS BIGINT) " +
       "FROM ev, ds WHERE day = maxday AND hr BETWEEN 12 AND 23) ORDER BY era"
 
+  // ---- p19: dynamic partition pruning (runtime partition filters) -------
+
+  /** Land the p19 lake: events hive-partitioned by calendar day (30
+    * directories at gate SF — the canonical fact layout), plus a
+    * calendar dim derived deterministically from the fact rows: one
+    * row per day with its epoch-day mod-7 cycle slot (a weekday-class
+    * attribute the fact predicate CANNOT see statically). Returns the
+    * lake root. */
+  private[graft] def p19Land(spark: SparkSession, dir: String): String = {
+    val root = graft.core.IO.scratchDir("graft-p19")
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"),
+      to_date(col("ts")).as("day"))
+    // whole partitions per task (the p01 small-files rule)
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day")
+      .option("compression", "zstd").parquet(s"$root/fact")
+    ev.select(col("day")).distinct()
+      .withColumn("day_slot",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$root/dim")
+    root
+  }
+
+  /** The DPP join: fact ⋈ (dim filtered on the NON-join attribute).
+    * The partition filter on the fact side only exists at RUNTIME —
+    * the broadcast of the filtered dim doubles as the pruning subquery
+    * (Spark's DPP reuses the exchange), so the fact scan plans
+    * `PartitionFilters: [dynamicpruning#...]` and never lists the
+    * non-matching day directories. PlanSpec pins the dynamicpruning
+    * filter on the scan. */
+  private[graft] def p19Join(spark: SparkSession, root: String): DataFrame = {
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim")
+      .filter(col("day_slot") === 2L)
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
+  /** p19: DYNAMIC PARTITION PRUNING — the runtime half of p01's static
+    * pruning tier and the star-schema primitive every 100 TB fact
+    * table lives on: the predicate sits on a DIM attribute (`day_slot`
+    * — the weekday class), so no partition filter exists at plan time;
+    * Spark's DPP turns the broadcast of the filtered dim into a
+    * runtime partition filter on the fact scan, and only the matching
+    * day directories are ever listed or read (~1/7 here). Without DPP
+    * the same declarative join scans all partitions and filters after
+    * the join — correct, and 7× the I/O. The oracle replays the
+    * calendar derivation and the join from raw events; PlanSpec pins
+    * the `dynamicpruning` expression in the fact scan's
+    * PartitionFilters — the gate proves semantics, the pin proves the
+    * scan shape. 100 TB: DPP is the difference between scanning the
+    * lake and scanning the week — it composes with p01's layout and
+    * needs zero engine code, but ONLY fires when the join is planned
+    * broadcast and the fact is partitioned on the join key; this gate
+    * is the regression canary for that plan shape. */
+  def p19DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = p19Land(spark, dir)
+    p19Join(spark, root)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("sum_cents"))
+      .orderBy("day")
+  }
+
+  private[graft] val p19Sql: String =
+    "WITH f AS (SELECT CAST(ts AS DATE) AS day, " +
+      "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+      "dim AS (SELECT day, (day - DATE '1970-01-01') % 7 AS slot " +
+      "FROM (SELECT DISTINCT day FROM f)) " +
+      "SELECT strftime(f.day, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(f.cents) AS BIGINT) AS sum_cents " +
+      "FROM f JOIN dim ON f.day = dim.day WHERE dim.slot = 2 " +
+      "GROUP BY f.day ORDER BY day"
+
   private[graft] val p16Sql: String =
     "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
       s"w AS (SELECT (SELECT max(user_id) FROM ev) // $P16Files + 1 AS width), " +
@@ -1195,6 +1273,10 @@ object Sinks {
       "FROM f, pr WHERE f.fid IN (SELECT fid FROM sel) AND user_id BETWEEN lo AND hi"
 
   val oracles: Map[String, String] = Map(
+    // p19: the calendar derivation and the dim-filtered join replayed
+    // from raw events — hash equality proves runtime pruning is
+    // semantically invisible; the scan shape is PlanSpec's job
+    "p19_dynamic_pruning" -> p19Sql,
     // p18: both lake representations (delete file live vs compacted
     // away) must serve the same logical rows — p12's delete-rule
     // semantics stated once and demanded of each phase

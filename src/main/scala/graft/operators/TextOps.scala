@@ -473,6 +473,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t24: interpolated KNESER–NEY smoothed bigram LM score — the
+    * production smoothing family next to t14's Laplace baseline (the
+    * KenLM default that CCNet-style quality filtering actually ships;
+    * Kneser & Ney 1995, Chen & Goodman 1998). For an observed bigram
+    * (a,w) with count c2, prefix count c1(a) = Σ_w c2(a,w), distinct
+    * continuations n1p(a) = |{w : c2(a,w)>0}|, left-context count
+    * cont(w) = |{a : c2(a,w)>0}|, and total bigram types n_bb, the KN
+    * probability with absolute discount D = 3/4 is
+    *
+    *   P(w|a) = (c2 − D)/c1 + D·n1p(a)/c1 · cont(w)/n_bb
+    *          = [(4·c2 − 3)·n_bb + 3·n1p(a)·cont(w)] / (4·c1·n_bb)
+    *
+    * — an EXACT int64 rational (the D = 3/4 choice clears the
+    * denominators), so both engines take ONE ieee double division and
+    * one ln per scored occurrence, floored onto the t14 1e-4-nat
+    * integer grid BEFORE the per-doc sum: integer doc totals in any
+    * fold order, true integer division for the mean. The continuation
+    * counts are what distinguish KN from t14: a word seen often but
+    * only after one specific prefix ("Francisco") gets a LOW unigram
+    * weight — the novel-context behaviour Laplace cannot express.
+    *
+    * 100 TB shape: all four model tables (types, prefix, continuation,
+    * the 1-row type total) are VOCABULARY-sized partial-agg outputs,
+    * never corpus-sized; the scoring joins shuffle on bigram/word-type
+    * keys exactly like t14 (AQE broadcasts them at gate SFs); n_bb
+    * attaches as a 1-row broadcast. Docs with < 2 tokens surface with
+    * zeros via the left join (the t14 honesty rule). */
+  def t24KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val occ = d.select(col("doc_id"),
+        explode(wordNgrams(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("w"))
+    val ty = occ.groupBy(col("a"), col("w")).agg(count(lit(1)).as("c2"))
+    val pre = ty.groupBy(col("a"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val ct = ty.groupBy(col("w")).agg(count(lit(1)).as("cont"))
+    val nbb = ty.agg(count(lit(1)).as("nbb"))
+    val scored = occ
+      .join(ty, Seq("a", "w"))
+      .join(pre, Seq("a"))
+      .join(ct, Seq("w"))
+      .crossJoin(broadcast(nbb))
+      .select(col("doc_id"),
+        floor(log((lit(4L) * col("c1") * col("nbb")).cast("double") /
+            ((lit(4L) * col("c2") - lit(3L)) * col("nbb") +
+              lit(3L) * col("n1p") * col("cont")))
+          * T14Unit).cast("long").as("nll"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum_e4"))
+      .withColumn("avg_nll_e4", expr("nll_sum_e4 div n_bigrams"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "nll_sum_e4", "avg_nll_e4"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e4"), col("avg_nll_e4"))
+      .orderBy("doc_id")
+  }
+
   /** t15: DSIR importance weights + selection (Xie et al., "Data
     * Selection for Language Models via Importance Resampling",
     * NeurIPS 2023) — the data-SELECTION step that sits after the
@@ -1739,6 +1797,30 @@ object TextOps {
         s"* $T14Unit) AS BIGINT) AS nll " +
         "FROM bg b JOIN c2 ON b.bg = c2.bg " +
         "JOIN c1 ON split_part(b.bg, ' ', 1) = c1.a CROSS JOIN v), " +
+        "per_doc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_sum_e4, " +
+        "CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_e4 FROM scored GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(p.nll_sum_e4, 0) AS nll_sum_e4, coalesce(p.avg_nll_e4, 0) AS avg_nll_e4 " +
+        "FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id"),
+    "t24_kneser_ney" ->
+      // t14's tokenization; KN model tables over bigram TYPES; the
+      // D=3/4 rational form gives exact int64 numerator/denominator,
+      // one double division + ln per occurrence, floored onto the
+      // 1e-4-nat grid BEFORE the per-doc sum (fold-order-free)
+      ("WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> array_to_string(w[i:i+1], ' '))) AS bg FROM tok), " +
+        "occ AS (SELECT doc_id, split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS wd FROM bg), " +
+        "ty AS (SELECT a, wd, count(*) AS c2 FROM occ GROUP BY a, wd), " +
+        "pre AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1p FROM ty GROUP BY a), " +
+        "ct AS (SELECT wd, count(*) AS cont FROM ty GROUP BY wd), " +
+        "nb AS (SELECT count(*) AS nbb FROM ty), " +
+        "scored AS (SELECT o.doc_id, CAST(floor(ln(" +
+        "CAST(4 * pre.c1 * nb.nbb AS DOUBLE) / " +
+        "((4 * ty.c2 - 3) * nb.nbb + 3 * pre.n1p * ct.cont)) " +
+        s"* $T14Unit) AS BIGINT) AS nll " +
+        "FROM occ o JOIN ty ON o.a = ty.a AND o.wd = ty.wd " +
+        "JOIN pre ON o.a = pre.a JOIN ct ON o.wd = ct.wd CROSS JOIN nb), " +
         "per_doc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_sum_e4, " +
         "CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_e4 FROM scored GROUP BY doc_id) " +
         "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, " +

@@ -359,6 +359,85 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(1)._4 < rows(2)._4)
   }
 
+  test("t24 Kneser-Ney matches hand-computed smoothing on the t14 corpus") {
+    import spark.implicits._
+    // types: c2(a,b)=3, c2(b,a)=1, c2(z,z)=1; n_bb=3; prefixes
+    // a:(c1=3,n1p=1) b:(1,1) z:(1,1); continuations all 1. With D=3/4:
+    // P(b|a) = ((4*3-3)*3 + 3*1*1)/(4*3*3) = 30/36 -> nll 1823;
+    // P(a|b) = P(z|z) = 6/12 -> nll 6931.
+    val fixture = java.nio.file.Files.createTempDirectory("t24fix").toString
+    Seq(1L -> "a b a b", 2L -> "a b", 3L -> "z z", 4L -> "solo")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t24KneserNey(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 1823L + 6931L + 1823L, (1823L + 6931L + 1823L) / 3L),
+      (2L, 1L, 1823L, 1823L),
+      (3L, 1L, 6931L, 6931L),
+      (4L, 0L, 0L, 0L)), s"unexpected t24 rows: $rows")
+  }
+
+  test("t24 continuation counts express the novel-context effect Laplace cannot") {
+    import spark.implicits._
+    // c2(u,x)=c2(u,y)=1 and the same prefix u — the ONLY difference is
+    // cont(x)=3 contexts vs cont(y)=1, so KN must score x as the more
+    // plausible continuation (the "Francisco" property):
+    // P(x|u) = (1*4 + 3*2*3)/(4*2*4) = 22/32 -> nll 3746;
+    // P(y|u) = (1*4 + 3*2*1)/32     = 10/32 -> nll 11631.
+    val fixture = java.nio.file.Files.createTempDirectory("t24fix2").toString
+    Seq(1L -> "u x", 2L -> "u y", 3L -> "p x", 4L -> "q x")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val rows = TextOps.t24KneserNey(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows(1L) == 3746L && rows(2L) == 11631L,
+      s"unexpected t24 nll: $rows")
+    // under t14's Laplace the two docs are INDISTINGUISHABLE (same c2,
+    // same c1, same V) — pin that, so the gates stay honest twins
+    val t14 = TextOps.t14LmScore(spark, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(t14(1L) == t14(2L), s"t14 should not distinguish: $t14")
+  }
+
+  test("s24 diversified graph: degree-bounded subset of s22 with the occlusion property") {
+    import org.apache.spark.sql.functions._
+    val g22 = Similarity.s22KnnGraph(spark, sf)
+      .select(col("src_id"), col("dst_id"), col("rnk").as("cand_rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val kept = Similarity.s24DiverseGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // every kept edge is an s22 edge and carries its original rank
+    kept.foreach { case (src, _, dst, cr) =>
+      assert(g22.get((src, dst)).contains(cr), s"($src,$dst) not in s22/$cr") }
+    val bySrc = kept.groupBy(_._1)
+    // degree bound, dense re-rank, and the rank-1 edge always survives
+    // (vacuously diverse)
+    assert(bySrc.keySet == g22.keys.map(_._1).toSet, "every node keeps >= 1 edge")
+    bySrc.values.foreach { es =>
+      assert(es.length <= Similarity.S24Degree)
+      assert(es.map(_._2).sorted.toSeq == (1L to es.length).toSeq)
+      assert(es.exists(_._4 == 1L), "the rank-1 candidate must be kept")
+    }
+    // the prune must actually bite somewhere: strictly fewer edges
+    // than the raw graph (the fixture corpus has clustered neighbors)
+    assert(kept.length < g22.size, "occlusion never fired — suspicious")
+    // occlusion property re-verified from raw vectors: no kept edge is
+    // occluded by a kept edge of LOWER original rank
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    for ((src, es) <- bySrc; (_, _, v, vr) <- es; (_, _, w, wr) <- es if wr < vr)
+      assert(r6(cos(emb(v), emb(w))) <= r6(cos(emb(src), emb(v))),
+        s"kept edge ($src,$v) is occluded by earlier kept ($src,$w)")
+  }
+
   test("t15 DSIR weights match hand-computed Laplace log-ratios and select top ⌈n/5⌉") {
     import spark.implicits._
     // raw counts a:3 b:2 c:2 (Nr=7, V=3); en-target counts a:3 b:1 c:1

@@ -100,6 +100,16 @@ class PlanSpec extends AnyFunSuite {
       s"era-2 scan must prune on hr:\n$p2")
   }
 
+  test("p19 fact scan carries a RUNTIME dynamicpruning partition filter") {
+    val root = operators.Sinks.p19Land(spark, sf)
+    val p = formatted(operators.Sinks.p19Join(spark, root))
+    // no static day predicate exists — the filter sits on the dim's
+    // day_slot attribute — so a partition filter on the fact scan can
+    // only be the DPP subquery Spark derived from the broadcast
+    assert("PartitionFilters[^\n]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"expected a dynamicpruning expression in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("s21 serve path nominates from the stored signatures, never recomputing them") {
     val sigPath = operators.Similarity.s21BuildSigStore(spark, sf)
     val p = formatted(operators.Similarity.s21Search(spark, sf, sigPath))
