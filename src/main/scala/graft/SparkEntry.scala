@@ -525,6 +525,10 @@ object SparkEntry {
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)
     "p19_dynamic_pruning" -> (Sinks.p19DynamicPruning _),
+    // e06: graph-based semantic curation — threshold the s22 graph,
+    // pointer-jumping CC, per-vector keep/drop verdict with cluster
+    // census (the transitive SemDeDup d11's cells cannot express)
+    "e06_graph_curation" -> (Pipeline.e06GraphCuration _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

@@ -622,7 +622,74 @@ object Pipeline {
     out
   }
 
+  /** Edge bar for e06: the d06 near-dup threshold applied to the
+    * graph's (rounded) exact cosines. */
+  private[graft] val E06Tau = 0.45
+
+  /** e06: GRAPH-BASED SEMANTIC CURATION — the curation verb the s22
+    * substrate exists for (SemDeDup-at-scale done graph-first, the
+    * NVIDIA-NeMo-Curator/DataComp shape): threshold the k-NN graph's
+    * exact edge cosines at [[E06Tau]], run pointer-jumping connected
+    * components over the qualifying pairs (d07's machinery, O(log
+    * diameter) rounds), and emit a verdict for EVERY corpus vector —
+    * its cluster representative (`keep_id` = min member id, itself
+    * when unclustered), the cluster size, and whether it is the kept
+    * canonical. Against d11/d12 (quantizer-cell SemDeDup) this is the
+    * TRANSITIVE form: cells compare only within-cell, so a dup chain
+    * spanning cells survives d11 but collapses here — the graph makes
+    * the closure explicit and the census auditable.
+    *
+    * Composition, not re-implementation: s22 proves the graph, d07
+    * proves CC, d14 proves canonical selection; e06 proves they
+    * compose — a drift between the graph's rounded cosine grid and the
+    * threshold, or between edge direction and pair identity, breaks
+    * this gate while every per-operator gate stays green (the e01
+    * interop argument). Scale shape: the graph build is linear in n
+    * (s22's bound), the threshold is map-only, pairs are ≤ degree·n,
+    * CC rounds are label-keyed joins, and the member census is one
+    * keyed shuffle — never corpus×corpus. The oracle replays graph →
+    * threshold → transitive closure (recursive CTE over the tiny
+    * qualifying components) → census row-for-row. */
+  def e06GraphCuration(spark: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.s22KnnGraph(spark, dir)
+    val pairs = g.filter(col("cos_sim") >= E06Tau)
+      .select(least(col("src_id"), col("dst_id")).as("ida"),
+        greatest(col("src_id"), col("dst_id")).as("idb"))
+      .distinct()
+    val lbls = Dedup.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("lbl"))
+    val verdict = Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(lbls, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("keep_id"))
+    val sizes = verdict.groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+    verdict.join(sizes, Seq("keep_id"))
+      .select(col("vec_id"), col("keep_id"), col("n_members"),
+        (col("vec_id") === col("keep_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private[graft] def e06Sql: String =
+    Similarity.s22CtesSql(Similarity.LloydRounds, Similarity.S07Rounds) +
+      s"prs AS (SELECT least(src_id, dst_id) AS ida, greatest(src_id, dst_id) AS idb " +
+      s"FROM g22 WHERE cos_sim >= $E06Tau GROUP BY 1, 2), " +
+      "edg AS (SELECT ida AS src, idb AS dst FROM prs UNION ALL SELECT idb, ida FROM prs), " +
+      "nds AS (SELECT DISTINCT src AS v FROM edg), " +
+      // transitive closure by recursion — qualifying components are
+      // tiny (the d07 oracle pattern); min reachable id = keep_id
+      "reach AS (WITH RECURSIVE r(v, other) AS (SELECT v, v FROM nds " +
+      "UNION SELECT r.v, e2.dst FROM r JOIN edg e2 ON e2.src = r.other) SELECT * FROM r), " +
+      "lbl AS (SELECT v, min(other) AS keep_id FROM reach GROUP BY v), " +
+      "vct AS (SELECT e.vec_id, coalesce(l.keep_id, e.vec_id) AS keep_id " +
+      "FROM e LEFT JOIN lbl l ON l.v = e.vec_id), " +
+      "szs AS (SELECT keep_id, count(*) AS n_members FROM vct GROUP BY keep_id) " +
+      "SELECT v.vec_id, v.keep_id, s.n_members, v.vec_id = v.keep_id AS kept " +
+      "FROM vct v JOIN szs s ON s.keep_id = v.keep_id ORDER BY vec_id"
+
   val oracles: Map[String, String] = Map(
+    // e06: graph → threshold → transitive closure → census replayed
+    // row-for-row (the d07 recursive-CTE pattern over s22's CTEs)
+    "e06_graph_curation" -> e06Sql,
     // e05: s14's fused-pool CTEs + the rel-grid rescale + the SHARED
     // unrolled MMR rounds (one selection rule across s18/e05)
     "e05_serving_pipeline" -> (Similarity.s14FusedCtesSql + ", " +

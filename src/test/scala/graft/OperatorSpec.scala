@@ -438,6 +438,58 @@ class OperatorSpec extends AnyFunSuite {
         s"kept edge ($src,$v) is occluded by earlier kept ($src,$w)")
   }
 
+  test("e06 graph curation collapses a transitive chain cell-SemDeDup cannot") {
+    import org.apache.spark.sql.functions._
+    // the defining case: A~B and B~C above τ, A~C BELOW τ — pairwise
+    // (or within-cell) dedup keeps A and C as "distinct"; the graph's
+    // transitive closure puts all three in ONE cluster. Chain built by
+    // interpolation over the s06 uniform background: B = (u+v)/|·| has
+    // cos ≈ sqrt((1+cos(u,v))/2) ≈ 0.71 to each endpoint while the
+    // endpoints sit at background similarity (~0).
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val base = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i)).as("embedding"))
+    val chain = spark.range(1).toDF("z").select(
+      array(
+        struct(lit(500L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i => comp(lit(7L), i)).as("embedding")),
+        struct(lit(501L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => comp(lit(7L), i) + comp(lit(11L), i)).as("embedding")),
+        struct(lit(502L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i => comp(lit(11L), i)).as("embedding"))
+      ).as("rows")).select(explode(col("rows")).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("e06fix").toString
+    base.unionAll(chain).select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    // the premise must hold in the raw vectors: links above τ, the
+    // endpoints below it (otherwise the test proves nothing)
+    val cosOf = graft.core.Tables(spark, fixture, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    assert(cos(cosOf(500L), cosOf(501L)) >= Pipeline.E06Tau)
+    assert(cos(cosOf(501L), cosOf(502L)) >= Pipeline.E06Tau)
+    assert(cos(cosOf(500L), cosOf(502L)) < Pipeline.E06Tau,
+      "endpoints must NOT be pairwise-similar — transitivity is the point")
+    val verdicts = Pipeline.e06GraphCuration(spark, fixture)
+      .filter(col("vec_id") >= 500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(verdicts.map(_._2).distinct.length == 1,
+      s"chain must share one keep_id: ${verdicts.toSeq}")
+    assert(verdicts.forall(_._3 >= 3L), s"cluster census must span the chain: ${verdicts.toSeq}")
+    assert(verdicts.count(v => v._1 == v._2 && v._4) <= 1,
+      "at most one canonical per cluster")
+  }
+
   test("t15 DSIR weights match hand-computed Laplace log-ratios and select top ⌈n/5⌉") {
     import spark.implicits._
     // raw counts a:3 b:2 c:2 (Nr=7, V=3); en-target counts a:3 b:1 c:1
