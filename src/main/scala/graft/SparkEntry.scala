@@ -474,6 +474,12 @@ object SparkEntry {
     // full recompute (p15's oracle verbatim)
     "st15_streaming_view" ->
       (graft.streaming.StreamingOps.st15StreamingViewMaintenance _),
+    // st16: streaming CMS maintenance — each micro-batch folds its own
+    // 4×1024 cell grid into the stored sketch by cellwise sum (the
+    // mergeable-sketch property run as a streaming fold); heavy-hitter
+    // report from the streamed grid shares t13's oracle verbatim
+    "st16_streaming_cms" ->
+      (graft.streaming.StreamingOps.st16StreamingCms _),
     // s21: the persisted form of s20 — signatures written once at
     // ingest (16 B/row), query batches serve from the stored artifact
     // alone; deterministic packing ⇒ shares s20's oracle verbatim
@@ -517,14 +523,27 @@ object SparkEntry {
     // when a kept neighbor occludes it (α=1 RNG rule), one kept edge
     // per unrolled round
     "s24_diverse_graph" -> (Similarity.s24DiverseGraph _),
+    // s25: beam-search serve over the PRUNED s24 graph — the
+    // composition the occlusion prune exists for: s23's walk with 40%
+    // fewer edge slots per node, recall floor kept (spec-pinned)
+    "s25_pruned_search" -> (Similarity.s25PrunedSearch _),
     // t24: interpolated Kneser–Ney bigram LM — the production
     // smoothing family (KenLM default) next to t14's Laplace baseline;
     // D=3/4 clears denominators so both engines score exact rationals
     "t24_kneser_ney" -> (TextOps.t24KneserNey _),
+    // t25: content-defined chunking dedup — the shift-resistant dedup
+    // family (FastCDC at word granularity): hash-decided boundaries
+    // re-sync after an insertion, per-doc dup-chunk coverage census
+    "t25_cdc_chunk_dedup" -> (TextOps.t25CdcChunkDedup _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)
     "p19_dynamic_pruning" -> (Sinks.p19DynamicPruning _),
+    // p20: write-audit-publish — a candidate batch commits to a branch
+    // manifest readers never route through, a constraint audit gates
+    // it, publish = metadata-only manifest append; a failing audit
+    // leaves the published namespace untouched
+    "p20_write_audit_publish" -> (Sinks.p20WriteAuditPublish _),
     // e06: graph-based semantic curation — threshold the s22 graph,
     // pointer-jumping CC, per-vector keep/drop verdict with cluster
     // census (the transitive SemDeDup d11's cells cannot express)

@@ -23,7 +23,7 @@ object Similarity {
   private val K = 5
   private val NumQueries = 10 // query set: vec_id < 10
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
@@ -2510,24 +2510,40 @@ object Similarity {
   /** [[s23GraphSearch]] at explicit (rounds, beam) — the sweep seam. */
   private[graft] def s23At(spark: SparkSession, dir: String,
       rounds: Int, beamWidth: Int): DataFrame = {
-    import graft.functions.VectorFunctions.array_dot
     val graph = s22KnnGraph(spark, dir)
       .select(col("src_id"), col("dst_id")).localCheckpoint()
-    // seed from the query's probed cells — the same (cached) two-level
-    // model the graph build trained
+    s23Serve(spark, emb(spark, dir), graph,
+      s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
+  }
+
+  /** The walk's entry frontier — the top-`beamWidth` exact-ranked
+    * members of the query's probed IVF cells (s06's scan, the
+    * "coarse quantizer picks the entry points" discipline), from the
+    * same cached two-level model the graph build trained. Shared by
+    * s23 (raw-graph serve) and s25 (pruned-graph serve) so the two
+    * gates differ in exactly one input: the edge set. */
+  private[graft] def s23SeedFrontier(spark: SparkSession, dir: String,
+      beamWidth: Int): DataFrame = {
     val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
     val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
-    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+    s23SeedOver(probeCells(spark, dir, ccents, fcents, k2), assigned, beamWidth)
+  }
+
+  /** The seed over explicit probe/assignment frames — the at-scale
+    * tool seam (S25AtScale probes through ITS OWN cell-target's
+    * model, the gate through the cached corpus-relative one). */
+  private[graft] def s23SeedOver(fprobes: DataFrame, assigned: DataFrame,
+      beamWidth: Int): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
     val wSeed = Window.partitionBy(col("qid"))
       .orderBy(round(col("c"), 6).desc, col("node").asc)
-    val seed = fprobes.join(assigned, Seq("cid"))
+    fprobes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("node"),
         (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
       .withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= beamWidth)
       .select(col("qid"), col("node"))
-    s23Serve(spark, emb(spark, dir), graph, seed, rounds, beamWidth)
   }
 
   /** The serve half of s23 over an already-materialized edge frame and
@@ -2593,14 +2609,22 @@ object Similarity {
     * visited-set ranking with the n_visited and frontier censuses
     * joined on. */
   private[graft] def s23OracleSql(rounds: Int, pqRounds: Int,
-      walkRounds: Int): String = {
+      walkRounds: Int): String =
+    s22CtesSql(rounds, pqRounds) + probeCtesSql(rounds) + ", " +
+      s23WalkSql(walkRounds, "g22")
+
+  /** The walk half of the s23/s25 oracles over an arbitrary edge CTE
+    * `graph` (must expose src_id, dst_id): probe seed, every walk
+    * round, censuses, final ranking. Assumes [[probeCtesSql]]'s fpr
+    * and [[s22CtesSql]]'s e are in scope. */
+  private[graft] def s23WalkSql(walkRounds: Int, graph: String): String = {
     // every walk CTE is MATERIALIZED: each round references the
     // previous round's beam/visited 2-3 times, so default inlining
     // expands the tree exponentially in walkRounds (the same blowup
     // g22's comment documents)
     val walk = (1 to walkRounds).map { r =>
       s"c$r AS MATERIALIZED (SELECT qid, node FROM b${r - 1} " +
-        s"UNION SELECT b.qid, g.dst_id AS node FROM b${r - 1} b JOIN g22 g ON g.src_id = b.node " +
+        s"UNION SELECT b.qid, g.dst_id AS node FROM b${r - 1} b JOIN $graph g ON g.src_id = b.node " +
         "AND g.dst_id <> b.qid), " +
         s"s$r AS MATERIALIZED (SELECT cd.qid, cd.node, list_cosine_similarity(q.emb, v.emb) AS c " +
         s"FROM c$r cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node), " +
@@ -2613,9 +2637,8 @@ object Similarity {
     val frontier = (1 to walkRounds)
       .map(r => s"CAST(f$r.b$r AS VARCHAR)").mkString(" || ',' || ")
     val fJoins = (2 to walkRounds).map(r => s"JOIN f$r USING (qid) ").mkString
-    s22CtesSql(rounds, pqRounds) + probeCtesSql(rounds) + ", " +
-      // seed = s06's scan: exact-ranked members of the probed cells
-      "b0 AS MATERIALIZED (SELECT qid, node FROM (" +
+    // seed = s06's scan: exact-ranked members of the probed cells
+    "b0 AS MATERIALIZED (SELECT qid, node FROM (" +
       "SELECT p.qid, a.vec_id AS node, " +
       "row_number() OVER (PARTITION BY p.qid " +
       "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
@@ -2672,9 +2695,14 @@ object Similarity {
 
   /** [[s24DiverseGraph]] at explicit degree — the sweep/spec seam. */
   private[graft] def s24At(spark: SparkSession, dir: String,
+      degree: Int): DataFrame =
+    s24PruneOver(s22KnnGraph(spark, dir).localCheckpoint(),
+      emb(spark, dir), degree)
+
+  /** The prune over an explicit (already-materialized) candidate graph
+    * and vector frame — the S25AtScale seam. */
+  private[graft] def s24PruneOver(g: DataFrame, all: DataFrame,
       degree: Int): DataFrame = {
-    val g = s22KnnGraph(spark, dir).localCheckpoint()
-    val all = emb(spark, dir)
     def vecsAs(id: String, v: String): DataFrame =
       all.select(col("vec_id").as(id), col("e").as(v))
     var kept = g.filter(col("rnk") === 1)
@@ -2717,7 +2745,19 @@ object Similarity {
     * re-ranked densely. MATERIALIZED for the same blowup reason g22
     * documents. */
   private[graft] def s24OracleSql(rounds: Int, pqRounds: Int,
-      degree: Int): String = {
+      degree: Int): String =
+    s22CtesSql(rounds, pqRounds) + s24CtesSql(degree) +
+      "kfin AS (SELECT 1) " +
+      "SELECT k.src_id, row_number() OVER (PARTITION BY k.src_id ORDER BY k.rnk) AS rnk, " +
+      "k.dst_id, g.cos_sim, k.rnk AS cand_rnk " +
+      s"FROM k$degree k JOIN g22 g ON g.src_id = k.src_id AND g.dst_id = k.dst_id " +
+      "ORDER BY 1, 2"
+
+  /** The prune chain of the s24/s25 oracles: k1 (the rank-1 edges)
+    * then one (verdict, next, kept) CTE block per round, ending with
+    * `k<degree>` = the pruned edge set. Assumes [[s22CtesSql]]'s g22
+    * and e are in scope. Ends with ", ". */
+  private[graft] def s24CtesSql(degree: Int): String = {
     val prune = (2 to degree).map { r =>
       s"vd$r AS MATERIALIZED (SELECT c.src_id, c.dst_id, c.rnk, " +
         "max(CASE WHEN round(list_cosine_similarity(ve.emb, we.emb), 6) > " +
@@ -2734,18 +2774,56 @@ object Similarity {
         s"FROM vd$r WHERE occ = 0) WHERE rn = 1), " +
         s"k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL SELECT * FROM n$r), "
     }.mkString
-    s22CtesSql(rounds, pqRounds) +
-      "k1 AS MATERIALIZED (SELECT src_id, dst_id, rnk FROM g22 WHERE rnk = 1), " +
-      prune +
-      "kfin AS (SELECT 1) " +
-      "SELECT k.src_id, row_number() OVER (PARTITION BY k.src_id ORDER BY k.rnk) AS rnk, " +
-      "k.dst_id, g.cos_sim, k.rnk AS cand_rnk " +
-      s"FROM k$degree k JOIN g22 g ON g.src_id = k.src_id AND g.dst_id = k.dst_id " +
-      "ORDER BY 1, 2"
+    "k1 AS MATERIALIZED (SELECT src_id, dst_id, rnk FROM g22 WHERE rnk = 1), " +
+      prune
   }
+
+  // ---- s25: beam-search serve over the PRUNED graph --------------------
+
+  /** s25: BEAM-SEARCH SERVE over the s24 OCCLUSION-PRUNED graph — the
+    * composition the prune exists for (HNSW/Vamana never serve the raw
+    * k-NN graph; they serve the diversified one). Identical walk to
+    * s23 — same probe-seeded entry frontier ([[s23SeedFrontier]]),
+    * same [[S23Rounds]]×[[S23Beam]] expand/score/truncate rounds, same
+    * visited-set ranking and censuses — over an edge set with
+    * [[S24Degree]]=3 slots per node instead of [[S22Degree]]=5, so the
+    * per-round edge-lookup and cosine budget drops 40% while the
+    * occlusion rule keeps the slots pointing in DIFFERENT directions
+    * (the recall-per-edge-traversed argument of Malkov & Yashunin 2018
+    * §4 / Subramanya et al. 2019 §3). The s23 structural floor still
+    * holds — the final rank is over a visited set that contains the
+    * seed, so recall@[[K]] never falls below s06's probe ceiling
+    * (spec-pinned, with the measured s25-vs-s23 gap reported). Scale
+    * shape: s23's (per query per round beam·degree work, graph
+    * localCheckpointed, frontier broadcast) with degree 3; at deploy
+    * the pruned src-keyed edge store is 40% smaller, the property that
+    * makes DiskANN graphs fit in memory/SSD budgets. The oracle chains
+    * the s22 build, the s24 prune rounds, AND every walk round —
+    * the full build→prune→serve lifecycle replayed CTE-for-CTE. */
+  def s25PrunedSearch(spark: SparkSession, dir: String): DataFrame =
+    s25At(spark, dir, S24Degree, S23Rounds, S23Beam)
+
+  /** [[s25PrunedSearch]] at explicit (degree, rounds, beam). */
+  private[graft] def s25At(spark: SparkSession, dir: String,
+      degree: Int, rounds: Int, beamWidth: Int): DataFrame = {
+    val pruned = s24At(spark, dir, degree)
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
+    s23Serve(spark, emb(spark, dir), pruned,
+      s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
+  }
+
+  /** s25 oracle: s22 graph build + s24 prune chain + the s23 walk over
+    * the pruned edge set `k<degree>`. */
+  private[graft] def s25OracleSql(rounds: Int, pqRounds: Int,
+      degree: Int, walkRounds: Int): String =
+    s22CtesSql(rounds, pqRounds) + s24CtesSql(degree) +
+      probeCtesSql(rounds) + ", " +
+      s23WalkSql(walkRounds, s"k$degree")
 
   val oracles: Map[String, String] = Map(
     "s24_diverse_graph" -> s24OracleSql(LloydRounds, S07Rounds, S24Degree),
+    "s25_pruned_search" ->
+      s25OracleSql(LloydRounds, S07Rounds, S24Degree, S23Rounds),
     "s22_knn_graph" -> s22OracleSql(LloydRounds, S07Rounds),
     "s23_graph_search" -> s23OracleSql(LloydRounds, S07Rounds, S23Rounds),
     "s21_persisted_binary" -> s20OracleSql,

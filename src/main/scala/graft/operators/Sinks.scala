@@ -229,8 +229,8 @@ object Sinks {
     * reconstruction (OperatorSpec pins inputFiles == exactly the
     * manifest's dirs). */
   private[graft] def p13Read(spark: SparkSession, root: String,
-      snap: Long): DataFrame = {
-    val paths = spark.read.parquet(s"$root/manifest")
+      snap: Long, manifest: String = "manifest"): DataFrame = {
+    val paths = spark.read.parquet(s"$root/$manifest")
       .filter(col("snap") === snap).select("dver", "pk")
       .collect().map(r => s"$root/d/dv=${r.getLong(0)}/pk=${r.getLong(1)}")
       .toSeq
@@ -248,7 +248,7 @@ object Sinks {
     * earlier snapshot stays byte-identical on disk, which is what makes
     * [[p13Read]] time travel instead of reconstruction. */
   private[graft] def p13Commit(spark: SparkSession, root: String, v: Long,
-      changes: DataFrame): Unit = {
+      changes: DataFrame, manifest: String = "manifest"): Unit = {
     // bounded scalar routing read (the p12 pattern): which buckets the
     // batch touches — never row data
     val touched = changes.select(col("pk")).distinct()
@@ -270,17 +270,18 @@ object Sinks {
     prev.join(tdf, Seq("pk"), "full_outer")
       .select(lit(v).as("snap"), col("pk"),
         when(col("hit").isNotNull, lit(v)).otherwise(col("dver")).as("dver"))
-      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+      .coalesce(1).write.mode("append").parquet(s"$root/$manifest")
   }
 
   /** The p13/p14 oracle: v0/v1/v2 re-derived from `documents` through
     * the same full-outer merge rule the engine runs, with the snapshot
     * union restricted to `snaps` (p13 reads all three; p14 reads what
     * survives the vacuum). */
-  private[graft] def p13OracleSql(snaps: Range): String = {
-    val union = snaps.map(v =>
-      s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v$v")
-      .mkString(" UNION ALL ")
+  /** The v0 → ch1 → v1 oracle prefix (base snapshot, first change
+    * batch, first merge) — shared by the p13/p14 time-travel oracles
+    * and p20's publish oracle, so the three gates provably replay ONE
+    * merge rule. Opens the WITH; ends with ", ". */
+  private[graft] val p13V1Ctes: String =
     "WITH d AS (SELECT doc_id, text FROM documents), " +
       "v0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS ver FROM d), " +
       "ch1 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM d WHERE doc_id % 13 = 5 " +
@@ -288,7 +289,13 @@ object Sinks {
       s"UNION ALL SELECT doc_id + $P12InsOffset, 'I', 'ins: ' || text FROM d WHERE doc_id % 11 = 7), " +
       "v1 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
       "CASE WHEN c.op IS NOT NULL THEN CAST(1 AS BIGINT) ELSE b.ver END AS ver " +
-      "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
+      "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), "
+
+  private[graft] def p13OracleSql(snaps: Range): String = {
+    val union = snaps.map(v =>
+      s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v$v")
+      .mkString(" UNION ALL ")
+    p13V1Ctes +
       s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
       "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
       "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
@@ -389,6 +396,80 @@ object Sinks {
       p13Read(spark, root, v).select(lit(v).as("snap"), col("doc_id"),
         col("ver"), length(col("text")).cast("long").as("n_chars"))
     }.reduce(_ unionByName _).orderBy("snap", "doc_id")
+  }
+
+  /** The p20 audit: constraint census over a branch snapshot read —
+    * (empty-or-null texts, duplicate keys), the q36 constraint family
+    * applied as a publish gate. One aggregate over the branch; the
+    * verdict is a bounded scalar. */
+  private[graft] def p20Audit(branch: DataFrame): Long = {
+    val r = branch.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("bad"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dups"))
+      .collect()(0)
+    r.getLong(0) + r.getLong(1)
+  }
+
+  /** PUBLISH a staged branch snapshot: append its manifest rows to the
+    * published manifest — METADATA-ONLY; the audited data files are
+    * adopted where they already sit, never moved, rewritten, or
+    * re-read (spec fingerprint-pins the data dir across the call). */
+  private[graft] def p20Publish(spark: SparkSession, root: String,
+      v: Long, branch: String): Unit =
+    spark.read.parquet(s"$root/$branch").filter(col("snap") === v)
+      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+
+  /** p20: WRITE-AUDIT-PUBLISH — the Iceberg WAP / staging-branch
+    * discipline (Tabular's wap.branch workflow, Delta's audit-publish
+    * pattern) over the p13 manifest machinery: a candidate batch
+    * COMMITS real data files plus a manifest under a BRANCH namespace
+    * published readers never route through; an AUDIT runs constraint
+    * checks against the branch read ([[p20Audit]]: no empty texts, no
+    * duplicate keys); PUBLISH adopts the audited files by appending
+    * the branch's manifest rows to the published manifest — a
+    * metadata-only commit. A failing audit leaves the published
+    * namespace UNTOUCHED: the bad batch's commit dir is an orphan for
+    * p14's vacuum, and no reader ever saw it (the property WAP exists
+    * for — bad data is quarantined before visibility, not rolled back
+    * after). The gate stages a GOOD candidate (p12's change batch —
+    * audits clean, publishes) and then a BAD candidate against the new
+    * published latest (every doc_id % 8 = 2 updated to empty text —
+    * audit counts exactly those rows, publish skipped), and emits the
+    * two audit verdicts plus the final published snapshot, which must
+    * equal the good merge alone. At 100 TB: stage cost is p13Commit's
+    * O(touched slice + batch), audit is one aggregate over the branch,
+    * publish is O(buckets) manifest rows — the audit is the only
+    * full-branch pass, and it reads through the same manifest routing
+    * as any snapshot read. */
+  def p20WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p20")
+    p13LandBase(spark, d, root)
+    p13Commit(spark, root, 1L, p12Changes(d), "branch_good")
+    val goodViol = p20Audit(p13Read(spark, root, 1L, "branch_good"))
+    if (goodViol == 0L) p20Publish(spark, root, 1L, "branch_good")
+    val pub1 = p13Read(spark, root, 1L)
+    val badChanges = pub1.filter(col("doc_id") % 8 === 2)
+      .select(col("doc_id"), lit("U").as("op"), lit("").as("text"))
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+    p13Commit(spark, root, 2L, badChanges, "branch_bad")
+    val badViol = p20Audit(p13Read(spark, root, 2L, "branch_bad"))
+    if (badViol == 0L) p20Publish(spark, root, 2L, "branch_bad")
+    // bounded metadata read: the published namespace's latest snapshot
+    val latest = spark.read.parquet(s"$root/manifest")
+      .agg(max(col("snap"))).collect()(0).getLong(0)
+    import spark.implicits._
+    val audits = Seq(("audit_good", goodViol), ("audit_bad", badViol))
+      .toDF("face", "n_viol")
+      .select(col("face"), lit(null).cast("long").as("doc_id"),
+        lit(null).cast("long").as("ver"), lit(null).cast("long").as("n_chars"),
+        col("n_viol"))
+    val pubRows = p13Read(spark, root, latest)
+      .select(lit("published").as("face"), col("doc_id"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"),
+        lit(null).cast("long").as("n_viol"))
+    audits.unionByName(pubRows).orderBy("face", "doc_id")
   }
 
   private val SaltBuckets = 8
@@ -1308,6 +1389,17 @@ object Sinks {
     // one untouched bucket rewritten, one version leaking into another
     // and the row-level hash breaks
     "p13_time_travel" -> p13OracleSql(0 to 2),
+    // published face = v1 exactly (the good merge; the bad candidate
+    // never publishes); audits re-derived from the same v1 CTEs
+    "p20_write_audit_publish" -> (p13V1Ctes +
+      "bb AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v1 WHERE doc_id % 8 = 2) " +
+      "SELECT face, doc_id, ver, n_chars, n_viol FROM (" +
+      "SELECT 'audit_good' AS face, CAST(NULL AS BIGINT) AS doc_id, " +
+      "CAST(NULL AS BIGINT) AS ver, CAST(NULL AS BIGINT) AS n_chars, " +
+      "CAST(0 AS BIGINT) AS n_viol " +
+      "UNION ALL SELECT 'audit_bad', NULL, NULL, NULL, (SELECT nv FROM bb) " +
+      "UNION ALL SELECT 'published', doc_id, ver, length(text), NULL FROM v1) " +
+      "ORDER BY face, doc_id"),
     // p14: vacuum is retention-only — surviving snapshots must read
     // back exactly as p13 states them (same CTEs, snaps 1-2 only);
     // one file deleted that a live manifest still references and the

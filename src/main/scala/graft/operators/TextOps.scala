@@ -660,17 +660,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
-    // ONE corpus pass emits all depth rows: each token occurrence
-    // explodes a 0..depth-1 sequence, so the scan+tokenize runs once
-    // instead of depth times (a union of per-row selects re-scanned
-    // the corpus 4× — ADVICE round 10). xxhash64 hashes VALUES, so
-    // the column-r form lands in the same cells as the probes' lit(r).
-    val cms = tok
+  def t13CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t13ProbeGrid(spark, dir, t13CellsOf(docs(spark, dir)))
+
+  /** The sketch-build half of t13 over any (…, text) frame: the fixed
+    * [[T13Depth]]×[[T13Width]] cell-count grid. ONE pass emits all
+    * depth rows: each token occurrence explodes a 0..depth-1 sequence,
+    * so the scan+tokenize runs once instead of depth times (a union of
+    * per-row selects re-scanned the corpus 4× — ADVICE round 10).
+    * xxhash64 hashes VALUES, so the column-r form lands in the same
+    * cells as the probes' lit(r). Grids over disjoint slices MERGE by
+    * cellwise sum — the property st16 runs as a streaming fold. */
+  private[graft] def t13CellsOf(d: DataFrame): DataFrame =
+    d.select(explode(tokens(col("text"))).as("t"))
       .select(col("t"), explode(sequence(lit(0), lit(T13Depth - 1))).as("r"))
       .select(col("r"), pmod(xxhash64(col("t"), col("r")), lit(T13Width)).as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** The estimation half of t13 against an explicit cell grid `cms`:
+    * exact top-[[T13TopK]] probes the grid and the guarantees census
+    * rides the output. The seam st16 serves its STREAMED grid through,
+    * sharing this gate shape (and the oracle) verbatim. */
+  private[graft] def t13ProbeGrid(spark: SparkSession, dir: String,
+      cms: DataFrame): DataFrame = {
+    val tok = docs(spark, dir).select(explode(tokens(col("text"))).as("t"))
     val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
     val total = exact.agg(sum(col("exact_n")).as("n_total"))
     val top = exact.orderBy(col("exact_n").desc, col("t")).limit(T13TopK)
@@ -1722,7 +1735,97 @@ object TextOps {
       s"SELECT round, piece, cnt, cost_e4 FROM ($rows) ORDER BY round, piece"
   }
 
+  // ---- t25: content-defined chunking dedup census ----------------------
+
+  /** Cut rule: a word is a chunk boundary iff its md5's first hex
+    * digit is one of these — P = 2/16 = 1/8, so the expected chunk is
+    * 8 words. md5 is the one hash both engines expose byte-identically
+    * (lowercase hex over UTF-8), which is what makes the boundary
+    * decision — and therefore the chunking itself — cross-engine
+    * exact. */
+  private[graft] val T25CutDigits = Seq("0", "1")
+
+  /** t25: CONTENT-DEFINED CHUNKING dedup census — the shift-resistant
+    * member of the dedup family (the FastCDC/rsync/Gear idea at word
+    * granularity; Xia et al., USENIX ATC 2016, public): chunk
+    * boundaries are decided by the CONTENT at the boundary (a
+    * deterministic hash predicate per word), never by position, so a
+    * prepended or deleted prefix re-synchronizes at the first cut and
+    * shared suffixes dedup chunk-for-chunk — where fixed-window
+    * chunking (t08) stays misaligned forever and whole-doc hashing
+    * (d01) sees nothing (spec-pinned on a prefix-shifted fixture).
+    * Per doc: n_words, n_chunks, n_dup_chunks (fingerprint occurs > 1
+    * time corpus-wide, same-doc repeats count — t12's df discipline),
+    * covered words, coverage in basis points (TRUE integer division).
+    *
+    * Scale shape: one posexplode (token-sized, map-only); ONE per-doc
+    * window bounded by the doc's own length for the running-cut chunk
+    * ids; chunk fingerprints from a (doc, chunk) group-by; then t12's
+    * two-stage census — a fingerprint-keyed count aggregate (partial
+    * agg absorbs hot boilerplate chunks; a count, never a pair join)
+    * and one equi join back on the same key. */
+  def t25CdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    t25Over(docs(spark, dir))
+
+  /** [[t25CdcChunkDedup]] over an explicit (doc_id, text) frame — the
+    * OperatorSpec seam for the resynchronization fixture. */
+  private[graft] def t25Over(d: DataFrame): DataFrame = {
+    val chunks = t25Chunks(d)
+    val dfreq = chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    chunks.join(dfreq.hint("shuffle_hash"), "fp")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("df") > 1L, col("n_words")).otherwise(0L)).as("n_covered"))
+      .select(col("doc_id"), col("n_words"), col("n_chunks"),
+        col("n_dup_chunks"), col("n_covered"),
+        expr("n_covered * 10000 div n_words").as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** The chunk frame (doc_id, chunk_id, fp, n_words): running count of
+    * cut words BEFORE each position is the chunk id (the cut word is
+    * the LAST word of its chunk), fingerprint = md5 of the chunk's
+    * space-joined words. */
+  private[graft] def t25Chunks(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "w")))
+      .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("w"),
+        when(substring(md5(col("w")), 1, 1).isin(T25CutDigits: _*), 1L)
+          .otherwise(0L).as("cut"))
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("chunk_id", coalesce(sum(col("cut")).over(wCum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")))).as("fp"),
+        count(lit(1)).as("n_words"))
+  }
+
+  private[graft] val t25Sql: String = {
+    val cutIn = T25CutDigits.map(s => s"'$s'").mkString(", ")
+    "WITH tok0 AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS ws FROM documents), " +
+      "tokp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM tok0), " +
+      "tw AS (SELECT doc_id, pos, ws[pos] AS w, " +
+      s"CASE WHEN substring(md5(ws[pos]), 1, 1) IN ($cutIn) THEN 1 ELSE 0 END AS cut FROM tokp), " +
+      "ck AS (SELECT doc_id, pos, w, coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM tw), " +
+      "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS fp, " +
+      "count(*) AS n_words FROM ck GROUP BY 1, 2), " +
+      "dfq AS (SELECT fp, count(*) AS df FROM ch GROUP BY 1), " +
+      "agg AS (SELECT c.doc_id, CAST(sum(c.n_words) AS BIGINT) AS n_words, " +
+      "count(*) AS n_chunks, " +
+      "CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, " +
+      "CAST(sum(CASE WHEN d.df > 1 THEN c.n_words ELSE 0 END) AS BIGINT) AS n_covered " +
+      "FROM ch c JOIN dfq d USING (fp) GROUP BY 1) " +
+      "SELECT doc_id, n_words, n_chunks, n_dup_chunks, n_covered, " +
+      "n_covered * 10000 // n_words AS dup_bp FROM agg ORDER BY doc_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t25_cdc_chunk_dedup" -> t25Sql,
     "t23_unigram_lm" -> t23OracleSql(T23Rounds),
     "t22_phrase_search" -> t22Sql,
     // the same shingle census + interval-union window arithmetic,

@@ -971,7 +971,81 @@ object StreamingOps {
     (Sinks.p15ViewRead(spark, wh, lateDay), nBatches.get())
   }
 
+  /** st16: STREAMING SKETCH MAINTENANCE — t13's Count-Min sketch run
+    * the way a production hot-token/trend monitor runs it, closing the
+    * batch↔streaming symmetry on the MERGEABLE-SKETCH side (p12↔st12
+    * keyed snapshots, p15↔st15 aggregate views, t13↔st16 sketches):
+    * the corpus arrives as three streamed document files and each
+    * micro-batch folds ITS OWN 4×1024 cell grid into the stored sketch
+    * by cellwise sum inside foreachBatch — the merge CMS exists for
+    * (Cormode & Muthukrishnan 2005 §4: sketches of disjoint streams
+    * sum cell-for-cell into the sketch of the union). State is the
+    * 32 KB grid itself, version-addressed per batch (read prev, write
+    * next — never overwrite what a concurrent read may hold open), so
+    * ingest cost per batch is one batch-sized tokenize + a 4096-row
+    * merge, independent of everything already absorbed. The st15
+    * idempotency discipline applies: the batch's grid version is keyed
+    * by batchId, so an at-least-once replay finds its version already
+    * landed and skips the fold. The final heavy-hitter report probes
+    * the STREAMED grid through t13's unchanged estimation half and
+    * shares t13's oracle verbatim — hash equality proves the three
+    * streamed folds compose to exactly the one-shot sketch
+    * (StreamingSpec additionally pins the grids equal cell-for-cell
+    * and batches = 3). */
+  def st16StreamingCms(spark: SparkSession, dir: String): DataFrame =
+    st16Core(spark, dir)._1
+
+  /** Seam returning (gate output, non-empty batches, streamed grid) —
+    * StreamingSpec pins batches = 3 and grid == the one-shot t13
+    * grid. */
+  private[graft] def st16Core(spark: SparkSession,
+      dir: String): (DataFrame, Int, DataFrame) = {
+    import graft.operators.TextOps
+    val wh = graft.core.IO.scratchDir("graft-st16")
+    val d = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dRoot = graft.core.IO.scratchDir("graft-st16-delta")
+    d.repartition(3).write.mode("overwrite").parquet(dRoot)
+    val dStream = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dRoot)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val chk = graft.core.IO.scratchDir("graft-st16-chk")
+    val q = dStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val vDir = new org.apache.hadoop.fs.Path(s"$wh/grid_b$batchId")
+        val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!batch.isEmpty) {
+          if (!fs.exists(vDir)) {
+            nBatches.incrementAndGet()
+            val cells = TextOps.t13CellsOf(batch.toDF())
+            val merged =
+              if (latest.get() < 0) cells
+              else cells
+                .unionByName(spark.read.parquet(s"$wh/grid_b${latest.get()}"))
+                .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+            merged.coalesce(1).write.mode("overwrite").parquet(vDir.toString)
+          }
+          // a replayed (already-landed) batch still advances the
+          // version cursor, so the NEXT fold reads the right grid
+          latest.set(batchId)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val grid = spark.read.parquet(s"$wh/grid_b${latest.get()}")
+    (TextOps.t13ProbeGrid(spark, dir, grid), nBatches.get(), grid)
+  }
+
   val oracles: Map[String, String] = Map(
+    // st16: t13's oracle VERBATIM — hash equality proves the streamed
+    // cellwise-sum folds compose to exactly the one-shot sketch
+    "st16_streaming_cms" ->
+      graft.operators.TextOps.oracles("t13_cms_heavy_hitters"),
     // st15: p15's oracle VERBATIM — the full recompute; hash equality
     // proves the three streamed folds compose to exactly the one-shot
     // refresh (and both to the full recompute)

@@ -1491,6 +1491,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(v1 == oneShot, "snapshot 1 must equal the one-shot p12 merge")
   }
 
+  test("p20 WAP: staging invisible, publish metadata-only, failed audit quarantined") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("p20fix").toString
+    Sinks.p13LandBase(spark, d, root)
+    def md5s(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root, "d")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          base.relativize(p).toString -> dg.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    def pubSnaps(): Set[Long] = spark.read.parquet(s"$root/manifest")
+      .select("snap").distinct().collect().map(_.getLong(0)).toSet
+    Sinks.p13Commit(spark, root, 1L, Sinks.p12Changes(d), "branch_good")
+    // staging is INVISIBLE: the published manifest still routes only snap 0
+    assert(pubSnaps() == Set(0L), "staging must not touch the published manifest")
+    assert(Sinks.p20Audit(Sinks.p13Read(spark, root, 1L, "branch_good")) == 0L)
+    // publish is METADATA-ONLY: no data byte moves, the published read
+    // opens the exact files the branch read audited
+    val before = md5s()
+    Sinks.p20Publish(spark, root, 1L, "branch_good")
+    assert(md5s() == before, "publish must not touch any data file")
+    assert(Sinks.p13Read(spark, root, 1L).inputFiles.toSet ==
+      Sinks.p13Read(spark, root, 1L, "branch_good").inputFiles.toSet,
+      "published snap-1 must serve the audited branch files verbatim")
+    // BAD candidate: audit counts exactly the planted violations and
+    // the published namespace never learns snap 2
+    val badCh = Sinks.p13Read(spark, root, 1L).filter(col("doc_id") % 8 === 2)
+      .select(col("doc_id"), lit("U").as("op"), lit("").as("text"))
+      .withColumn("pk", pmod(col("doc_id"), lit(Sinks.P12Buckets.toLong)))
+    val nBad = badCh.count()
+    assert(nBad > 0L, "fixture must plant at least one violation")
+    Sinks.p13Commit(spark, root, 2L, badCh, "branch_bad")
+    assert(Sinks.p20Audit(Sinks.p13Read(spark, root, 2L, "branch_bad")) == nBad,
+      "audit must count exactly the planted empty-text rows")
+    assert(pubSnaps() == Set(0L, 1L),
+      "failed audit must leave the published namespace untouched")
+    // the bad commit dir sits orphaned on disk — p14 vacuum's target
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "d", "dv=2")),
+      "the quarantined branch's data files remain as vacuum-able orphans")
+  }
+
   test("p14 vacuum: expired dirs die, shared dirs survive, live snapshots unchanged") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
@@ -2255,6 +2304,66 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getLong(4) >= fs.max,
         s"n_visited ${r.getLong(4)} < max frontier ${fs.max} — censuses inconsistent")
     }
+  }
+
+  test("s25 pruned-graph search: recall floor kept at 40% fewer edge slots") {
+    val exact = Similarity.s01KnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.s06AnnIvf2Level(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r23rows = Similarity.s23GraphSearch(spark, sf).collect()
+    val rows = Similarity.s25PrunedSearch(spark, sf).collect()
+    val walk = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r06 = (exact intersect ivf).size.toDouble / exact.size
+    val r25 = (exact intersect walk).size.toDouble / exact.size
+    val r23 = (exact intersect
+      r23rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    info(s"s25 recall@5 = $r25 (s23 raw-graph $r23, s06 ceiling $r06)")
+    // same structural argument as s23: the final rank is top-k of a
+    // visited set containing the probe seed, and the seed ⊇-ranks
+    // s06's scan — the EDGE SET only changes what the walk adds
+    assert(r25 >= r06, s"pruned walk fell below its own seed: $r25 < $r06")
+    // the prune's budget claim: the walk over 3 slots/node never
+    // scores MORE nodes than the raw 5-slot walk, per query
+    val v23 = r23rows.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) <= v23(r.getLong(0)),
+        s"pruned walk visited more than raw for qid ${r.getLong(0)}")
+      val fs = r.getString(5).split(",").map(_.toLong)
+      assert(fs.length == Similarity.S23Rounds &&
+        fs.forall(b => b >= 1 && b <= Similarity.S23Beam),
+        s"frontier census out of shape: ${r.getString(5)}")
+    }
+  }
+
+  test("t25 CDC chunking re-synchronizes after a prefix shift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A and B share everything except B's one-word prefix: every A
+    // chunk AFTER the first cut must reappear verbatim in B (the
+    // defining property content-defined boundaries buy over t08's
+    // fixed windows, which misalign forever after an insertion)
+    val aText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, aText), (2L, s"shifted $aText"),
+      (3L, "lonely words only here")).toDF("doc_id", "text")
+    val ch = TextOps.t25Chunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val aCh = ch.filter(_._1 == 1L)
+    assert(aCh.length >= 3, s"fixture too few chunks: ${aCh.length}")
+    val bFps = ch.filter(_._1 == 2L).map(_._3).toSet
+    // chunk 0 absorbs the prefix; all later chunks re-sync exactly
+    aCh.filter(_._2 >= 1L).foreach { case (_, cid, fp) =>
+      assert(bFps.contains(fp), s"chunk $cid of A missing from B") }
+    val census = TextOps.t25Over(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(census(1L)._1 >= aCh.length - 1L, "A dup chunks under floor")
+    assert(census(2L)._1 >= aCh.length - 1L, "B dup chunks under floor")
+    assert(census(3L) == ((0L, 0L)), "unshared doc must census clean")
+    // whole-doc hashing sees NOTHING here (texts differ) — the chunk
+    // tier's coverage is the signal: most of A is covered
+    assert(census(1L)._2 >= 5000L, s"A coverage_bp too low: ${census(1L)._2}")
   }
 
   test("t23 unigram-LM: one hand-computed seed/E/M/prune round on a planted vocabulary") {

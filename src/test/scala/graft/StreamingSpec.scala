@@ -212,6 +212,28 @@ class StreamingSpec extends AnyFunSuite {
         s"(${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("st16 streaming CMS: 3 micro-batch folds compose to the one-shot sketch, cell for cell") {
+    import org.apache.spark.sql.functions._
+    val (outDf, n, grid) = StreamingOps.st16Core(spark, sf)
+    assert(n == 3, s"expected exactly 3 non-empty micro-batch folds, got $n")
+    val cellKey = (r: org.apache.spark.sql.Row) =>
+      ((r.getInt(0), r.getLong(1)), r.getLong(2))
+    val streamedGrid = grid.collect().map(cellKey).toMap
+    val batchGrid = graft.operators.TextOps.t13CellsOf(
+        graft.core.Tables(spark, sf, "documents").select(col("text")))
+      .collect().map(cellKey).toMap
+    // mergeability made real: cellwise-summed batch grids == the
+    // one-shot grid exactly (not within-epsilon — EXACTLY)
+    assert(streamedGrid == batchGrid,
+      s"streamed grid diverged from one-shot (${streamedGrid.size} vs ${batchGrid.size} cells)")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.TextOps.t13CmsHeavyHitters(spark, sf)
+      .collect().map(key).toSeq
+    assert(streamed == batch, "streamed heavy-hitter report diverged from batch t13")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
