@@ -527,6 +527,11 @@ object SparkEntry {
     // composition the occlusion prune exists for: s23's walk with 40%
     // fewer edge slots per node, recall floor kept (spec-pinned)
     "s25_pruned_search" -> (Similarity.s25PrunedSearch _),
+    // s26: incremental graph insert — delta vectors fold into the
+    // base-built k-NN graph through the frozen quantizer (forward
+    // edges delta-vs-index) plus FreshDiskANN back-links so inserted
+    // nodes become reachable; both faces delta-bounded
+    "s26_graph_insert" -> (Similarity.s26GraphInsert _),
     // t24: interpolated Kneser–Ney bigram LM — the production
     // smoothing family (KenLM default) next to t14's Laplace baseline;
     // D=3/4 clears denominators so both engines score exact rationals

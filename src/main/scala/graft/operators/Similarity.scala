@@ -2424,7 +2424,15 @@ object Similarity {
     * oracles so both gates replay ONE graph build. Ends with ", ". */
   private[graft] def s22CtesSql(rounds: Int, pqRounds: Int): String =
     twoLevelCtesSql(rounds) + pqCtesSql(pqRounds) +
-      "cpr22 AS (SELECT qid, qe, ccid FROM (" +
+      s22TailCtesSql(rounds, pqRounds)
+
+  /** The graph-build tail (corpus-as-queries probe → ADC scan →
+    * nomination → exact refine → g22) WITHOUT the model prefix — so
+    * s26 can emit it after a WITH whose `e` is the BASE slice (the
+    * base-graph build) while s22/s23/s24/s25 keep the full-corpus
+    * form. Ends with ", ". */
+  private[graft] def s22TailCtesSql(rounds: Int, pqRounds: Int): String =
+    "cpr22 AS (SELECT qid, qe, ccid FROM (" +
       "SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS ccid, " +
       "row_number() OVER (PARTITION BY e.vec_id " +
       s"ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC, c.cid) AS rk " +
@@ -2820,10 +2828,172 @@ object Similarity {
       probeCtesSql(rounds) + ", " +
       s23WalkSql(walkRounds, s"k$degree")
 
+  // ---- s26: incremental insert into the k-NN graph ----------------------
+
+  /** s26: INCREMENTAL GRAPH INSERT — the ingest verb on the GRAPH
+    * substrate (the FreshDiskANN insert path, Singh et al. 2021 §4,
+    * public; hnswlib's addPoint), closing the same lifecycle gap on
+    * graphs that s12 closed on the IVF-PQ store and d13/m08 on the
+    * text/media indexes: the graph builds over the BASE slice (the
+    * [[S12BaseNum]]/[[S12BaseDen]] vec_id split, [[s12BuildBase]]'s
+    * discipline), and a delta batch folds in WITHOUT rebuilding —
+    *
+    *  1. FORWARD edges: each delta vector probes the FROZEN
+    *     base-trained quantizer, ADC-scans only its probed cells'
+    *     base codes, and exactifies the top-[[S22Pool]] nominees to
+    *     its top-[[S22Degree]] out-edges — the s22 per-node path run
+    *     delta-sized against the stored index (delta-vs-index, never
+    *     base×base: the corpus side is the persisted model + codes,
+    *     the d13 zero-re-shuffle discipline);
+    *  2. BACK edges (what makes the folded graph NAVIGABLE to the new
+    *     nodes): every base endpoint of a forward edge reconsiders its
+    *     own adjacency list — its existing edges plus the new
+    *     candidates — and keeps the top-[[S22Degree]] by exact cosine
+    *     (rounded rank keys, id tie-breaks — the s01 rules), so a
+    *     delta vector that beats a base node's worst edge REPLACES it
+    *     (the FreshDiskANN back-link; without it, inserted nodes are
+    *     reachable from nowhere). Touched nodes ≤ delta·degree — the
+    *     update is delta-sized, never corpus-wide.
+    *
+    * Output: `ins` face = the delta nodes' new out-edges; `upd` face =
+    * the touched base nodes' post-insert adjacency lists (both
+    * delta-bounded — the q38 bounded-output discipline). Within-delta
+    * edges are deliberately out of scope here (e02's argument: the
+    * within-batch tier is its own pass); the oracle states the whole
+    * contract — base-trained model, base-restricted graph, frozen-
+    * model probe, candidate-union re-rank — as one WITH. */
+  def s26GraphInsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val n = Tables(spark, dir, "embeddings").count()
+    val nBase = n * S12BaseNum / S12BaseDen
+    val baseDir = graft.core.IO.scratchDir("graft-s26")
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < nBase)
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    // base graph + FROZEN base model (cached by the graph build)
+    val gBase = s22KnnGraph(spark, baseDir)
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
+    val (k1, k2) = d12Factors(nBase)
+    val (cc, fc, assigned) = twoLevelModel(spark, baseDir, k1, k2, LloydRounds)
+    val allFull = emb(spark, dir)
+    val delta = allFull.filter(col("vec_id") >= nBase)
+    val dq = delta.withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val fprobes = probeCellsOf(dq, cc, fc, k2, S06FineProbes)
+      .select(col("qid"), col("cid").as("cell"))
+    // the stored base index: cell-keyed codes (s22ScoredAllAt's layout)
+    val cb = s07Codebooks(spark, baseDir, S07Rounds)
+    val codesByCell = s07Encode(subvecs(spark, baseDir), cb)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+    val dtab = subvecsOf(delta, S07Subspaces)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
+    val sc = codesByCell.hint("shuffle_hash").join(fprobes, Seq("cell"))
+      .join(dtab, Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("unit")).as("adc_units"))
+    val wN = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_units").asc, col("vec_id").asc)
+    val nom = sc.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= S22Pool)
+      .select(col("qid"), col("vec_id").as("nid"))
+    // exact refine — vectors attach AFTER nomination, by id-keyed
+    // joins, and drop before the rank (the narrow-probe rule)
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("nid").asc)
+    val fwd = nom
+      .join(allFull.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+      .join(allFull.select(col("vec_id").as("nid"), col("e").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"), Dedup.cosine(col("qe"), col("ne")).as("c"))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= S22Degree)
+      .localCheckpoint()
+    // back-links: touched base nodes re-rank (existing ∪ candidates)
+    val cand = fwd.select(col("nid").as("src_id"), col("qid").as("dst_id"))
+    val tch = cand.select("src_id").distinct()
+    val pool = gBase.join(tch, Seq("src_id")).unionByName(cand)
+    val wB = Window.partitionBy(col("src_id"))
+      .orderBy(round(col("c"), 6).desc, col("dst_id").asc)
+    val upd = pool
+      .join(allFull.select(col("vec_id").as("src_id"), col("e").as("se")), Seq("src_id"))
+      .join(allFull.select(col("vec_id").as("dst_id"), col("e").as("de")), Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"), Dedup.cosine(col("se"), col("de")).as("c"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= S22Degree)
+    fwd.select(lit("ins").as("face"), col("qid").as("src_id"),
+        col("rnk").cast("long").as("rnk"), col("nid").as("dst_id"),
+        round(col("c"), 4).as("cos_sim"))
+      .unionByName(upd.select(lit("upd").as("face"), col("src_id"),
+        col("rnk").cast("long").as("rnk"), col("dst_id"),
+        round(col("c"), 4).as("cos_sim")))
+      .orderBy("face", "src_id", "rnk")
+  }
+
+  /** s26 oracle: one WITH — `e` REBOUND to the base slice so the
+    * model-train and graph-build CTE generators emit the base-only
+    * forms verbatim, then the delta probe/ADC/refine chain over the
+    * frozen model and the back-link re-rank. */
+  private[graft] def s26OracleSql(rounds: Int, pqRounds: Int): String = {
+    val bound = s"(SELECT count(*) FROM efull) * $S12BaseNum // $S12BaseDen"
+    "WITH efull AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
+      s"e AS (SELECT * FROM efull WHERE vec_id < $bound), " +
+      trainCtesBody(rounds, d12K1SqlOf("e"), "e") +
+      twoLevelCtesBody(rounds, "e") +
+      pqCtesSql(pqRounds, "e") +
+      s22TailCtesSql(rounds, pqRounds) +
+      s"qd AS (SELECT vec_id AS qid, emb AS qe FROM efull WHERE vec_id >= $bound), " +
+      "cpr26 AS (SELECT qid, qe, ccid FROM (" +
+      "SELECT q.qid, q.qe, c.cid AS ccid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC, c.cid) AS rk " +
+      s"FROM qd q CROSS JOIN cent$rounds c) WHERE rk <= $S06CoarseProbes), " +
+      "fpr26 AS (SELECT qid, ccid * (SELECT k2 FROM kf) + fcid AS cid FROM (" +
+      "SELECT p.qid, f.ccid, f.fcid, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      s"ORDER BY round(list_cosine_similarity(p.qe, f.ce), 6) DESC, f.ccid, f.fcid) AS rk2 " +
+      s"FROM cpr26 p JOIN fcent$rounds f ON f.ccid = p.ccid) WHERE rk2 <= $S06FineProbes), " +
+      s"svd AS (SELECT q.qid AS vec_id, s.sub, " +
+      s"list_slice(q.qe, s.sub*$S07SubDim + 1, s.sub*$S07SubDim + $S07SubDim) AS v " +
+      s"FROM qd q CROSS JOIN range(0, $S07Subspaces) s(sub)), " +
+      "dtab26 AS (SELECT q.vec_id AS qid, c.sub, c.cid, " +
+      s"CAST(round(${s07DistSql("q.v", "c.cv")} * 1e6, 0) AS BIGINT) AS unit " +
+      s"FROM svd q JOIN cb$pqRounds c ON q.sub = c.sub), " +
+      "sc26 AS (SELECT p.qid, k.vec_id AS nid, CAST(sum(d.unit) AS BIGINT) AS adc_units " +
+      "FROM fpr26 p JOIN fafin a ON a.cid = p.cid " +
+      "JOIN codes k ON k.vec_id = a.vec_id " +
+      "JOIN dtab26 d ON d.qid = p.qid AND d.sub = k.sub AND d.cid = k.cid " +
+      "GROUP BY p.qid, k.vec_id), " +
+      "nom26 AS (SELECT qid, nid FROM (SELECT qid, nid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc_units, nid) AS rn FROM sc26) " +
+      s"WHERE rn <= $S22Pool), " +
+      "fwd AS MATERIALIZED (SELECT qid, nid, c, rn AS rnk FROM (" +
+      "SELECT m.qid, m.nid, list_cosine_similarity(q.emb, v.emb) AS c, " +
+      "row_number() OVER (PARTITION BY m.qid " +
+      "ORDER BY round(list_cosine_similarity(q.emb, v.emb), 6) DESC, m.nid) AS rn " +
+      "FROM nom26 m JOIN efull q ON q.vec_id = m.qid JOIN efull v ON v.vec_id = m.nid) " +
+      s"WHERE rn <= $S22Degree), " +
+      "tch AS (SELECT DISTINCT nid AS src_id FROM fwd), " +
+      "pool AS (SELECT g.src_id, g.dst_id FROM g22 g JOIN tch t ON t.src_id = g.src_id " +
+      "UNION ALL SELECT nid AS src_id, qid AS dst_id FROM fwd), " +
+      "upd AS (SELECT src_id, dst_id, c, rn AS rnk FROM (" +
+      "SELECT p.src_id, p.dst_id, list_cosine_similarity(s.emb, d.emb) AS c, " +
+      "row_number() OVER (PARTITION BY p.src_id " +
+      "ORDER BY round(list_cosine_similarity(s.emb, d.emb), 6) DESC, p.dst_id) AS rn " +
+      "FROM pool p JOIN efull s ON s.vec_id = p.src_id JOIN efull d ON d.vec_id = p.dst_id) " +
+      s"WHERE rn <= $S22Degree) " +
+      "SELECT face, src_id, rnk, dst_id, cos_sim FROM (" +
+      "SELECT 'ins' AS face, qid AS src_id, rnk, nid AS dst_id, round(c, 4) AS cos_sim FROM fwd " +
+      "UNION ALL SELECT 'upd', src_id, rnk, dst_id, round(c, 4) FROM upd) " +
+      "ORDER BY face, src_id, rnk"
+  }
+
   val oracles: Map[String, String] = Map(
     "s24_diverse_graph" -> s24OracleSql(LloydRounds, S07Rounds, S24Degree),
     "s25_pruned_search" ->
       s25OracleSql(LloydRounds, S07Rounds, S24Degree, S23Rounds),
+    "s26_graph_insert" -> s26OracleSql(LloydRounds, S07Rounds),
     "s22_knn_graph" -> s22OracleSql(LloydRounds, S07Rounds),
     "s23_graph_search" -> s23OracleSql(LloydRounds, S07Rounds, S23Rounds),
     "s21_persisted_binary" -> s20OracleSql,

@@ -2338,6 +2338,52 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s26 graph insert: planted delta near-copy gets a mutual edge through the back-link") {
+    import org.apache.spark.sql.functions._
+    // 220 vectors → base = first 198 by vec_id, delta = 199..219; the
+    // planted delta vector 210 is a near-copy of base vector 7. The
+    // insert must (a) give 210 a forward edge to 7 at rank 1, and
+    // (b) REPLACE one of 7's existing edges with the back-link to 210
+    // — the FreshDiskANN property that makes inserted nodes reachable
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val n = 220L
+    val base = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), i =>
+        when(col("vec_id") === 210L, comp(lit(7L), i) + lit(0.0005))
+          .otherwise(comp(col("vec_id"), i))).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("s26fix").toString
+    base.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.s26GraphInsert(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nBase = n * Similarity.S12BaseNum / Similarity.S12BaseDen
+    val ins = rows.filter(_._1 == "ins")
+    val upd = rows.filter(_._1 == "upd")
+    // faces partition the id space: ins srcs are delta, dsts are base
+    ins.foreach { case (_, s, _, d) =>
+      assert(s >= nBase && d < nBase, s"ins edge out of range: ($s,$d)") }
+    upd.foreach { case (_, s, _, _) =>
+      assert(s < nBase, s"upd src must be a base node: $s") }
+    // degree bounds + dense ranks on both faces
+    (ins ++ upd).groupBy(t => (t._1, t._2)).values.foreach { es =>
+      assert(es.length <= Similarity.S22Degree)
+      assert(es.map(_._3).sorted.toSeq == (1L to es.length).toSeq)
+    }
+    // the planted pair: forward edge at rank 1...
+    assert(ins.exists(t => t._2 == 210L && t._3 == 1L && t._4 == 7L),
+      "delta near-copy must nominate its base twin at rank 1")
+    // ...and the back-link at rank 1 of the touched base node's list
+    assert(upd.exists(t => t._2 == 7L && t._3 == 1L && t._4 == 210L),
+      "base twin must adopt the inserted node at rank 1 (back-link)")
+    // every touched node's list still has ONLY base+inserted ids and
+    // the update is delta-bounded: touched nodes <= delta * degree
+    assert(upd.map(_._2).distinct.length <=
+      (n - nBase).toInt * Similarity.S22Degree,
+      "back-link updates must stay delta-bounded")
+  }
+
   test("t25 CDC chunking re-synchronizes after a prefix shift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
