@@ -480,6 +480,12 @@ object SparkEntry {
     // report from the streamed grid shares t13's oracle verbatim
     "st16_streaming_cms" ->
       (graft.streaming.StreamingOps.st16StreamingCms _),
+    // st17: streaming lexical-index maintenance — BM25 postings/dl
+    // append bucket-compatibly per micro-batch, df/corpus-stats merge
+    // by term-wise sum into version-addressed dirs; serve from the
+    // folded artifacts shares t18's oracle verbatim
+    "st17_streaming_lexical" ->
+      (graft.streaming.StreamingOps.st17StreamingLexical _),
     // s21: the persisted form of s20 — signatures written once at
     // ingest (16 B/row), query batches serve from the stored artifact
     // alone; deterministic packing ⇒ shares s20's oracle verbatim

@@ -1159,12 +1159,18 @@ object TextOps {
     * tokenized EXACTLY once, at ingest. Every stored piece is what
     * [[t18Bm25]] recomputes per run. */
   private[graft] def t18bBuildIndex(
-      spark: SparkSession, dir: String): (String, String, String, String) = {
+      spark: SparkSession, dir: String): (String, String, String, String) =
+    t18bBuildIndexOver(spark, docs(spark, dir))
+
+  /** [[t18bBuildIndex]] over an explicit (doc_id, text) frame — the
+    * st17 seam (the streaming leg builds over the base slice only). */
+  private[graft] def t18bBuildIndexOver(
+      spark: SparkSession, d: DataFrame): (String, String, String, String) = {
     val wh = graft.core.IO.scratchDir("graft-t18b")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (tfT, dlT, dfT, stT) = (s"graft_t18b_tf_$tag", s"graft_t18b_dl_$tag",
       s"graft_t18b_df_$tag", s"graft_t18b_st_$tag")
-    val toks = docs(spark, dir)
+    val toks = d
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     tf.write.mode("overwrite").format("parquet")
@@ -1188,7 +1194,15 @@ object TextOps {
     * anywhere (PlanSpec pins it). Per-batch cost is the broadcast
     * postings lookup + candidate-sized joins. */
   private[graft] def t18bServe(spark: SparkSession,
-      tfT: String, dlT: String, dfT: String, stT: String): DataFrame = {
+      tfT: String, dlT: String, dfT: String, stT: String): DataFrame =
+    t18bServeFrames(spark, spark.table(tfT), spark.table(dlT),
+      spark.table(dfT), spark.table(stT))
+
+  /** [[t18bServe]] over explicit index frames — the st17 seam: the
+    * streaming fold serves its version-addressed df/stats dirs through
+    * the IDENTICAL scoring plan. */
+  private[graft] def t18bServeFrames(spark: SparkSession, tf: DataFrame,
+      dl: DataFrame, df: DataFrame, st: DataFrame): DataFrame = {
     import spark.implicits._
     // (query, term) pairs materialized driver-side — a literal local
     // relation, so the serve plan carries NO Generate node at all
@@ -1196,8 +1210,8 @@ object TextOps {
       .flatMap { case (qid, qtext) => qtext.split(" ").map(qid -> _) }
       .toDF("query_id", "term")
     val qdistinct = T18Queries.flatMap(_._2.split(" ")).distinct.toDF("term")
-    val cand = spark.table(tfT).join(broadcast(qterms), Seq("term"))
-    val dfq = spark.table(dfT).join(broadcast(qdistinct), Seq("term"))
+    val cand = tf.join(broadcast(qterms), Seq("term"))
+    val dfq = df.join(broadcast(qdistinct), Seq("term"))
     val tfd = col("tf").cast("double")
     val dld = col("dl").cast("double")
     val dfd = col("df").cast("double")
@@ -1208,8 +1222,8 @@ object TextOps {
       ((nd + lit(1.0)) / (dfd + lit(0.5))))
     val perDoc = cand
       .join(broadcast(dfq), Seq("term"))
-      .join(spark.table(dlT), Seq("doc_id"))
-      .crossJoin(broadcast(spark.table(stT)))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
       .select(col("query_id"), col("doc_id"), sMu.as("s_mu"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("s_mu")).as("score_mu"))

@@ -1041,7 +1041,117 @@ object StreamingOps {
     (TextOps.t13ProbeGrid(spark, dir, grid), nBatches.get(), grid)
   }
 
+  /** st17: STREAMING LEXICAL-INDEX MAINTENANCE — t18b's persisted BM25
+    * index run as a continuous ingest loop, completing the
+    * continuous-ingest symmetry across every persisted index family
+    * (text dedup st07, vectors st10, media st11, aggregate views
+    * st15, sketches st16, and now the LEXICAL index): the index
+    * builds over the base 9/10 of the corpus ([[graft.operators
+    * .TextOps.t18bBuildIndexOver]]), the remaining documents arrive as
+    * three streamed files, and each micro-batch folds in along each
+    * piece's own merge law —
+    *
+    *  - postings (tf) and doc lengths (dl): APPEND (disjoint docs ⇒
+    *    disjoint rows), the postings bucket-compatibly per the
+    *    d13/s12 discipline, so the stored index never re-shuffles;
+    *  - document frequencies (df) and corpus stats (N, Σdl): CELLWISE/
+    *    TERM-WISE SUM — vocabulary-sized and 1-row tables, merged into
+    *    st16's version-addressed dirs (read prev, write batchId-keyed
+    *    next; replays skip the fold but advance the cursor).
+    *
+    *  Each batch tokenizes ONLY itself — the base corpus is tokenized
+    *  exactly once at build, the st11 decode-once discipline on the
+    *  lexical side. The query batch then serves from the folded
+    *  artifacts through t18b's unchanged Generate-free scoring plan
+    *  ([[graft.operators.TextOps.t18bServeFrames]]), and the gate
+    *  shares t18's oracle VERBATIM: hash equality proves
+    *  base-build + three streamed folds == the one-shot full-corpus
+    *  index == the fresh recompute. BM25's global terms (df, N,
+    *  avgdl) are exactly the mergeable pieces — nothing else in the
+    *  score depends on corpus state, which is why streaming ingest
+    *  composes here at all. */
+  def st17StreamingLexical(spark: SparkSession, dir: String): DataFrame =
+    st17Core(spark, dir)._1
+
+  /** Seam returning (gate output, non-empty batches, folded df frame)
+    * — StreamingSpec pins batches = 3, streamed df == one-shot df
+    * term-for-term, and output == batch t18. */
+  private[graft] def st17Core(spark: SparkSession,
+      dir: String): (DataFrame, Int, DataFrame) = {
+    import graft.operators.TextOps
+    val d = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = d.count()
+    val nBase = n * graft.operators.Similarity.S12BaseNum /
+      graft.operators.Similarity.S12BaseDen
+    val (tfT, dlT, dfT, stT) =
+      TextOps.t18bBuildIndexOver(spark, d.filter(col("doc_id") < nBase))
+    val wh = graft.core.IO.scratchDir("graft-st17")
+    // version 0 = the base build's df/stats (the st16 cursor shape)
+    spark.table(dfT).write.mode("overwrite").parquet(s"$wh/df_b-1")
+    spark.table(stT).write.mode("overwrite").parquet(s"$wh/st_b-1")
+    val dRoot = graft.core.IO.scratchDir("graft-st17-delta")
+    d.filter(col("doc_id") >= nBase).repartition(3)
+      .write.mode("overwrite").parquet(dRoot)
+    val dStream = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dRoot)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val chk = graft.core.IO.scratchDir("graft-st17-chk")
+    val q = dStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val vDir = new org.apache.hadoop.fs.Path(s"$wh/df_b$batchId")
+        val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!batch.isEmpty) {
+          if (!fs.exists(vDir)) {
+            nBatches.incrementAndGet()
+            val toks = batch.toDF().select(col("doc_id"),
+              explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+            val tfB = toks.groupBy(col("doc_id"), col("term"))
+              .agg(count(lit(1)).as("tf"))
+            // postings append BUCKET-COMPATIBLY — the stored index is
+            // never read, never re-shuffled by the fold
+            tfB.write.mode("append").format("parquet")
+              .bucketBy(graft.operators.Dedup.D13Buckets, "term")
+              .sortBy("term").saveAsTable(tfT)
+            val dlB = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+            dlB.write.mode("append").format("parquet").saveAsTable(dlT)
+            // df/stats: term-wise / cellwise sum into the next version
+            tfB.select(col("term"), lit(1L).as("df"))
+              .unionByName(spark.read.parquet(s"$wh/df_b${latest.get()}"))
+              .groupBy(col("term")).agg(sum(col("df")).as("df"))
+              .coalesce(1).write.mode("overwrite").parquet(vDir.toString)
+            dlB.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+              .unionByName(spark.read.parquet(s"$wh/st_b${latest.get()}"))
+              .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$wh/st_b$batchId")
+          }
+          latest.set(batchId)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the folds ran on the micro-batch session CLONE — the original
+    // session's cached table relations (file listings) predate them;
+    // without the refresh the serve scans only the base files
+    spark.catalog.refreshTable(tfT)
+    spark.catalog.refreshTable(dlT)
+    val dfFolded = spark.read.parquet(s"$wh/df_b${latest.get()}")
+    val out = TextOps.t18bServeFrames(spark, spark.table(tfT),
+      spark.table(dlT), dfFolded,
+      spark.read.parquet(s"$wh/st_b${latest.get()}"))
+    (out, nBatches.get(), dfFolded)
+  }
+
   val oracles: Map[String, String] = Map(
+    // st17: t18's oracle VERBATIM — base build + streamed folds must
+    // equal the one-shot full-corpus index, piece for piece
+    "st17_streaming_lexical" ->
+      graft.operators.TextOps.oracles("t18_bm25"),
     // st16: t13's oracle VERBATIM — hash equality proves the streamed
     // cellwise-sum folds compose to exactly the one-shot sketch
     "st16_streaming_cms" ->

@@ -234,6 +234,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed heavy-hitter report diverged from batch t13")
   }
 
+  test("st17 streaming lexical index: 3 folds equal the one-shot index, df term-for-term") {
+    import org.apache.spark.sql.functions._
+    val (outDf, n, dfFolded) = StreamingOps.st17Core(spark, sf)
+    assert(n == 3, s"expected exactly 3 non-empty micro-batch folds, got $n")
+    // the folded df table == the one-shot corpus df, term for term —
+    // the term-wise-sum merge law made real
+    val streamedDf = dfFolded.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = graft.core.Tables(spark, sf, "documents")
+    val batchDf = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedDf == batchDf,
+      s"folded df diverged (${streamedDf.size} vs ${batchDf.size} terms)")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.TextOps.t18Bm25(spark, sf).collect().map(key).toSeq
+    assert(streamed == batch, "streamed BM25 serve diverged from batch t18")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
