@@ -610,7 +610,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
-    val p = plan(Similarity.s22KnnGraph(spark, sf))
+    // the uncached build-plan seam: the session cache wraps the gate's
+    // frame in an InMemoryRelation, hiding the join shape pinned here
+    val p = plan(Similarity.s22GraphPlan(spark, sf))
     assert(!p.contains("CartesianProduct"), s"s22 join degraded to a product:\n$p")
     // s09's ordering argument at corpus scale: the cell-keyed probe
     // join (now a SHUFFLE join — the probe side is corpus-sized and
