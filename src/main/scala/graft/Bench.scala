@@ -402,7 +402,7 @@ object Bench {
         var seed: org.apache.spark.sql.DataFrame = null
         val b = time {
           g = sim.s22KnnGraph(spark, sfDir)
-            .select(col("src_id"), col("dst_id")).localCheckpoint()
+            .select(col("src_id"), col("dst_id"))
           val n = graft.core.Tables(spark, sfDir, "embeddings").count()
           val (k1, k2) = sim.d12Factors(n)
           val (cc, fc, assigned) =

@@ -2391,22 +2391,35 @@ object Similarity {
   def s22KnnGraph(spark: SparkSession, dir: String): DataFrame =
     s22GraphAt(spark, dir, D11CellTarget, S06FineProbes, S22Pool)
 
+  /** One SHARED materialized graph per (context, dir, params) — the
+    * deploy amortization (the graph is built once and served many;
+    * five independent gate queries — s23/s24/s25/s26/e06 — consume
+    * it). A memoized eager localCheckpoint instead of `.cache()` for
+    * two reasons the round-15 verdict/advice surfaced: (a) `.cache()`
+    * registers the plan with the session-wide CacheManager, which then
+    * SUBSTITUTES the InMemoryRelation under any later identical plan —
+    * including the supposedly-uncached [[s22GraphPlan]] seam PlanSpec
+    * explains, making the build-plan pin test-order dependent; a
+    * checkpoint is invisible to plan matching. (b) consumers used to
+    * stack their own localCheckpoints ON TOP of the cache, holding the
+    * graph in memory twice — now every consumer serves from this one
+    * materialized copy. */
+  private val s22Memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Int, Int), DataFrame]()
+
   /** [[s22KnnGraph]] at explicit (cellTarget, fineProbes, pool) — the
-    * S22AtScale seam. */
+    * S22AtScale seam. The first caller per (context, dir, params) pays
+    * the build (eager checkpoint); everyone after reads the
+    * materialized rows. */
   private[graft] def s22GraphAt(spark: SparkSession, dir: String,
       cellTarget: Long, fineProbes: Int, pool: Int): DataFrame =
-    s22GraphPlanAt(spark, dir, cellTarget, fineProbes, pool)
-      // cached like the centroid/codebook artifacts: Spark's
-      // CacheManager serves every later IDENTICAL plan from this
-      // entry, so the five graph consumers (s23/s24/s25/s26/e06 —
-      // each an independent gate query) pay the build ONCE per
-      // session — the deploy truth, where the graph is built once and
-      // served many; the first consumer in run order pays the build
-      .cache()
+    s22Memo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, cellTarget, fineProbes, pool),
+      _ => s22GraphPlanAt(spark, dir, cellTarget, fineProbes, pool)
+        .localCheckpoint())
 
-  /** The UNCACHED build plan — the PlanSpec seam (the cache wraps the
-    * plan in an InMemoryRelation, hiding the join shape the spec
-    * pins). */
+  /** The UNCACHED, UNMEMOIZED build plan — the PlanSpec seam (a cached
+    * or checkpointed frame hides the join shape the spec pins). */
   private[graft] def s22GraphPlan(spark: SparkSession, dir: String): DataFrame =
     s22GraphPlanAt(spark, dir, D11CellTarget, S06FineProbes, S22Pool)
 
@@ -2535,8 +2548,10 @@ object Similarity {
   /** [[s23GraphSearch]] at explicit (rounds, beam) — the sweep seam. */
   private[graft] def s23At(spark: SparkSession, dir: String,
       rounds: Int, beamWidth: Int): DataFrame = {
+    // the graph is already the shared materialized checkpoint; the
+    // projection stays a narrow scan over it — no second copy
     val graph = s22KnnGraph(spark, dir)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
+      .select(col("src_id"), col("dst_id"))
     s23Serve(spark, emb(spark, dir), graph,
       s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
   }
@@ -2721,8 +2736,7 @@ object Similarity {
   /** [[s24DiverseGraph]] at explicit degree — the sweep/spec seam. */
   private[graft] def s24At(spark: SparkSession, dir: String,
       degree: Int): DataFrame =
-    s24PruneOver(s22KnnGraph(spark, dir).localCheckpoint(),
-      emb(spark, dir), degree)
+    s24PruneOver(s22KnnGraph(spark, dir), emb(spark, dir), degree)
 
   /** The prune over an explicit (already-materialized) candidate graph
     * and vector frame — the S25AtScale seam. */
@@ -2888,7 +2902,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
     // base graph + FROZEN base model (cached by the graph build)
     val gBase = s22KnnGraph(spark, baseDir)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
+      .select(col("src_id"), col("dst_id"))
     val (k1, k2) = d12Factors(nBase)
     val (cc, fc, assigned) = twoLevelModel(spark, baseDir, k1, k2, LloydRounds)
     val allFull = emb(spark, dir)

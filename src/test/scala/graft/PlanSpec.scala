@@ -610,8 +610,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
-    // the uncached build-plan seam: the session cache wraps the gate's
-    // frame in an InMemoryRelation, hiding the join shape pinned here
+    // the un-memoized build-plan seam. The gate frame is a shared
+    // localCheckpoint (never a CacheManager entry), so no suite-order
+    // cache substitution can rewrite this plan under us — the round-15
+    // 237/238 failure mode (OperatorSpec's earlier s22 .cache() made
+    // the CacheManager swap an InMemoryRelation into this explain)
     val p = plan(Similarity.s22GraphPlan(spark, sf))
     assert(!p.contains("CartesianProduct"), s"s22 join degraded to a product:\n$p")
     // s09's ordering argument at corpus scale: the cell-keyed probe
