@@ -68,31 +68,67 @@ object Multimodal {
       .orderBy("media_id")
 
   /** m02: feature extraction — 8-dim vector per payload, exploded to
-    * (media_id, dim, val) rows. [[fakeFeature]] is the decode stub; a
-    * real embedding model replaces exactly that expression (the seam
-    * with the REAL decoder is [[decodeFeatures]]/[[jdkDecoder]]). */
+    * (media_id, dim, val) rows. Payloads the JDK actually decodes get
+    * REAL pixel/PCM statistics ([[imageFeatures]]/[[audioFeatures]]
+    * through the same per-partition decode seam as [[jdkDecoder]]);
+    * everything else degrades to the byte fallback (byte i scaled to
+    * [0,1), missing byte → 0) — at 100 TB undecodable blobs are
+    * routine and must feed the pipeline a vector, not an error. The
+    * gate corpus carries no decodable media (asserted loudly in the
+    * seam, the m10 discipline), so the corpus rows replay as the byte
+    * fallback in the oracle while the two injected canaries (the m05
+    * BMP, the m10 WAV) keep the real image and audio tiers live —
+    * their decoded features enter the oracle as the hand-derived
+    * literals MultimodalSpec pins against this same construction. */
   def m02Features(spark: SparkSession, dir: String): DataFrame = {
-    // >>> DECODE STUB: byte i (1-based) scaled to [0,1); a real decoder
-    // >>> would decode pixels/samples here instead of reading raw bytes.
-    // Byte i comes from hexing a 1-byte binary slice (like
-    // [[modality]]) — NEVER payload.cast("string"), whose UTF-8 decode
-    // collapses real media bytes onto replacement chars. Missing byte →
-    // feature 0, matching [[fallbackFeatures]].
-    def fakeFeature(i: Int) = {
-      // byte-slice THEN hex: the old substring(hex(payload), 2i-1, 2)
-      // hexed the ENTIRE payload once per feature — 8 full-payload
-      // string renders per row inside the Generate node (which gets no
-      // subexpression elimination); hex of a 1-byte slice is O(1).
-      // Missing byte → empty slice → conv(NULL) → coalesce 0, exactly
-      // the old out-of-range-substring behavior.
-      val b = conv(hex(substring(col("payload"), i, 1)), 16, 10).cast("int")
-      round(coalesce(b, lit(0)) / 255.0, 4)
-    }
-    val dims = (1 to 8).map(i => struct(lit(i.toLong).as("dim"), fakeFeature(i).as("val")))
-    media(spark, dir)
-      .select(col("media_id"), explode(array(dims: _*)).as("f"))
-      .select(col("media_id"), col("f.dim").as("dim"), col("f.val").as("val"))
+    import spark.implicits._
+    val payloads = media(spark, dir).select(col("media_id"), col("payload"))
+      .unionByName(Seq(
+        (900000001L, canaryBmp(false)),
+        (900000002L, segWav(M10BlockPattern))).toDF("media_id", "payload"))
+    payloads.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => m02FeatureRows(id, b) })
+      .toDF("media_id", "dim", "val")
       .orderBy("media_id", "dim")
+  }
+
+  /** One payload → its 8 (id, dim, val) feature rows — real decoded
+    * statistics when the payload is JDK-decodable media, the byte
+    * fallback otherwise. Factored out so MultimodalSpec can pin the
+    * canary literals against the exact production path. */
+  private[graft] def m02FeatureRows(id: Long,
+      b: Array[Byte]): Seq[(Long, Long, Double)] = {
+    val real: Option[Array[Float]] =
+      try {
+        magicOf(b) match {
+          case "png" | "jpeg" | "gif" | "bmp" =>
+            Option(readImageBounded(b)).map(imageFeatures)
+          case "wav" =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            try Some(audioFeatures(in)) finally in.close()
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // the oracle replays every CORPUS payload through the byte
+    // fallback; a generator change planting decodable media must
+    // surface here as a loud error, not a silent hash mismatch
+    if (real.isDefined && id < 900000001L)
+      throw new IllegalStateException(
+        s"m02: corpus payload $id decoded as real media — the byte-" +
+          "fallback oracle replay no longer covers it; re-derive the " +
+          "decodable tier from the decode census")
+    // HALF_UP on the decimal rendering — exactly Spark's round(col, 4)
+    // (BigDecimal.valueOf) and the m02 oracle's DuckDB round
+    def round4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val feats: Seq[Double] = real match {
+      case Some(f) => f.iterator.take(8).map(v => round4(v.toDouble)).toSeq
+      case None => (1 to 8).map(i =>
+        round4((if (b.length >= i) b(i - 1) & 0xff else 0) / 255.0))
+    }
+    feats.zipWithIndex.map { case (v, ix) => (id, (ix + 1).toLong, v) }
   }
 
   /** The decoder seam: a media decoder implements this signature — one
@@ -1798,13 +1834,24 @@ object Multimodal {
         s"$modalitySql AS modality FROM documents ORDER BY media_id"),
     "m02_media_features" ->
       // byte `dim` (1-based) via hex digits, the twin of the Spark-side
-      // hex path: character substring would read code points, not bytes
+      // byte-fallback path: character substring would read code points,
+      // not bytes. No corpus payload decodes as media (asserted in the
+      // seam), so the corpus replays as the fallback; the two canaries'
+      // REAL decoded features enter as the hand-derived literals
+      // MultimodalSpec pins against m02FeatureRows
       ("SELECT doc_id AS media_id, dim, " +
         "round(CASE WHEN length(hex(encode(text))) >= 2 * dim THEN " +
         "(strpos('0123456789ABCDEF', substring(hex(encode(text)), 2 * dim - 1, 1)) - 1) * 16 + " +
         "(strpos('0123456789ABCDEF', substring(hex(encode(text)), 2 * dim, 1)) - 1) " +
         "ELSE 0 END / 255.0, 4) AS val " +
-        "FROM documents, (SELECT unnest(range(1, 9)) AS dim) ORDER BY media_id, dim"),
+        "FROM documents, (SELECT unnest(range(1, 9)) AS dim) " +
+        "UNION ALL SELECT CAST(900000001 AS BIGINT), CAST(dim AS BIGINT), CAST(val AS DOUBLE) " +
+        "FROM (VALUES (1, 0.0022), (2, 0.0020), (3, 0.3529), (4, 0.3529), " +
+        "(5, 0.3529), (6, 0.3529), (7, 0.2025), (8, 0.1406)) c1(dim, val) " +
+        "UNION ALL SELECT CAST(900000002 AS BIGINT), CAST(dim AS BIGINT), CAST(val AS DOUBLE) " +
+        "FROM (VALUES (1, 0.1250), (2, 0.0833), (3, 0.0043), (4, 0.5000), " +
+        "(5, 0.3143), (6, 0.3863), (7, 0.0), (8, 0.0)) c2(dim, val) " +
+        "ORDER BY media_id, dim"),
     "m03_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no, " +
         "CAST(frame_no * 16 AS BIGINT) AS offset, " +

@@ -249,11 +249,26 @@ object Sinks {
     * [[p13Read]] time travel instead of reconstruction. */
   private[graft] def p13Commit(spark: SparkSession, root: String, v: Long,
       changes: DataFrame, manifest: String = "manifest"): Unit = {
+    // base/prev manifest for snapshot v-1: the commit's OWN manifest if
+    // it already holds snap v-1 (two commits chained on one branch),
+    // else the published one (a branch's FIRST commit bases on the
+    // published latest) — round-15 advice: hardcoding "manifest" here
+    // broke chained branch commits
+    val baseManifest =
+      if (manifest == "manifest") "manifest"
+      else {
+        val mp = new org.apache.hadoop.fs.Path(s"$root/$manifest")
+        val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(mp) && !spark.read.parquet(s"$root/$manifest")
+            .filter(col("snap") === v - 1).isEmpty) manifest
+        else "manifest"
+      }
     // bounded scalar routing read (the p12 pattern): which buckets the
     // batch touches — never row data
     val touched = changes.select(col("pk")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val base = p13Read(spark, root, v - 1).filter(col("pk").isin(touched: _*))
+    val base = p13Read(spark, root, v - 1, baseManifest)
+      .filter(col("pk").isin(touched: _*))
     base.as("b")
       .join(changes.as("c"), Seq("doc_id", "pk"), "full_outer")
       .filter(coalesce(col("c.op"), lit("")) =!= "D")
@@ -264,7 +279,7 @@ object Sinks {
       .repartition(col("pk"))
       .write.mode("overwrite").partitionBy("pk")
       .option("compression", "zstd").parquet(s"$root/d/dv=$v")
-    val prev = spark.read.parquet(s"$root/manifest")
+    val prev = spark.read.parquet(s"$root/$baseManifest")
       .filter(col("snap") === v - 1).select(col("pk"), col("dver"))
     val tdf = changes.select(col("pk")).distinct().withColumn("hit", lit(true))
     prev.join(tdf, Seq("pk"), "full_outer")
@@ -403,9 +418,11 @@ object Sinks {
     * applied as a publish gate. One aggregate over the branch; the
     * verdict is a bounded scalar. */
   private[graft] def p20Audit(branch: DataFrame): Long = {
+    // coalesce: sum() over an EMPTY branch snapshot is NULL — an empty
+    // candidate must audit as 0 violations, not NPE (round-15 advice)
     val r = branch.agg(
-      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
-        .otherwise(0L)).as("bad"),
+      coalesce(sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"),
       (count(lit(1)) - countDistinct(col("doc_id"))).as("dups"))
       .collect()(0)
     r.getLong(0) + r.getLong(1)

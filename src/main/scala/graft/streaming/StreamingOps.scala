@@ -1019,7 +1019,10 @@ object StreamingOps {
         val vDir = new org.apache.hadoop.fs.Path(s"$wh/grid_b$batchId")
         val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!batch.isEmpty) {
-          if (!fs.exists(vDir)) {
+          // landed = the COMMITTED write's _SUCCESS, not bare dir
+          // existence: a crashed partial write leaves a dir a replay
+          // must redo (overwrite), never trust (round-15 advice)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
             nBatches.incrementAndGet()
             val cells = TextOps.t13CellsOf(batch.toDF())
             val merged =
@@ -1051,13 +1054,22 @@ object StreamingOps {
     * three streamed files, and each micro-batch folds in along each
     * piece's own merge law —
     *
-    *  - postings (tf) and doc lengths (dl): APPEND (disjoint docs ⇒
-    *    disjoint rows), the postings bucket-compatibly per the
-    *    d13/s12 discipline, so the stored index never re-shuffles;
+    *  - postings (tf) and doc lengths (dl): disjoint docs ⇒ disjoint
+    *    rows, so each batch's slice lands as its OWN batchId-keyed
+    *    delta dir (the p18 merge-on-read discipline on the lexical
+    *    index: the base store is immutable, the reader composes base ∪
+    *    deltas). Idempotent by construction — a replayed fold
+    *    OVERWRITES exactly its own dirs, closing the at-least-once
+    *    duplication window a non-idempotent catalog append had
+    *    (round-15 advice: a crash between the appends and the marker
+    *    write re-appended postings on replay);
     *  - document frequencies (df) and corpus stats (N, Σdl): CELLWISE/
     *    TERM-WISE SUM — vocabulary-sized and 1-row tables, merged into
-    *    st16's version-addressed dirs (read prev, write batchId-keyed
-    *    next; replays skip the fold but advance the cursor).
+    *    st16's version-addressed dirs. The df version dir is written
+    *    LAST and its _SUCCESS is the batch's landed marker: a replay
+    *    after ANY partial progress redoes all four pieces (every piece
+    *    an overwrite into batchId-keyed paths), a replay after the
+    *    marker skips them all.
     *
     *  Each batch tokenizes ONLY itself — the base corpus is tokenized
     *  exactly once at build, the st11 decode-once discipline on the
@@ -1106,28 +1118,30 @@ object StreamingOps {
         val vDir = new org.apache.hadoop.fs.Path(s"$wh/df_b$batchId")
         val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!batch.isEmpty) {
-          if (!fs.exists(vDir)) {
+          // landed = the df version dir's COMMITTED _SUCCESS (written
+          // last) — a replay after partial progress redoes all four
+          // batchId-keyed overwrites, a replay after the marker skips
+          if (!fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
             nBatches.incrementAndGet()
             val toks = batch.toDF().select(col("doc_id"),
               explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
             val tfB = toks.groupBy(col("doc_id"), col("term"))
               .agg(count(lit(1)).as("tf"))
-            // postings append BUCKET-COMPATIBLY — the stored index is
-            // never read, never re-shuffled by the fold
-            tfB.write.mode("append").format("parquet")
-              .bucketBy(graft.operators.Dedup.D13Buckets, "term")
-              .sortBy("term").saveAsTable(tfT)
+            // postings/dl delta dirs — the stored base index is never
+            // read, never rewritten; each fold owns exactly its files
+            tfB.write.mode("overwrite").parquet(s"$wh/tf_b$batchId")
             val dlB = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-            dlB.write.mode("append").format("parquet").saveAsTable(dlT)
-            // df/stats: term-wise / cellwise sum into the next version
-            tfB.select(col("term"), lit(1L).as("df"))
-              .unionByName(spark.read.parquet(s"$wh/df_b${latest.get()}"))
-              .groupBy(col("term")).agg(sum(col("df")).as("df"))
-              .coalesce(1).write.mode("overwrite").parquet(vDir.toString)
+            dlB.write.mode("overwrite").parquet(s"$wh/dl_b$batchId")
+            // df/stats: term-wise / cellwise sum into the next version;
+            // st first, df (the landed marker) LAST
             dlB.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
               .unionByName(spark.read.parquet(s"$wh/st_b${latest.get()}"))
               .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
               .coalesce(1).write.mode("overwrite").parquet(s"$wh/st_b$batchId")
+            tfB.select(col("term"), lit(1L).as("df"))
+              .unionByName(spark.read.parquet(s"$wh/df_b${latest.get()}"))
+              .groupBy(col("term")).agg(sum(col("df")).as("df"))
+              .coalesce(1).write.mode("overwrite").parquet(vDir.toString)
           }
           latest.set(batchId)
         }
@@ -1135,14 +1149,18 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    // the folds ran on the micro-batch session CLONE — the original
-    // session's cached table relations (file listings) predate them;
-    // without the refresh the serve scans only the base files
-    spark.catalog.refreshTable(tfT)
-    spark.catalog.refreshTable(dlT)
+    // serve = base tables ∪ the landed delta dirs (fresh parquet reads
+    // — no stale cached file listing can hide a fold, the round-15
+    // clone-session lesson closed structurally)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltas(prefix: String): Seq[DataFrame] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$wh/${prefix}_b*"))
+        .toSeq.map(s => spark.read.parquet(s.getPath.toString))
+    val tfAll = (spark.table(tfT) +: deltas("tf")).reduce(_ unionByName _)
+    val dlAll = (spark.table(dlT) +: deltas("dl")).reduce(_ unionByName _)
     val dfFolded = spark.read.parquet(s"$wh/df_b${latest.get()}")
-    val out = TextOps.t18bServeFrames(spark, spark.table(tfT),
-      spark.table(dlT), dfFolded,
+    val out = TextOps.t18bServeFrames(spark, tfAll, dlAll, dfFolded,
       spark.read.parquet(s"$wh/st_b${latest.get()}"))
     (out, nBatches.get(), dfFolded)
   }

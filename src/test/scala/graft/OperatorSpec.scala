@@ -1538,6 +1538,23 @@ class OperatorSpec extends AnyFunSuite {
     // the bad commit dir sits orphaned on disk — p14 vacuum's target
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "d", "dv=2")),
       "the quarantined branch's data files remain as vacuum-able orphans")
+    // CHAINED branch commits (round-15 advice): a second unpublished
+    // commit on the same branch must base on the branch's own snap,
+    // not the (missing) published one — v3 sees v2's planted empties
+    val badCh2 = Sinks.p13Read(spark, root, 1L).filter(col("doc_id") % 8 === 6)
+      .select(col("doc_id"), lit("U").as("op"), lit("x2").as("text"))
+      .withColumn("pk", pmod(col("doc_id"), lit(Sinks.P12Buckets.toLong)))
+    Sinks.p13Commit(spark, root, 3L, badCh2, "branch_bad")
+    val v3 = Sinks.p13Read(spark, root, 3L, "branch_bad")
+    assert(Sinks.p20Audit(v3) == nBad,
+      "the chained commit must carry the branch's snap-2 state forward")
+    assert(v3.filter(col("text") === "x2").count() == badCh2.count(),
+      "the chained commit's own updates must land")
+    assert(pubSnaps() == Set(0L, 1L),
+      "chained staging still never touches the published manifest")
+    // an EMPTY candidate audits as 0 violations, not NPE
+    assert(Sinks.p20Audit(v3.filter(lit(false))) == 0L,
+      "empty branch snapshot must audit clean")
   }
 
   test("p14 vacuum: expired dirs die, shared dirs survive, live snapshots unchanged") {
