@@ -538,6 +538,19 @@ object SparkEntry {
     // edges delta-vs-index) plus FreshDiskANN back-links so inserted
     // nodes become reachable; both faces delta-bounded
     "s26_graph_insert" -> (Similarity.s26GraphInsert _),
+    // st18: streaming graph ingest — s26's fold per micro-batch on the
+    // frozen base model, back-links merge-on-read versioned; three
+    // streamed folds must equal the one-shot insert (s26's oracle)
+    "st18_streaming_graph" ->
+      (graft.streaming.StreamingOps.st18StreamingGraphIngest _),
+    // s27: graph deletes — tombstone the id set, consolidate by
+    // re-linking through deleted nodes' surviving neighbors
+    // (FreshDiskANN delete+consolidate on the s22 store)
+    "s27_graph_delete" -> (Similarity.s27GraphDelete _),
+    // s28: label-filtered beam-search serve — s08's predicate at the
+    // graph tier (Filtered-DiskANN): expand through any node, rank
+    // only label-matching visited candidates
+    "s28_filtered_graph_search" -> (Similarity.s28FilteredGraphSearch _),
     // t24: interpolated Kneser–Ney bigram LM — the production
     // smoothing family (KenLM default) next to t14's Laplace baseline;
     // D=3/4 clears denominators so both engines score exact rationals

@@ -2586,20 +2586,26 @@ object Similarity {
       .select(col("qid"), col("node"))
   }
 
-  /** The serve half of s23 over an already-materialized edge frame and
-    * a (qid, node) seed frontier — the S22AtScale seam (build once,
-    * serve many). */
-  private[graft] def s23Serve(spark: SparkSession, all: DataFrame,
-      graph: DataFrame, seed: DataFrame,
-      rounds: Int, beamWidth: Int): DataFrame = {
+  /** Exact-cosine scoring of (qid, node) candidates against the query
+    * batch — the walk's inner scorer, shared by every serve face. */
+  private def s23ScoreOf(all: DataFrame, cand: DataFrame): DataFrame = {
     val queries = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    def scoreOf(cand: DataFrame): DataFrame =
-      cand.as("cd")
-        .join(broadcast(queries).as("q"), col("cd.qid") === col("q.qid"))
-        .join(all.as("v"), col("cd.node") === col("v.vec_id"))
-        .select(col("cd.qid").as("qid"), col("cd.node").as("node"),
-          Dedup.cosine(col("q.qe"), col("v.e")).as("c"))
+    cand.as("cd")
+      .join(broadcast(queries).as("q"), col("cd.qid") === col("q.qid"))
+      .join(all.as("v"), col("cd.node") === col("v.vec_id"))
+      .select(col("cd.qid").as("qid"), col("cd.node").as("node"),
+        Dedup.cosine(col("q.qe"), col("v.e")).as("c"))
+  }
+
+  /** The WALK core shared by every graph-serve face (s23 raw, s25
+    * pruned, s28 label-filtered, the s27 masked-serve spec): rounds ×
+    * (expand frontier, score, truncate to beam), visited accumulating.
+    * Returns (visited, n_visited census, per-round frontier censuses)
+    * so each face applies its own final ranking over the SAME walk. */
+  private[graft] def s23WalkFrames(spark: SparkSession, all: DataFrame,
+      graph: DataFrame, seed: DataFrame, rounds: Int, beamWidth: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val wBeam = Window.partitionBy(col("qid"))
       .orderBy(round(col("c"), 6).desc, col("node").asc)
     // union inputs get re-aliased outputs: a checkpointed union leaf
@@ -2618,7 +2624,7 @@ object Similarity {
         .filter(col("g.dst_id") =!= col("b.qid"))
         .select(col("b.qid").as("qid"), col("g.dst_id").as("node"))
       val cand = fresh(beam).unionByName(nbrs).distinct().localCheckpoint()
-      beam = scoreOf(cand)
+      beam = s23ScoreOf(all, cand)
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beamWidth)
         .select(col("qid"), col("node"))
@@ -2629,9 +2635,20 @@ object Similarity {
     }
     val nv = vis.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
     val frontiers = fCounts.reduce((a, b) => a.join(b, Seq("qid")))
+    (vis, nv, frontiers)
+  }
+
+  /** The serve half of s23 over an already-materialized edge frame and
+    * a (qid, node) seed frontier — the S22AtScale seam (build once,
+    * serve many). */
+  private[graft] def s23Serve(spark: SparkSession, all: DataFrame,
+      graph: DataFrame, seed: DataFrame,
+      rounds: Int, beamWidth: Int): DataFrame = {
+    val (vis, nv, frontiers) =
+      s23WalkFrames(spark, all, graph, seed, rounds, beamWidth)
     val wK = Window.partitionBy(col("qid"))
       .orderBy(round(col("c"), 6).desc, col("node").asc)
-    scoreOf(vis.filter(col("node") =!= col("qid")))
+    s23ScoreOf(all, vis.filter(col("node") =!= col("qid")))
       .withColumn("rn", row_number().over(wK))
       .filter(col("rn") <= K)
       .join(broadcast(nv), Seq("qid"))
@@ -2657,7 +2674,13 @@ object Similarity {
     * `graph` (must expose src_id, dst_id): probe seed, every walk
     * round, censuses, final ranking. Assumes [[probeCtesSql]]'s fpr
     * and [[s22CtesSql]]'s e are in scope. */
-  private[graft] def s23WalkSql(walkRounds: Int, graph: String): String = {
+  private[graft] def s23WalkSql(walkRounds: Int, graph: String): String =
+    s23WalkCtesSql(walkRounds, graph) + s23WalkFinalSql(walkRounds)
+
+  /** Just the walk CTE chain (seed, rounds, censuses), ending with
+    * ", " — s28's label-filtered final ranking shares these with
+    * s23/s25's unfiltered one. */
+  private[graft] def s23WalkCtesSql(walkRounds: Int, graph: String): String = {
     // every walk CTE is MATERIALIZED: each round references the
     // previous round's beam/visited 2-3 times, so default inlining
     // expands the tree exponentially in walkRounds (the same blowup
@@ -2687,8 +2710,12 @@ object Similarity {
       "v0 AS MATERIALIZED (SELECT qid, node FROM b0), " +
       walk +
       s"nv AS (SELECT qid, count(*) AS n_visited FROM v$walkRounds GROUP BY qid), " +
-      s"fx AS (SELECT qid, $frontier AS frontier FROM f1 $fJoins), " +
-      s"fin AS (SELECT cd.qid, cd.node AS nid, list_cosine_similarity(q.emb, v.emb) AS c " +
+      s"fx AS (SELECT qid, $frontier AS frontier FROM f1 $fJoins), "
+  }
+
+  /** The unfiltered final ranking over the walk's visited set. */
+  private[graft] def s23WalkFinalSql(walkRounds: Int): String =
+    s"fin AS (SELECT cd.qid, cd.node AS nid, list_cosine_similarity(q.emb, v.emb) AS c " +
       s"FROM v$walkRounds cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node " +
       "WHERE cd.node <> cd.qid) " +
       "SELECT t.qid AS query_id, t.rn AS rnk, t.nid AS neighbor_id, round(t.c, 4) AS cos_sim, " +
@@ -2697,7 +2724,6 @@ object Similarity {
       "ORDER BY round(c, 6) DESC, nid) AS rn FROM fin) t " +
       "JOIN nv ON nv.qid = t.qid JOIN fx ON fx.qid = t.qid " +
       s"WHERE t.rn <= $K ORDER BY query_id, rnk"
-  }
 
   // ---- s24: occlusion-pruned (diversified) graph ------------------------
 
@@ -2894,7 +2920,25 @@ object Similarity {
     * contract — base-trained model, base-restricted graph, frozen-
     * model probe, candidate-union re-rank — as one WITH. */
   def s26GraphInsert(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.array_dot
+    val a = s26BuildBase(spark, dir)
+    val allFull = emb(spark, dir)
+    val delta = allFull.filter(col("vec_id") >= a.nBase)
+    val fwd = s26FwdEdges(spark, delta, allFull, a).localCheckpoint()
+    val upd = s26BackLinks(fwd, a.gBase, allFull)
+    s26Faces(fwd, upd)
+  }
+
+  /** The s26 build-side artifacts — base slice landed, base graph,
+    * FROZEN base-trained model, and the stored cell-keyed codes —
+    * everything a fold consumes. Built once; st18 reuses them across
+    * every micro-batch (the st10 frozen-model discipline on the graph
+    * substrate). */
+  private[graft] case class S26Artifacts(baseDir: String, nBase: Long,
+      gBase: DataFrame, cc: DataFrame, fc: DataFrame, k2: Int,
+      cb: DataFrame, codesByCell: DataFrame)
+
+  private[graft] def s26BuildBase(spark: SparkSession,
+      dir: String): S26Artifacts = {
     val n = Tables(spark, dir, "embeddings").count()
     val nBase = n * S12BaseNum / S12BaseDen
     val baseDir = graft.core.IO.scratchDir("graft-s26")
@@ -2905,23 +2949,31 @@ object Similarity {
       .select(col("src_id"), col("dst_id"))
     val (k1, k2) = d12Factors(nBase)
     val (cc, fc, assigned) = twoLevelModel(spark, baseDir, k1, k2, LloydRounds)
-    val allFull = emb(spark, dir)
-    val delta = allFull.filter(col("vec_id") >= nBase)
-    val dq = delta.withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val fprobes = probeCellsOf(dq, cc, fc, k2, S06FineProbes)
-      .select(col("qid"), col("cid").as("cell"))
     // the stored base index: cell-keyed codes (s22ScoredAllAt's layout)
     val cb = s07Codebooks(spark, baseDir, S07Rounds)
     val codesByCell = s07Encode(subvecs(spark, baseDir), cb)
       .select(col("vec_id"), col("sub"), col("cid").as("code"))
       .join(assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+    S26Artifacts(baseDir, nBase, gBase, cc, fc, k2, cb, codesByCell)
+  }
+
+  /** FORWARD edges for one delta slice against the frozen artifacts —
+    * probe, ADC-scan the probed cells' base codes, nominate, exact
+    * refine. Delta-vs-index, never base×base: the corpus side is the
+    * persisted model + codes. */
+  private[graft] def s26FwdEdges(spark: SparkSession, delta: DataFrame,
+      allFull: DataFrame, a: S26Artifacts): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val dq = delta.withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val fprobes = probeCellsOf(dq, a.cc, a.fc, a.k2, S06FineProbes)
+      .select(col("qid"), col("cid").as("cell"))
     val dtab = subvecsOf(delta, S07Subspaces)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-      .join(broadcast(cb), Seq("sub"))
+      .join(broadcast(a.cb), Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
-    val sc = codesByCell.hint("shuffle_hash").join(fprobes, Seq("cell"))
+    val sc = a.codesByCell.hint("shuffle_hash").join(fprobes, Seq("cell"))
       .join(dtab, Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("unit")).as("adc_units"))
@@ -2934,25 +2986,39 @@ object Similarity {
     // joins, and drop before the rank (the narrow-probe rule)
     val wF = Window.partitionBy(col("qid"))
       .orderBy(round(col("c"), 6).desc, col("nid").asc)
-    val fwd = nom
+    nom
       .join(allFull.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
       .join(allFull.select(col("vec_id").as("nid"), col("e").as("ne")), Seq("nid"))
       .select(col("qid"), col("nid"), Dedup.cosine(col("qe"), col("ne")).as("c"))
       .withColumn("rnk", row_number().over(wF))
       .filter(col("rnk") <= S22Degree)
-      .localCheckpoint()
-    // back-links: touched base nodes re-rank (existing ∪ candidates)
+  }
+
+  /** BACK-LINKS: every endpoint of a forward edge re-ranks (its
+    * CURRENT adjacency ∪ the new candidates) and keeps top-degree —
+    * the FreshDiskANN back-link that makes folded nodes reachable.
+    * Top-k folding is associative (a dropped edge is dominated by
+    * degree better ones that stay in every later pool), which is
+    * exactly why st18's per-batch folds compose to the one-shot
+    * insert. */
+  private[graft] def s26BackLinks(fwd: DataFrame, curEdges: DataFrame,
+      allFull: DataFrame): DataFrame = {
     val cand = fwd.select(col("nid").as("src_id"), col("qid").as("dst_id"))
     val tch = cand.select("src_id").distinct()
-    val pool = gBase.join(tch, Seq("src_id")).unionByName(cand)
+    val pool = curEdges.select(col("src_id"), col("dst_id"))
+      .join(tch, Seq("src_id")).unionByName(cand)
     val wB = Window.partitionBy(col("src_id"))
       .orderBy(round(col("c"), 6).desc, col("dst_id").asc)
-    val upd = pool
+    pool
       .join(allFull.select(col("vec_id").as("src_id"), col("e").as("se")), Seq("src_id"))
       .join(allFull.select(col("vec_id").as("dst_id"), col("e").as("de")), Seq("dst_id"))
       .select(col("src_id"), col("dst_id"), Dedup.cosine(col("se"), col("de")).as("c"))
       .withColumn("rnk", row_number().over(wB))
       .filter(col("rnk") <= S22Degree)
+  }
+
+  /** Assemble the gate's two faces from (fwd, upd) edge frames. */
+  private[graft] def s26Faces(fwd: DataFrame, upd: DataFrame): DataFrame =
     fwd.select(lit("ins").as("face"), col("qid").as("src_id"),
         col("rnk").cast("long").as("rnk"), col("nid").as("dst_id"),
         round(col("c"), 4).as("cos_sim"))
@@ -2960,7 +3026,6 @@ object Similarity {
         col("rnk").cast("long").as("rnk"), col("dst_id"),
         round(col("c"), 4).as("cos_sim")))
       .orderBy("face", "src_id", "rnk")
-  }
 
   /** s26 oracle: one WITH — `e` REBOUND to the base slice so the
     * model-train and graph-build CTE generators emit the base-only
@@ -3020,7 +3085,271 @@ object Similarity {
       "ORDER BY face, src_id, rnk"
   }
 
+  // ---- s27: graph deletes (FreshDiskANN delete + consolidate) -----------
+
+  /** s27: DELETE + CONSOLIDATE on the k-NN graph store — the delete
+    * verb the graph substrate still lacked (s16 closed it for the
+    * IVF-PQ store; round-15 verdict item 3). FreshDiskANN's two-phase
+    * discipline (Singh et al. 2021 §4.2, public; hnswlib's
+    * markDelete + repair):
+    *
+    *  1. DELETE = a tombstone id set ([[s16Tombstones]]'s rule, so the
+    *    two delete families share one adversarial fixture) — O(deletes)
+    *    to persist, the edge store untouched; serve masks it (the s27
+    *    spec walks the consolidated graph with a masked seed and pins
+    *    that no deleted node is ever visited);
+    *  2. CONSOLIDATE = re-link THROUGH deleted nodes: a live node u
+    *    that lost an edge to deleted d inherits d's surviving
+    *    out-neighbors as candidates (the walk used to reach them VIA
+    *    d — dropping the edge without re-linking would sever those
+    *    directions), then u re-ranks (surviving edges ∪ inherited
+    *    candidates) by exact cosine and keeps top-degree (rounded rank
+    *    keys, id tie-breaks — the s01 rules). Untouched nodes keep
+    *    their adjacency lists verbatim (never re-scored, never
+    *    rewritten); deleted nodes' own lists drop.
+    *
+    * Output = the consolidated graph with a `touched` face marker, so
+    * the consolidation is visible in the result. Scale shape: the
+    * tombstone set is delta-sized between purge cycles (the s16/d13
+    * cadence argument), so it BROADCASTS into anti/semi-joins against
+    * the edge store — the corpus-sized graph never shuffles on a
+    * delete key; re-link pairs are ≤ deleted·in-degree·degree rows;
+    * vectors attach by id-keyed joins only to the touched pool (the
+    * "vectors never ride a rank shuffle" rule). The oracle replays
+    * graph build → tombstones → re-link pool → exact re-rank
+    * CTE-for-CTE. */
+  def s27GraphDelete(spark: SparkSession, dir: String): DataFrame =
+    s27ConsolidateOver(s22KnnGraph(spark, dir), emb(spark, dir),
+      s16Tombstones(spark, dir), S22Degree)
+
+  /** The consolidate over explicit (graph, vectors, tombstones) frames
+    * — the spec seam (the planted re-link fixture builds its own tiny
+    * graph). */
+  private[graft] def s27ConsolidateOver(g: DataFrame, all: DataFrame,
+      del: DataFrame, degree: Int): DataFrame = {
+    val delSrc = broadcast(del.select(col("vec_id").as("src_id")))
+    val delDst = broadcast(del.select(col("vec_id").as("dst_id")))
+    // deleted sources drop wholesale; survivors split on whether any
+    // edge died
+    val gLiveSrc = g.join(delSrc, Seq("src_id"), "left_anti")
+    val live = gLiveSrc.join(delDst, Seq("dst_id"), "left_anti")
+    val tch = gLiveSrc.join(delDst, Seq("dst_id"), "left_semi")
+      .select("src_id").distinct()
+    val unt = live.join(broadcast(tch), Seq("src_id"), "left_anti")
+      .select(col("src_id"), col("rnk"), col("dst_id"), col("cos_sim"),
+        lit(false).as("touched"))
+    // re-link: each dead edge (u→d) contributes d's surviving
+    // out-neighbors as u's candidates
+    val dead = gLiveSrc.join(delDst, Seq("dst_id"), "left_semi")
+      .select(col("src_id"), col("dst_id").as("mid"))
+    val relink = dead
+      .join(g.select(col("src_id").as("mid"), col("dst_id")), Seq("mid"))
+      .join(delDst, Seq("dst_id"), "left_anti")
+      .filter(col("dst_id") =!= col("src_id"))
+      .select(col("src_id"), col("dst_id"))
+    val pool = live.join(broadcast(tch), Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("dst_id"))
+      .unionByName(relink).distinct()
+    def vecsAs(id: String, v: String): DataFrame =
+      all.select(col("vec_id").as(id), col("e").as(v))
+    val wR = Window.partitionBy(col("src_id"))
+      .orderBy(round(col("c"), 6).desc, col("dst_id").asc)
+    val tchOut = pool
+      .join(vecsAs("src_id", "se"), Seq("src_id"))
+      .join(vecsAs("dst_id", "de"), Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        Dedup.cosine(col("se"), col("de")).as("c"))
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .filter(col("rnk") <= degree)
+      .select(col("src_id"), col("rnk"), col("dst_id"),
+        round(col("c"), 4).as("cos_sim"), lit(true).as("touched"))
+    unt.unionByName(tchOut).orderBy("src_id", "rnk")
+  }
+
+  /** s27 oracle: the s22 graph, the tombstone rule restated, then the
+    * untouched/re-linked faces exactly as the engine derives them. */
+  private[graft] def s27OracleSql(rounds: Int, pqRounds: Int,
+      degree: Int): String =
+    s22CtesSql(rounds, pqRounds) +
+      s"del AS (SELECT vec_id FROM e WHERE vec_id % $S16DelMod = $S16DelRem), " +
+      "gls AS (SELECT * FROM g22 WHERE src_id NOT IN (SELECT vec_id FROM del)), " +
+      "liv AS (SELECT * FROM gls WHERE dst_id NOT IN (SELECT vec_id FROM del)), " +
+      "tch27 AS (SELECT DISTINCT src_id FROM gls WHERE dst_id IN (SELECT vec_id FROM del)), " +
+      "unt AS (SELECT src_id, rnk, dst_id, cos_sim, false AS touched FROM liv " +
+      "WHERE src_id NOT IN (SELECT src_id FROM tch27)), " +
+      "rel AS (SELECT d.src_id, g2.dst_id FROM gls d JOIN g22 g2 ON g2.src_id = d.dst_id " +
+      "WHERE d.dst_id IN (SELECT vec_id FROM del) " +
+      "AND g2.dst_id NOT IN (SELECT vec_id FROM del) AND g2.dst_id <> d.src_id), " +
+      "pool27 AS (SELECT src_id, dst_id FROM liv WHERE src_id IN (SELECT src_id FROM tch27) " +
+      "UNION SELECT src_id, dst_id FROM rel), " +
+      "sc27 AS (SELECT p.src_id, p.dst_id, list_cosine_similarity(s.emb, d.emb) AS c, " +
+      "row_number() OVER (PARTITION BY p.src_id " +
+      "ORDER BY round(list_cosine_similarity(s.emb, d.emb), 6) DESC, p.dst_id) AS rn " +
+      "FROM pool27 p JOIN e s ON s.vec_id = p.src_id JOIN e d ON d.vec_id = p.dst_id) " +
+      "SELECT src_id, rnk, dst_id, cos_sim, touched FROM (" +
+      "SELECT * FROM unt UNION ALL " +
+      "SELECT src_id, rn AS rnk, dst_id, round(c, 4) AS cos_sim, true AS touched " +
+      s"FROM sc27 WHERE rn <= $degree) " +
+      "ORDER BY src_id, rnk"
+
+  // ---- s28: label-filtered beam-search serve (Filtered-DiskANN) ---------
+
+  /** s28: FILTERED BEAM-SEARCH SERVE — s08's metadata predicate at the
+    * graph tier (the Filtered-DiskANN query shape, Gollapudi et al.
+    * WWW 2023, public; round-15 verdict item 4). The graph is
+    * label-blind, so the walk runs TWO coupled beams per query:
+    *
+    *  - a NAVIGATIONAL beam — s23's unfiltered top-[[S23Beam]] by
+    *    cosine, expanding through ANY node (connectivity must not
+    *    depend on the predicate: a label-only frontier strands rare
+    *    labels in unreachable islands);
+    *  - a GOAL beam — the top-[[S23Beam]] LABEL-MATCHING candidates,
+    *    which climbs within the class the way Filtered-DiskANN's
+    *    label-aware entry points + filtered candidate list do (the
+    *    walk also SEEDS label-matching: per query, the best class
+    *    members of its probed cells — s08's scan restricted to the
+    *    probe budget).
+    *
+    * Each round expands the union frontier (≤ 2·beam nodes), scores
+    * once, and truncates both tracks; the ANSWER ranks only
+    * label-matching visited nodes with s08's exact contract (same
+    * columns, rank/tie rules, K, and no-rows-not-fallback for labels
+    * the walk never reaches), so the exact gate and the graph gate
+    * compare directly — the s08-vs-s28 recall gap is the price of
+    * walking instead of scanning the class, measured in the spec.
+    * Scale shape: s23's per-query beam·degree work over the
+    * materialized graph, doubled frontier, plus broadcast label joins
+    * — the corpus never shuffles on label. The oracle replays build +
+    * both seed tracks + every two-beam round CTE-for-CTE. */
+  def s28FilteredGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val graph = s22KnnGraph(spark, dir).select(col("src_id"), col("dst_id"))
+    val all = emb(spark, dir)
+    val lbl = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val qlbl = broadcast(lbl.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel")))
+    val nodeLbl = lbl.select(col("vec_id").as("node"), col("label"))
+    // seeds: the unfiltered s23 entry frontier + the label-matching
+    // members of the probed cells (Filtered-DiskANN's per-label entry
+    // points, re-expressed on the shared probe budget)
+    val (k1, k2) = d12Factors(Tables(spark, dir, "embeddings").count())
+    val (ccents, fcents, assigned) = twoLevelModel(spark, dir, k1, k2, LloydRounds)
+    val fprobes = probeCells(spark, dir, ccents, fcents, k2)
+    val seedU = s23SeedOver(fprobes, assigned, S23Beam)
+    val wSeed = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    import graft.functions.VectorFunctions.array_dot
+    val seedL = fprobes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(qlbl, Seq("qid"))
+      .join(nodeLbl.withColumnRenamed("node", "vec_id"), Seq("vec_id"))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id").as("node"),
+        (array_dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= S23Beam)
+      .select(col("qid"), col("node"))
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    var beamU = seedU.localCheckpoint()
+    var beamL = seedL.localCheckpoint()
+    var vis = fresh(beamU).unionByName(fresh(beamL)).distinct().localCheckpoint()
+    for (_ <- 1 to S23Rounds) {
+      val front = fresh(beamU).unionByName(fresh(beamL)).distinct()
+      val nbrs = broadcast(front.as("b"))
+        .join(graph.as("g"), col("b.node") === col("g.src_id"))
+        .filter(col("g.dst_id") =!= col("b.qid"))
+        .select(col("b.qid").as("qid"), col("g.dst_id").as("node"))
+      val cand = fresh(front).unionByName(nbrs).distinct().localCheckpoint()
+      val scored = s23ScoreOf(all, cand).localCheckpoint()
+      beamU = scored
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= S23Beam)
+        .select(col("qid"), col("node"))
+        .localCheckpoint()
+      beamL = scored
+        .join(nodeLbl, Seq("node"))
+        .join(qlbl, Seq("qid"))
+        .filter(col("label") === col("qlabel"))
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= S23Beam)
+        .select(col("qid"), col("node"))
+        .localCheckpoint()
+      vis = fresh(vis).unionByName(fresh(cand)).distinct().localCheckpoint()
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("c"), 6).desc, col("node").asc)
+    s23ScoreOf(all, vis.filter(col("node") =!= col("qid")))
+      .join(nodeLbl, Seq("node"))
+      .join(qlbl, Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("query_id"), col("qlabel").as("label"),
+        col("rn").cast("long").as("rnk"), col("node").as("neighbor_id"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s28 oracle: s22 build + probe CTEs, the two seed tracks, every
+    * two-beam walk round, then s08's label-filtered final ranking over
+    * the visited set. */
+  private[graft] def s28OracleSql(rounds: Int, pqRounds: Int,
+      walkRounds: Int): String = {
+    val walk = (1 to walkRounds).map { r =>
+      s"w$r AS MATERIALIZED (SELECT qid, node FROM bu${r - 1} " +
+        s"UNION SELECT qid, node FROM bl${r - 1}), " +
+        s"c$r AS MATERIALIZED (SELECT qid, node FROM w$r " +
+        s"UNION SELECT f.qid, g.dst_id AS node FROM w$r f JOIN g22 g ON g.src_id = f.node " +
+        "AND g.dst_id <> f.qid), " +
+        s"s$r AS MATERIALIZED (SELECT cd.qid, cd.node, list_cosine_similarity(q.emb, v.emb) AS c " +
+        s"FROM c$r cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node), " +
+        s"bu$r AS MATERIALIZED (SELECT qid, node FROM (SELECT qid, node, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY round(c, 6) DESC, node) AS rn " +
+        s"FROM s$r) WHERE rn <= $S23Beam), " +
+        s"bl$r AS MATERIALIZED (SELECT qid, node FROM (SELECT t.qid, t.node, " +
+        "row_number() OVER (PARTITION BY t.qid ORDER BY round(t.c, 6) DESC, t.node) AS rn " +
+        s"FROM s$r t JOIN lb28 nl ON nl.vec_id = t.node JOIN lb28 ql ON ql.vec_id = t.qid " +
+        s"WHERE nl.label = ql.label) WHERE rn <= $S23Beam), " +
+        s"v$r AS MATERIALIZED (SELECT qid, node FROM v${r - 1} UNION SELECT qid, node FROM c$r), "
+    }.mkString
+    s22CtesSql(rounds, pqRounds) + probeCtesSql(rounds) + ", " +
+      "lb28 AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
+      "bu0 AS MATERIALIZED (SELECT qid, node FROM (" +
+      "SELECT p.qid, a.vec_id AS node, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+      "FROM fpr p JOIN fafin a USING (cid) WHERE a.vec_id <> p.qid) " +
+      s"WHERE rn <= $S23Beam), " +
+      "bl0 AS MATERIALIZED (SELECT qid, node FROM (" +
+      "SELECT p.qid, a.vec_id AS node, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rn " +
+      "FROM fpr p JOIN fafin a USING (cid) " +
+      "JOIN lb28 ql ON ql.vec_id = p.qid JOIN lb28 nl ON nl.vec_id = a.vec_id " +
+      "WHERE a.vec_id <> p.qid AND nl.label = ql.label) " +
+      s"WHERE rn <= $S23Beam), " +
+      "v0 AS (SELECT qid, node FROM bu0 UNION SELECT qid, node FROM bl0), " +
+      walk +
+      "fin28 AS (SELECT cd.qid, ql.label AS qlabel, cd.node AS nid, " +
+      "list_cosine_similarity(q.emb, v.emb) AS c " +
+      s"FROM v$walkRounds cd JOIN e q ON q.vec_id = cd.qid JOIN e v ON v.vec_id = cd.node " +
+      "JOIN lb28 ql ON ql.vec_id = cd.qid " +
+      "JOIN lb28 nl ON nl.vec_id = cd.node " +
+      "WHERE cd.node <> cd.qid AND nl.label = ql.label) " +
+      "SELECT qid AS query_id, qlabel AS label, rn AS rnk, nid AS neighbor_id, " +
+      "round(c, 4) AS cos_sim FROM (" +
+      "SELECT qid, qlabel, nid, c, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY round(c, 6) DESC, nid) AS rn FROM fin28) " +
+      s"WHERE rn <= $K ORDER BY query_id, rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s27_graph_delete" -> s27OracleSql(LloydRounds, S07Rounds, S22Degree),
+    "s28_filtered_graph_search" ->
+      s28OracleSql(LloydRounds, S07Rounds, S23Rounds),
     "s24_diverse_graph" -> s24OracleSql(LloydRounds, S07Rounds, S24Degree),
     "s25_pruned_search" ->
       s25OracleSql(LloydRounds, S07Rounds, S24Degree, S23Rounds),

@@ -1165,7 +1165,153 @@ object StreamingOps {
     (out, nBatches.get(), dfFolded)
   }
 
+  /** st18: STREAMING GRAPH INGEST — s26's fold run per micro-batch,
+    * closing the LAST continuous-ingest asymmetry (round-15 verdict
+    * item 2): every persisted index family now has both a batch fold
+    * and a streaming leg (text d13↔st07, vectors s12↔st10, media
+    * m08↔st11, views p15↔st15, sketches t13↔st16, lexical t18b↔st17,
+    * and now the k-NN graph s26↔st18). The base graph and the FROZEN
+    * base-trained quantizer build once ([[graft.operators.Similarity
+    * .s26BuildBase]]); the delta lands as three files and streams back
+    * under `maxFilesPerTrigger=1`, each micro-batch folding inside
+    * foreachBatch:
+    *
+    *  1. forward edges vs the stored base index
+    *     ([[graft.operators.Similarity.s26FwdEdges]] — delta-vs-index,
+    *     the corpus never re-shuffles), landed as the batch's own
+    *     fwd_b dir;
+    *  2. back-links ([[graft.operators.Similarity.s26BackLinks]]):
+    *     touched nodes re-rank (CURRENT adjacency ∪ new candidates) —
+    *     current = merge-on-read over base + earlier folds' upd dirs
+    *     (latest version per node wins, the p13 manifest idea on
+    *     adjacency lists), resolved for the batch's touched set only;
+    *     landed LAST as upd_b, whose _SUCCESS is the st16/st17
+    *     idempotency marker (a replay redoes its own overwrites).
+    *
+    * Top-k folding is associative (see s26BackLinks), so three
+    * streamed folds compose to EXACTLY the one-shot insert — the gate
+    * shares [[graft.operators.Similarity.s26OracleSql]] VERBATIM, and
+    * StreamingSpec additionally pins streamed == batch frame-for-frame
+    * and the folded graph servable through the unchanged s23/s25 walk.
+    * 100 TB: per-batch cost is O(batch) probe/ADC work + a
+    * touched-sized (≤ batch·degree) adjacency re-rank + batch-sized
+    * writes; streaming state is EMPTY (foreachBatch is a stateless
+    * sink) and the store grows by delta files only. */
+  def st18StreamingGraphIngest(spark: SparkSession, dir: String): DataFrame =
+    st18Core(spark, dir)._1
+
+  /** Seam returning (gate output, non-empty batches, folded edge
+    * frame) — StreamingSpec pins batches = 3, streamed == one-shot
+    * s26, and the folded graph walks. */
+  private[graft] def st18Core(spark: SparkSession,
+      dir: String): (DataFrame, Int, DataFrame) = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val a = Similarity.s26BuildBase(spark, dir)
+    val allFull = Similarity.emb(spark, dir)
+    val wh = graft.core.IO.scratchDir("graft-st18")
+    val deltaRoot = graft.core.IO.scratchDir("graft-st18-delta")
+    graft.core.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") >= a.nBase)
+      .repartition(3) // three landed files → three micro-batch folds
+      .write.mode("overwrite").parquet(deltaRoot)
+    val deltaStream = spark.readStream
+      .schema(StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(deltaRoot)
+    // landed fold versions, oldest-first — the adjacency store's
+    // "manifest" (base = version -1)
+    val landed = new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
+    def latestPerSrc(versions: Seq[(DataFrame, Long)]): DataFrame = {
+      val tagged = versions.map { case (df, t) =>
+        df.select(col("src_id"), col("dst_id"), col("rnk"))
+          .withColumn("tag", lit(t))
+      }.reduce(_ unionByName _)
+      tagged
+        .withColumn("mx",
+          max(col("tag")).over(Window.partitionBy(col("src_id"))))
+        .filter(col("tag") === col("mx"))
+        .select(col("src_id"), col("dst_id"), col("rnk"))
+    }
+    def foldDirs(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      landed.asScala.toSeq.map(_.toLong).sorted
+    }
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chk = graft.core.IO.scratchDir("graft-st18-chk")
+    val q = deltaStream.writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val vDir = new org.apache.hadoop.fs.Path(s"$wh/upd_b$batchId")
+        val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!batch.isEmpty) {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
+            nBatches.incrementAndGet()
+            val delta = batch.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("e"))
+            val fwd = Similarity.s26FwdEdges(spark, delta, allFull, a)
+              .localCheckpoint()
+            fwd.write.mode("overwrite").parquet(s"$wh/fwd_b$batchId")
+            // current adjacency of the batch's touched nodes: base +
+            // earlier folds, latest per src — delta-sized resolution
+            val tch = fwd.select(col("nid").as("src_id")).distinct()
+            // restrict every version to the touched set BEFORE the
+            // latest-wins resolution — the per-batch work stays
+            // delta-sized, the store never rides the version window
+            val cur = latestPerSrc(
+              ((a.gBase.withColumn("rnk", lit(0L)), -1L) +:
+                foldDirs().map(b =>
+                  (spark.read.parquet(s"$wh/upd_b$b"), b)))
+                .map { case (df, t) =>
+                  (df.join(broadcast(tch), Seq("src_id")), t) })
+            val upd = Similarity.s26BackLinks(fwd, cur, allFull)
+            // upd_b is the batch's landed marker — written LAST
+            upd.write.mode("overwrite").parquet(vDir.toString)
+          }
+          landed.add(batchId)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // assemble the gate faces from the landed dirs (fresh reads — the
+    // clone-session rule)
+    val fwdAll = foldDirs().map(b => spark.read.parquet(s"$wh/fwd_b$b"))
+      .reduce(_ unionByName _)
+    val updFace = latestPerSrcWithScores(spark,
+      foldDirs().map(b => (spark.read.parquet(s"$wh/upd_b$b"), b)))
+    val out = Similarity.s26Faces(fwdAll, updFace)
+    // the folded full graph: untouched base edges + final adjacency of
+    // touched nodes + the delta nodes' forward edges — what s23/s25's
+    // walk serves after the stream
+    val tchAll = updFace.select("src_id").distinct()
+    val folded = a.gBase.join(tchAll, Seq("src_id"), "left_anti")
+      .unionByName(updFace.select(col("src_id"), col("dst_id")))
+      .unionByName(fwdAll.select(col("qid").as("src_id"),
+        col("nid").as("dst_id")))
+    (out, nBatches.get(), folded)
+  }
+
+  /** Latest upd version per src with the score columns kept — the
+    * final-face resolution (every fold stored the FULL re-ranked list,
+    * so max-tag-per-src is the post-stream adjacency). */
+  private def latestPerSrcWithScores(spark: SparkSession,
+      versions: Seq[(DataFrame, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = versions.map { case (df, t) => df.withColumn("tag", lit(t)) }
+      .reduce(_ unionByName _)
+    tagged
+      .withColumn("mx", max(col("tag")).over(Window.partitionBy(col("src_id"))))
+      .filter(col("tag") === col("mx"))
+      .select(col("src_id"), col("dst_id"), col("c"), col("rnk"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // st18: s26's oracle VERBATIM — base build + three streamed graph
+    // folds must equal the one-shot incremental insert, edge for edge
+    "st18_streaming_graph" ->
+      graft.operators.Similarity.oracles("s26_graph_insert"),
     // st17: t18's oracle VERBATIM — base build + streamed folds must
     // equal the one-shot full-corpus index, piece for piece
     "st17_streaming_lexical" ->

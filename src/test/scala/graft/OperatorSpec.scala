@@ -2507,4 +2507,66 @@ class OperatorSpec extends AnyFunSuite {
     val want = ids.map(id => ((BigInt(id) * BigInt(2654435761L)) mod 1000).toLong)
     assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
   }
+  test("s27 graph delete: planted pair re-links through a deleted middle node; honest under-degree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A→B, B→C, C→B, D→C; delete B. A must inherit B's surviving
+    // neighbor C (the FreshDiskANN re-link); C's pool empties (B's only
+    // neighbor IS C — self excluded) so C surfaces with NO rows, never
+    // padded; D is untouched and keeps its list verbatim
+    val all = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.96, 0.28)),
+      (3L, Seq(0.8, 0.6)), (4L, Seq(0.0, 1.0))).toDF("vec_id", "e")
+    val g = Seq(
+      (1L, 1L, 2L, 0.96), (2L, 1L, 3L, 0.936),
+      (3L, 1L, 2L, 0.936), (4L, 1L, 3L, 0.6))
+      .toDF("src_id", "rnk", "dst_id", "cos_sim")
+    val del = Seq(2L).toDF("vec_id")
+    val out = Similarity.s27ConsolidateOver(g, all, del, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((1L, 1L, 3L, 0.8, true), (4L, 1L, 3L, 0.6, false)),
+      s"consolidated graph diverged: ${out.toSeq}")
+  }
+
+  test("s27 masked serve: the consolidated graph carries no tombstone endpoint and the walk never visits one") {
+    import org.apache.spark.sql.functions._
+    val cons = Similarity.s27GraphDelete(spark, sf)
+      .select("src_id", "dst_id").localCheckpoint()
+    val del = Similarity.s16Tombstones(spark, sf).localCheckpoint()
+    assert(cons.join(del, cons("src_id") === del("vec_id")).isEmpty &&
+      cons.join(del, cons("dst_id") === del("vec_id")).isEmpty,
+      "consolidation must purge every tombstone endpoint")
+    // serve = s23's walk over the consolidated edges with a masked
+    // seed — expansion cannot produce a deleted candidate (no deleted
+    // endpoints exist) and the seed admits none, so the visited set is
+    // tombstone-free BY CONSTRUCTION; verified empirically here
+    val seed = Similarity.s23SeedFrontier(spark, sf, 8)
+      .join(del.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+    val (vis, _, _) = Similarity.s23WalkFrames(spark,
+      Similarity.emb(spark, sf), cons, seed, 4, 8)
+    assert(vis.join(del, vis("node") === del("vec_id")).isEmpty,
+      "a deleted node appeared in the walk's visited set")
+    assert(vis.count() > 0, "the masked walk must still visit live nodes")
+  }
+
+  test("s28 filtered graph serve: every row label-matches its query; recall vs exact s08 at the floor") {
+    import org.apache.spark.sql.functions._
+    val lbl = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("l"))
+    val s28 = Similarity.s28FilteredGraphSearch(spark, sf).localCheckpoint()
+    assert(s28.join(lbl, s28("neighbor_id") === lbl("vec_id"))
+      .filter(col("label") =!= col("l")).isEmpty,
+      "an s28 result violated the label predicate")
+    assert(s28.filter(col("query_id") === col("neighbor_id")).isEmpty,
+      "self leaked into s28 results")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(3))
+    val exact = Similarity.s08FilteredKnn(spark, sf).collect().map(key).toSet
+    val got = s28.collect().map(key).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"s28 recall vs exact s08 = $recall (${got.size} of ${exact.size} exact pairs)")
+    // floor from the measured value at gate SF with regeneration
+    // margin: the walk visits ~probe cells + 4 beam rounds, so the
+    // label-restricted pool recovers most per-class exact neighbors
+    assert(recall >= 0.3, s"s28 recall under the measured floor: $recall")
+  }
 }

@@ -630,6 +630,31 @@ class PlanSpec extends AnyFunSuite {
       s"cell restriction must feed the ADC join, not follow it:\n$p")
   }
 
+  test("s27 consolidate: tombstones broadcast into the edge store; the graph never shuffles on a delete key") {
+    val p = plan(Similarity.s27GraphDelete(spark, sf))
+    // the s16 discipline on the graph store: the delete set is
+    // delta-sized between purge cycles, so it rides broadcast
+    // anti/semi-joins — a shuffle keyed on the tombstone ids would
+    // re-partition the corpus-sized edge store per delete batch
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"live-edge split must broadcast-anti-join the tombstones:\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"touched-node split must broadcast-semi-join the tombstones:\n$p")
+    assert("Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isEmpty,
+      s"the tombstone table must never be the shuffle key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
+  test("s28 filtered serve: labels ride broadcast joins; the corpus never exchanges on label") {
+    val p = plan(Similarity.s28FilteredGraphSearch(spark, sf))
+    assert(p.contains("Scan ExistingRDD"),
+      s"serve must read the materialized graph/frontiers:\n$p")
+    assert("Exchange hashpartitioning\\(label".r.findFirstIn(p).isEmpty &&
+      "Exchange hashpartitioning\\(qlabel".r.findFirstIn(p).isEmpty,
+      s"the metadata predicate must never re-partition the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
   test("s23 serve: walk rounds replay against the materialized graph, never the s22 build DAG") {
     val p = plan(Similarity.s23GraphSearch(spark, sf))
     // the e05 lesson, pinned: the graph and every round's frontier are

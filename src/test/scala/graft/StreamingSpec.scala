@@ -257,6 +257,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed BM25 serve diverged from batch t18")
   }
 
+  test("st18 streaming graph ingest: 3 folds equal the one-shot s26 insert, edge for edge") {
+    import org.apache.spark.sql.functions._
+    val (outDf, n, folded) = StreamingOps.st18Core(spark, sf)
+    assert(n == 3, s"expected exactly 3 non-empty micro-batch folds, got $n")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.Similarity.s26GraphInsert(spark, sf)
+      .collect().map(key).toSeq
+    // batch-split invariance made real: top-k folding is associative,
+    // so three streamed folds == the one-shot insert EXACTLY
+    assert(streamed == batch,
+      s"streamed graph fold diverged from one-shot s26 (${streamed.size} vs ${batch.size} rows)")
+    // the folded graph serves through the unchanged s23/s25 walk: the
+    // back-link face is LIVE (some delta node won a base node's edge
+    // slot — a delta vector only becomes reachable by beating an
+    // incumbent, the s26 contract) and the walk visits live nodes
+    val nBase = graft.core.Tables(spark, sf, "embeddings").count() *
+      graft.operators.Similarity.S12BaseNum / graft.operators.Similarity.S12BaseDen
+    assert(folded.filter(col("dst_id") >= nBase).count() > 0,
+      "no delta node won any in-edge — the back-link face is dead")
+    val g = folded.localCheckpoint()
+    val (vis, _, _) = graft.operators.Similarity.s23WalkFrames(spark,
+      graft.operators.Similarity.emb(spark, sf), g,
+      graft.operators.Similarity.s23SeedFrontier(spark, sf, 8), 2, 8)
+    assert(vis.count() > 0, "the folded graph must walk")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
