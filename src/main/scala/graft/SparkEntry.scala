@@ -551,6 +551,10 @@ object SparkEntry {
     // graph tier (Filtered-DiskANN): expand through any node, rank
     // only label-matching visited candidates
     "s28_filtered_graph_search" -> (Similarity.s28FilteredGraphSearch _),
+    // t26: late-interaction MaxSim retrieval — per-chunk vectors from
+    // the deterministic trigram encoder, postings-first candidates,
+    // per-term max-over-chunks then sum (ColBERT's scoring structure)
+    "t26_maxsim" -> (TextOps.t26MaxSim _),
     // t24: interpolated Kneser–Ney bigram LM — the production
     // smoothing family (KenLM default) next to t14's Laplace baseline;
     // D=3/4 clears denominators so both engines score exact rationals
@@ -559,6 +563,10 @@ object SparkEntry {
     // family (FastCDC at word granularity): hash-decided boundaries
     // re-sync after an insertion, per-doc dup-chunk coverage census
     "t25_cdc_chunk_dedup" -> (TextOps.t25CdcChunkDedup _),
+    // p21: positional delete files — the Iceberg-v2 (file_path, pos)
+    // tier: deletes land keyless, apply via the scan's _metadata
+    // columns, compact at file granularity
+    "p21_positional_deletes" -> (Sinks.p21PositionalDeletes _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)
@@ -572,6 +580,9 @@ object SparkEntry {
     // pointer-jumping CC, per-vector keep/drop verdict with cluster
     // census (the transitive SemDeDup d11's cells cannot express)
     "e06_graph_curation" -> (Pipeline.e06GraphCuration _),
+    // e07: incremental graph curation — e06 over an s26-folded graph,
+    // recomputing only the delta-affected components
+    "e07_incremental_curation" -> (Pipeline.e07IncrementalCuration _),
     // NDV-controlled generator invariants (SURVEY §2.1 #21)
     "g01_generator_ndv" -> (graft.gen.EventsGenerator.g01 _),
     // g02: planted-documents generator ground truth — the corpus the

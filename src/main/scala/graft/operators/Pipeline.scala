@@ -669,6 +669,126 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** e07: INCREMENTAL GRAPH CURATION — e06 ∘ s26 (round-15 verdict
+    * item 9): a delta batch folds into the k-NN graph through s26's
+    * frozen-model insert, and the curation verdict updates ONLY for
+    * clusters the delta edges touch — the e02 delta-bounded argument
+    * on the graph tier. The soundness argument the scaladoc owes:
+    *
+    *  - changed pairs (thresholded edges added by ins/upd or REMOVED
+    *    by a back-link re-rank dropping a base edge) are confined to
+    *    srcs ∈ touched ∪ delta;
+    *  - affected components = the BASE components of any changed
+    *    pair's endpoint, plus the delta nodes;
+    *  - no folded pair crosses the affected boundary: a pair between
+    *    an affected and an unaffected node would have to be UNCHANGED
+    *    (else the unaffected side would be affected), hence a base
+    *    pair — but then both endpoints share a base component and
+    *    both are affected. Contradiction. So re-running connected
+    *    components on the affected subgraph alone is exact.
+    *
+    * Everything outside the affected set keeps its base verdict
+    * verbatim (never re-scored, never re-labeled); the CC work is
+    * bounded by the affected components, not the corpus. The ORACLE is
+    * the full recompute over the folded graph (incrementality must be
+    * semantically invisible — the e02/s12 contract), replayed as one
+    * WITH: s26's fold chain, the folded edge set, e06's recursive
+    * closure and census. OperatorSpec plants a delta near-copy and
+    * pins that exactly its base twin's verdict flips. */
+  def e07IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val a = Similarity.s26BuildBase(spark, dir)
+    val allFull = Similarity.emb(spark, dir)
+    val delta = allFull.filter(col("vec_id") >= a.nBase)
+    val fwd = Similarity.s26FwdEdges(spark, delta, allFull, a).localCheckpoint()
+    val upd = Similarity.s26BackLinks(fwd, a.gBase, allFull).localCheckpoint()
+    // the folded graph (edges with 4-dp cosines, e06's grid)
+    val gBaseFull = Similarity.s22KnnGraph(spark, a.baseDir)
+      .select(col("src_id"), col("dst_id"), col("cos_sim"))
+    val tch = upd.select("src_id").distinct()
+    val folded = gBaseFull.join(broadcast(tch), Seq("src_id"), "left_anti")
+      .unionByName(upd.select(col("src_id"), col("dst_id"),
+        round(col("c"), 4).as("cos_sim")))
+      .unionByName(fwd.select(col("qid").as("src_id"),
+        col("nid").as("dst_id"), round(col("c"), 4).as("cos_sim")))
+    def pairsOf(edges: DataFrame): DataFrame =
+      edges.filter(col("cos_sim") >= E06Tau)
+        .select(least(col("src_id"), col("dst_id")).as("ida"),
+          greatest(col("src_id"), col("dst_id")).as("idb"))
+        .distinct()
+    val pairsBase = pairsOf(gBaseFull).localCheckpoint()
+    val pairsFold = pairsOf(folded).localCheckpoint()
+    val verdict = e07IncrementalVerdict(pairsBase, pairsFold,
+      allFull.filter(col("vec_id") < a.nBase).select("vec_id"),
+      delta.select("vec_id"))
+    val sizes = verdict.groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+    verdict.join(sizes, Seq("keep_id"))
+      .select(col("vec_id"), col("keep_id"), col("n_members"),
+        (col("vec_id") === col("keep_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** The delta-bounded verdict merge over explicit (base pairs, folded
+    * pairs, base ids, delta ids) frames — the OperatorSpec seam (the
+    * planted flip fixture feeds tiny pair sets, including the REMOVED-
+    * edge split case). See [[e07IncrementalCuration]]'s boundary
+    * argument for why recomputing only the affected components is
+    * exact. */
+  private[graft] def e07IncrementalVerdict(pairsBase: DataFrame,
+      pairsFold: DataFrame, baseIds: DataFrame,
+      deltaIds: DataFrame): DataFrame = {
+    // the BASE verdict — what unaffected nodes keep verbatim
+    val lblBase = Dedup.connectedComponents(pairsBase)
+      .select(col("node").as("vec_id"), col("lbl"))
+    val verdictBase = baseIds
+      .join(lblBase, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("keep_id"))
+      .localCheckpoint()
+    // delta-bounded affected set: changed pairs → base components → members
+    val changed = pairsFold.exceptAll(pairsBase)
+      .unionByName(pairsBase.exceptAll(pairsFold)).distinct()
+    val seeds = changed.select(col("ida").as("vec_id"))
+      .unionByName(changed.select(col("idb").as("vec_id"))).distinct()
+    val affLbls = verdictBase.join(seeds, Seq("vec_id"), "left_semi")
+      .select("keep_id").distinct()
+    val affBase = verdictBase
+      .join(broadcast(affLbls), Seq("keep_id"), "left_semi")
+      .select("vec_id")
+    val affected = affBase
+      .unionByName(deltaIds).distinct().localCheckpoint()
+    // exact CC on the affected subgraph alone (see boundary argument)
+    val pairsAff = pairsFold
+      .join(affected.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+    val lblNew = Dedup.connectedComponents(pairsAff)
+      .select(col("node").as("vec_id"), col("lbl"))
+    verdictBase.join(affected, Seq("vec_id"), "left_anti")
+      .unionByName(affected.join(lblNew, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("keep_id")))
+  }
+
+  /** e07 oracle: the FULL recompute — s26's fold chain, the folded
+    * edge set, then e06's threshold → recursive closure → census over
+    * it (efull = the whole corpus). */
+  private[graft] def e07Sql: String =
+    Similarity.s26CtesSql(Similarity.LloydRounds, Similarity.S07Rounds) +
+      "tch07 AS (SELECT DISTINCT src_id FROM upd), " +
+      "gfold AS (SELECT src_id, dst_id, cos_sim FROM g22 " +
+      "WHERE src_id NOT IN (SELECT src_id FROM tch07) " +
+      "UNION ALL SELECT src_id, dst_id, round(c, 4) FROM upd " +
+      "UNION ALL SELECT qid, nid, round(c, 4) FROM fwd), " +
+      s"prs AS (SELECT least(src_id, dst_id) AS ida, greatest(src_id, dst_id) AS idb " +
+      s"FROM gfold WHERE cos_sim >= $E06Tau GROUP BY 1, 2), " +
+      "edg AS (SELECT ida AS src, idb AS dst FROM prs UNION ALL SELECT idb, ida FROM prs), " +
+      "nds AS (SELECT DISTINCT src AS v FROM edg), " +
+      "reach AS (WITH RECURSIVE r(v, other) AS (SELECT v, v FROM nds " +
+      "UNION SELECT r.v, e2.dst FROM r JOIN edg e2 ON e2.src = r.other) SELECT * FROM r), " +
+      "lbl AS (SELECT v, min(other) AS keep_id FROM reach GROUP BY v), " +
+      "vct AS (SELECT e.vec_id, coalesce(l.keep_id, e.vec_id) AS keep_id " +
+      "FROM efull e LEFT JOIN lbl l ON l.v = e.vec_id), " +
+      "szs AS (SELECT keep_id, count(*) AS n_members FROM vct GROUP BY keep_id) " +
+      "SELECT v.vec_id, v.keep_id, s.n_members, v.vec_id = v.keep_id AS kept " +
+      "FROM vct v JOIN szs s ON s.keep_id = v.keep_id ORDER BY vec_id"
+
   private[graft] def e06Sql: String =
     Similarity.s22CtesSql(Similarity.LloydRounds, Similarity.S07Rounds) +
       s"prs AS (SELECT least(src_id, dst_id) AS ida, greatest(src_id, dst_id) AS idb " +
@@ -690,6 +810,9 @@ object Pipeline {
     // e06: graph → threshold → transitive closure → census replayed
     // row-for-row (the d07 recursive-CTE pattern over s22's CTEs)
     "e06_graph_curation" -> e06Sql,
+    // e07: the full recompute over the folded graph — incrementality
+    // must be semantically invisible (the e02/s12 contract)
+    "e07_incremental_curation" -> e07Sql,
     // e05: s14's fused-pool CTEs + the rel-grid rescale + the SHARED
     // unrolled MMR rounds (one selection rule across s18/e05)
     "e05_serving_pipeline" -> (Similarity.s14FusedCtesSql + ", " +

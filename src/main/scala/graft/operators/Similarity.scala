@@ -3031,7 +3031,18 @@ object Similarity {
     * model-train and graph-build CTE generators emit the base-only
     * forms verbatim, then the delta probe/ADC/refine chain over the
     * frozen model and the back-link re-rank. */
-  private[graft] def s26OracleSql(rounds: Int, pqRounds: Int): String = {
+  private[graft] def s26OracleSql(rounds: Int, pqRounds: Int): String =
+    s26CtesSql(rounds, pqRounds) +
+      "ffin AS (SELECT 1) " +
+      "SELECT face, src_id, rnk, dst_id, cos_sim FROM (" +
+      "SELECT 'ins' AS face, qid AS src_id, rnk, nid AS dst_id, round(c, 4) AS cos_sim FROM fwd " +
+      "UNION ALL SELECT 'upd', src_id, rnk, dst_id, round(c, 4) FROM upd) " +
+      "ORDER BY face, src_id, rnk"
+
+  /** The s26 CTE chain alone (base-sliced build, frozen-model fold,
+    * back-links), opening the WITH and ending with ", " — e07 appends
+    * the folded-graph curation on top. */
+  private[graft] def s26CtesSql(rounds: Int, pqRounds: Int): String = {
     val bound = s"(SELECT count(*) FROM efull) * $S12BaseNum // $S12BaseDen"
     "WITH efull AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), " +
       s"e AS (SELECT * FROM efull WHERE vec_id < $bound), " +
@@ -3078,11 +3089,7 @@ object Similarity {
       "row_number() OVER (PARTITION BY p.src_id " +
       "ORDER BY round(list_cosine_similarity(s.emb, d.emb), 6) DESC, p.dst_id) AS rn " +
       "FROM pool p JOIN efull s ON s.vec_id = p.src_id JOIN efull d ON d.vec_id = p.dst_id) " +
-      s"WHERE rn <= $S22Degree) " +
-      "SELECT face, src_id, rnk, dst_id, cos_sim FROM (" +
-      "SELECT 'ins' AS face, qid AS src_id, rnk, nid AS dst_id, round(c, 4) AS cos_sim FROM fwd " +
-      "UNION ALL SELECT 'upd', src_id, rnk, dst_id, round(c, 4) FROM upd) " +
-      "ORDER BY face, src_id, rnk"
+      s"WHERE rn <= $S22Degree), "
   }
 
   // ---- s27: graph deletes (FreshDiskANN delete + consolidate) -----------

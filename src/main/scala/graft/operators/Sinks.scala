@@ -1263,6 +1263,104 @@ object Sinks {
       "UNION ALL SELECT 'compacted', * FROM live) " +
       "ORDER BY phase, doc_id"
 
+  // ---- p21: positional delete files (the other Iceberg-v2 tier) --------
+
+  /** Derive and land the POSITIONAL delete file: (file_path, pos) rows
+    * addressing the delete rule's victims by PHYSICAL position —
+    * `_metadata.file_path` / `_metadata.row_index` at scan time,
+    * exactly how an Iceberg MERGE writer derives them. O(deletes)
+    * keys written, zero data files rewritten (spec fingerprints the
+    * data dir across this call). The doc_id predicate exists only to
+    * pick the victims — the landed file carries NO data or key
+    * columns, which is the tier's whole point: it deletes rows from
+    * tables that have no key. */
+  private[graft] def p21LandDeletes(spark: SparkSession, dir: String,
+      root: String): Unit =
+    spark.read.parquet(s"$root/d")
+      .select(col("doc_id"), col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("doc_id") % 13 === 5)
+      .select(col("file_path"), col("pos"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$root/pos_deletes")
+
+  /** The positional merge-on-read READ: the scan exposes its own
+    * (file_path, row_index) metadata columns and anti-joins the
+    * broadcast delete file on them — the delete never compares a data
+    * column (p18's equality tier needs the key; this tier needs only
+    * the scan's position). Same fast path as [[p18Read]] when no
+    * delete file exists. */
+  private[graft] def p21Read(spark: SparkSession, root: String): DataFrame = {
+    val data = spark.read.parquet(s"$root/d")
+    val delPath = new org.apache.hadoop.fs.Path(root, "pos_deletes")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delPath)) {
+      val dels = spark.read.parquet(delPath.toString)
+      data
+        .withColumn("file_path", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(dels), Seq("file_path", "pos"), "left_anti")
+        .drop("file_path", "pos")
+    } else data
+  }
+
+  /** Positional compaction — FILE granularity, one notch finer than
+    * p18's bucket granularity: only the physical files the delete file
+    * names are rewritten (read file, anti-join its positions, swap the
+    * single file in place); every other file in the SAME bucket stays
+    * byte-identical (spec-pinned). The touched list is a bounded
+    * routing read ≤ distinct files in the delete batch. */
+  private[graft] def p21Compact(spark: SparkSession, root: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val delPath = new org.apache.hadoop.fs.Path(root, "pos_deletes")
+    val fs = delPath.getFileSystem(hconf)
+    val dels = spark.read.parquet(delPath.toString)
+    val touched = dels.select("file_path").distinct()
+      .collect().map(_.getString(0))
+    touched.foreach { f =>
+      val keep = spark.read.parquet(f)
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(dels.filter(col("file_path") === f).select("pos")),
+          Seq("pos"), "left_anti")
+        .drop("pos")
+      val tmp = graft.core.IO.scratchDir("graft-p21-rw")
+      keep.coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(f)
+      fs.delete(dst, false)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf): Unit
+    }
+    fs.delete(delPath, true): Unit
+  }
+
+  /** p21: POSITIONAL DELETE FILES — the other half of the Iceberg-v2
+    * delete spec (p18 landed the EQUALITY form): a delete batch lands
+    * as (file_path, pos) rows, the read applies them via the scan's
+    * own `_metadata` columns, and compaction folds them into exactly
+    * the named files. Both phases ('mor' and 'compacted') must equal
+    * p18's oracle rows — the two delete forms and the two physical
+    * representations all serve ONE logical table, which is the
+    * hash-checked claim. 100 TB: position-addressed deletes are what
+    * engines write when no key exists or when the victim set was
+    * found BY SCAN (a MERGE's matched rows) — O(deletes) now, file-
+    * granular rewrite later, read tax a broadcast anti-join on
+    * metadata columns the scan produces for free. */
+  def p21PositionalDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = p18LandBase(spark, dir)
+    p21LandDeletes(spark, dir, root)
+    def shape(df: DataFrame, phase: String) =
+      df.select(lit(phase).as("phase"), col("doc_id"),
+        col("pk").cast("long").as("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+    // materialized BEFORE compaction mutates the layout underneath
+    val mor = shape(p21Read(spark, root), "mor").localCheckpoint()
+    p21Compact(spark, root)
+    val comp = shape(p21Read(spark, root), "compacted")
+    mor.unionByName(comp).orderBy("phase", "doc_id")
+  }
+
   private[graft] val p17Sql: String =
     "WITH ev AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, " +
       "CAST(hour(ts) AS BIGINT) AS hr, CAST(round(value * 100) AS BIGINT) AS cents, " +
@@ -1379,6 +1477,10 @@ object Sinks {
     // away) must serve the same logical rows — p12's delete-rule
     // semantics stated once and demanded of each phase
     "p18_merge_on_read_deletes" -> p18Sql,
+    // p21 shares p18's oracle VERBATIM: equality and positional
+    // deletes (and their mor/compacted representations) must serve
+    // one logical table
+    "p21_positional_deletes" -> p18Sql,
     // p17: both eras replayed from the raw events (era = the day
     // arithmetic) — hash equality proves the evolved layout serves
     // exactly the logical table

@@ -1838,7 +1838,137 @@ object TextOps {
       "n_covered * 10000 // n_words AS dup_bp FROM agg ORDER BY doc_id"
   }
 
+  // ---- t26: late-interaction retrieval (ColBERT-class MaxSim) ---------
+
+  /** Embedding dims of the deterministic trigram encoder. */
+  private[graft] val T26Dims = 8
+
+  /** The deterministic TEXT-PIECE ENCODER shared by query terms and
+    * doc chunks: an [[T26Dims]]-dim integer count vector — dim d = the
+    * number of the piece's character trigrams whose md5 first hex
+    * digit lands in bucket d (the t25 rule: md5 is the one hash both
+    * engines expose byte-identically, so the oracle replays the
+    * encoder itself, not a stand-in literal). Counts are exact in
+    * double (integers), so dot products, norms, and the micro-unit
+    * rounding are bit-identical cross-engine — the reason a
+    * count-grid encoder can gate a late-interaction SCORING structure
+    * end to end where a float model could not. Pieces shorter than a
+    * trigram encode as the zero vector (similarity 0, never NULL). */
+  private[graft] def t26Vec(s: Column): Column = {
+    val buckets = transform(
+      sequence(lit(1), length(s) - 2),
+      i => (conv(substring(md5(s.substr(i, lit(3))), 1, 1), 16, 10)
+        .cast("long") % T26Dims))
+    val v = transform(sequence(lit(0), lit(T26Dims - 1)),
+      d => size(filter(buckets, b => b === d)).cast("double"))
+    when(length(s) >= 3, v)
+      .otherwise(array((0 until T26Dims).map(_ => lit(0.0)): _*))
+  }
+
+  /** t26: LATE-INTERACTION (multi-vector) RETRIEVAL — the ColBERT
+    * MaxSim family (Khattab & Zaharia, SIGIR 2020, public; round-15
+    * verdict item 6), closing the retrieval-surface gap between the
+    * single-vector dense tier (s01-s28) and the lexical tier (t18):
+    * documents are represented as BAGS of chunk vectors (t08's
+    * fixed-window chunking × the [[t26Vec]] encoder), queries as bags
+    * of term vectors, and
+    *
+    *   score(q, d) = Σ_{t ∈ q} max_{c ∈ chunks(d)} sim_mu(t, c)
+    *
+    * — each query aspect independently finds its best-matching chunk
+    * (the property the family exists for: a multi-aspect document wins
+    * on BOTH aspects where any single pooled vector averages them
+    * away; OperatorSpec plants exactly that geometry). sim_mu is
+    * cosine in integer micro-units (the s05/s07 grid). Candidate
+    * generation is POSTINGS-FIRST — t18's broadcast query terms
+    * restrict the corpus to docs sharing a term before any vector
+    * math, the production ColBERT deployment shape (lexical or ANN
+    * candidates, MaxSim re-rank). 100 TB: chunk vectors are map-only
+    * over the corpus (computed once — at deploy they'd persist like
+    * s11's codes), the scored frame is candidates × chunks/doc ×
+    * terms/query, never corpus-sized, and the per-query top-k is one
+    * bounded window. The oracle replays chunking, the encoder, the
+    * candidate join, and the max-then-sum CTE-for-CTE. */
+  def t26MaxSim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunkVecs = t08Chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), t26Vec(col("chunk")).as("cv"))
+    val termVecs = T18Queries
+      .flatMap { case (qid, qtext) => qtext.split(" ").map(qid -> _) }
+      .toDF("query_id", "term")
+      .select(col("query_id"), col("term"), t26Vec(col("term")).as("qv"))
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cand = toks
+      .join(broadcast(termVecs.select("query_id", "term")), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+    t26MaxSimOver(chunkVecs, termVecs, cand)
+  }
+
+  /** The MaxSim core over explicit (chunk vectors, term vectors,
+    * candidates) frames — the OperatorSpec seam for the planted
+    * multi-aspect geometry. */
+  private[graft] def t26MaxSimOver(chunkVecs: DataFrame,
+      termVecs: DataFrame, cand: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val cv2 = chunkVecs.withColumn("cc", array_dot(col("cv"), col("cv")))
+    val qv2 = termVecs.withColumn("qq", array_dot(col("qv"), col("qv")))
+    val simMu = when(col("qq") > 0 && col("cc") > 0,
+      round(lit(1e6) * array_dot(col("qv"), col("cv")) /
+        (sqrt(col("qq")) * sqrt(col("cc"))), 0).cast("long"))
+      .otherwise(0L)
+    val perTerm = cand
+      .join(broadcast(qv2), Seq("query_id"))
+      .join(cv2, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("term"), simMu.as("mu"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(max(col("mu")).as("mx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+    perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("mx")).as("score_mu"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= T18TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_mu"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** t26 oracle: chunks (t08's SQL), the encoder replayed (same
+    * md5-bucket rule), literal query terms, postings-first candidates,
+    * max-then-sum, top-k. */
+  private[graft] val t26OracleSql: String = {
+    val qvals = T18Queries.flatMap { case (qid, qtext) =>
+      qtext.split(" ").map(t => s"('$qid', '$t')") }.mkString(", ")
+    def vecSql(s: String): String =
+      s"CASE WHEN length($s) >= 3 THEN " +
+        s"list_transform(range(0, $T26Dims), d -> CAST(len(list_filter(" +
+        s"list_transform(range(1, greatest(length($s) - 2, 0) + 1), " +
+        s"i -> (strpos('0123456789abcdef', substring(md5(substring($s, CAST(i AS INT), 3)), 1, 1)) - 1) % $T26Dims), " +
+        "b -> b = d)) AS DOUBLE)) " +
+        s"ELSE list_transform(range(0, $T26Dims), d -> CAST(0 AS DOUBLE)) END"
+    "WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 200) AS chunk " +
+      "FROM documents, LATERAL unnest(generate_series(1, greatest(length(text), 1), 160)) t(i)), " +
+      s"cvx AS (SELECT doc_id, ${vecSql("chunk")} AS cv FROM ch), " +
+      s"qt AS (SELECT * FROM (VALUES $qvals) q(query_id, term)), " +
+      s"qvx AS (SELECT query_id, term, ${vecSql("term")} AS qv FROM qt), " +
+      "tok AS (SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS term FROM documents), " +
+      "cand AS (SELECT DISTINCT q.query_id, tok.doc_id FROM qt q JOIN tok ON tok.term = q.term), " +
+      "pt AS (SELECT c.query_id, c.doc_id, q.term, max(" +
+      "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(v.cv, v.cv) > 0 THEN " +
+      "CAST(round(1e6 * list_dot_product(q.qv, v.cv) / " +
+      "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv))), 0) AS BIGINT) " +
+      "ELSE 0 END) AS mx " +
+      "FROM cand c JOIN qvx q ON q.query_id = c.query_id JOIN cvx v ON v.doc_id = c.doc_id " +
+      "GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS score_mu FROM pt GROUP BY 1, 2) " +
+      "SELECT query_id, rn AS rnk, doc_id, score_mu FROM (" +
+      "SELECT query_id, doc_id, score_mu, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score_mu DESC, doc_id) AS rn FROM sc) " +
+      s"WHERE rn <= $T18TopK ORDER BY query_id, rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t26_maxsim" -> t26OracleSql,
     "t25_cdc_chunk_dedup" -> t25Sql,
     "t23_unigram_lm" -> t23OracleSql(T23Rounds),
     "t22_phrase_search" -> t22Sql,

@@ -2197,6 +2197,122 @@ class OperatorSpec extends AnyFunSuite {
       "compaction must be semantically invisible to the read")
   }
 
+  test("p21 positional deletes: keyless delete file, land touches no byte, compaction swaps only named files") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Sinks.p18LandBase(spark, sf)
+    def md5s(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root, "d")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          base.relativize(p).toString -> d.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = md5s()
+    Sinks.p21LandDeletes(spark, sf, root)
+    assert(md5s() == before, "positional delete-land must not touch any data file")
+    // the delete file is KEYLESS — (file_path, pos) and nothing else,
+    // the property the positional tier exists for
+    val delSchema = spark.read.parquet(s"$root/pos_deletes").schema
+    assert(delSchema.fieldNames.toSeq == Seq("file_path", "pos"),
+      s"positional delete file must carry no data/key columns: ${delSchema.fieldNames.toSeq}")
+    val deletedIds = graft.core.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 13 === 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val mor = Sinks.p21Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deletedIds.forall(!mor.contains(_)),
+      "positional merge-on-read must hide every victim row")
+    // which physical files the delete batch names — compaction may
+    // rewrite exactly those and nothing else
+    val named = spark.read.parquet(s"$root/pos_deletes")
+      .select("file_path").distinct().collect()
+      .map(r => r.getString(0).split("/d/", 2)(1)).toSet
+    Sinks.p21Compact(spark, root)
+    val after = md5s()
+    assert(after.keySet == before.keySet,
+      "file-granular compaction must preserve the file layout")
+    before.foreach { case (path, hash) =>
+      if (named.contains(path))
+        assert(!after.get(path).contains(hash),
+          s"compaction must rewrite named file $path")
+      else
+        assert(after.get(path).contains(hash),
+          s"compaction rewrote un-named file $path")
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "pos_deletes")),
+      "compaction must retire the applied delete file")
+    val compacted = Sinks.p21Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted == mor,
+      "compaction must be semantically invisible to the read")
+  }
+
+  test("t26 MaxSim: the multi-aspect doc wins where any pooled single vector provably cannot") {
+    import spark.implicits._
+    // a two-aspect query; doc 1 covers each aspect in its OWN chunk,
+    // doc 2 blends both aspects into every chunk. The chunk-mean
+    // vectors are IDENTICAL ((5,5) both), so no single pooled vector
+    // can separate the docs — MaxSim ranks doc 1 strictly first
+    // because each query term independently finds its best chunk (the
+    // property late interaction exists for)
+    val chunks = Seq(
+      (1L, 0L, Seq(10.0, 0.0)), (1L, 1L, Seq(0.0, 10.0)),
+      (2L, 0L, Seq(5.0, 5.0)), (2L, 1L, Seq(5.0, 5.0)))
+      .toDF("doc_id", "chunk_idx", "cv")
+    val terms = Seq(
+      ("q0", "aspect_x", Seq(1.0, 0.0)),
+      ("q0", "aspect_y", Seq(0.0, 1.0)))
+      .toDF("query_id", "term", "qv")
+    val cand = Seq(("q0", 1L), ("q0", 2L)).toDF("query_id", "doc_id")
+    val out = TextOps.t26MaxSimOver(chunks, terms, cand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // MaxSim(doc1) = 2 × 1e6 (each term hits its dedicated chunk at
+    // cosine 1); MaxSim(doc2) = 2 × round(1e6·cos 45°) = 2 × 707107
+    assert(out.toSeq == Seq(("q0", 1L, 1L, 2000000L), ("q0", 2L, 2L, 1414214L)),
+      s"MaxSim geometry diverged: ${out.toSeq}")
+    // the counterfactual, stated: the pooled means are equal
+    val mean = (v: Seq[Seq[Double]]) =>
+      v.transpose.map(xs => xs.sum / xs.size)
+    assert(mean(Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))) ==
+      mean(Seq(Seq(5.0, 5.0), Seq(5.0, 5.0))),
+      "fixture broken: the pooled vectors must tie for the pin to mean anything")
+  }
+
+  test("e07 incremental verdict: a delta edge flips exactly its twin's cluster; a removed edge splits it") {
+    import spark.implicits._
+    val baseIds = (1L to 6L).toDF("vec_id")
+    val deltaIds = Seq(100L).toDF("vec_id")
+    def verdictOf(base: Seq[(Long, Long)], fold: Seq[(Long, Long)]) =
+      Pipeline.e07IncrementalVerdict(
+        base.toDF("ida", "idb"), fold.toDF("ida", "idb"),
+        baseIds, deltaIds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ADD case: the fold contributes one near-copy edge (3, 100) —
+    // node 3's singleton verdict flips to the pair cluster, the delta
+    // node joins it, and NO other verdict moves (the (1,2) cluster and
+    // the 4/5/6 singletons are untouched base state)
+    val added = verdictOf(Seq((1L, 2L)), Seq((1L, 2L), (3L, 100L)))
+    assert(added == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 100L -> 3L),
+      s"add-case verdict diverged: $added")
+    // REMOVE case: the back-link re-rank dropped the base edge (1,2)
+    // — the cluster must SPLIT (decremental connectivity, the case a
+    // naive pairs-only increment cannot see), everything else verbatim
+    val removed = verdictOf(Seq((1L, 2L)), Seq((3L, 100L)))
+    assert(removed == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 100L -> 3L),
+      s"remove-case verdict diverged: $removed")
+    // and the incremental merge equals the full recompute on the same
+    // folded pairs — the e02/s12 invisibility contract, stated locally
+    val full = (1L to 6L).map(i => i -> i).toMap ++
+      Map(3L -> 3L, 100L -> 3L, 2L -> 2L)
+    assert(removed == full, "incremental must equal the full recompute")
+  }
+
   test("s20 binary signatures: scale-invariant, self-distance zero, recall floor vs exact") {
     import org.apache.spark.sql.functions._
     // recall@5 of the 1-bit tier vs exact s01 at sf0.001 — floor set

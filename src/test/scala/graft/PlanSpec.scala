@@ -609,6 +609,19 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus side must never shuffle for a delete batch:\n$p")
   }
 
+  test("p21 positional read: deletes broadcast into the scan as a metadata LeftAnti; corpus never shuffles") {
+    val root = Sinks.p18LandBase(spark, sf)
+    Sinks.p21LandDeletes(spark, sf, root)
+    val p = plan(Sinks.p21Read(spark, root))
+    // p18's read discipline on the positional tier: the (file_path,
+    // pos) batch is delta-sized and broadcasts against the scan's own
+    // metadata columns — never a corpus re-partition
+    assert(p.contains("LeftAnti"), s"read must anti-join the delete file:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"deletes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a delete batch:\n$p")
+  }
+
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
     // the un-memoized build-plan seam. The gate frame is a shared
     // localCheckpoint (never a CacheManager entry), so no suite-order
