@@ -2937,7 +2937,21 @@ object Similarity {
       gBase: DataFrame, cc: DataFrame, fc: DataFrame, k2: Int,
       cb: DataFrame, codesByCell: DataFrame)
 
+  /** One shared base build per (context, dir): s26, st18, and e07 all
+    * consume the IDENTICAL deterministic artifacts (base slice, base
+    * graph, frozen model, cell-keyed codes) — at deploy there is ONE
+    * stored index that every verb reads, so the gates share one build
+    * the same way the graph consumers share [[s22Memo]] (round-16: the
+    * three gates each paid a ~15 s rebuild at sf0.1 before this). */
+  private val s26Memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), S26Artifacts]()
+
   private[graft] def s26BuildBase(spark: SparkSession,
+      dir: String): S26Artifacts =
+    s26Memo.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => s26BuildBaseUncached(spark, dir))
+
+  private def s26BuildBaseUncached(spark: SparkSession,
       dir: String): S26Artifacts = {
     val n = Tables(spark, dir, "embeddings").count()
     val nBase = n * S12BaseNum / S12BaseDen
