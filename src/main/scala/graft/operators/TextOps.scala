@@ -1854,7 +1854,14 @@ object TextOps {
     * count-grid encoder can gate a late-interaction SCORING structure
     * end to end where a float model could not. Pieces shorter than a
     * trigram encode as the zero vector (similarity 0, never NULL). */
-  private[graft] def t26Vec(s: Column): Column = {
+  private[graft] def t26Vec(s: Column): Column =
+    graft.functions.TrigramFunctions.trigram_bucket_counts(s, T26Dims)
+
+  /** The composable twin of [[t26Vec]] — interpreted (higher-order
+    * functions get no codegen; measured 22 s of t26's 21 s sf0.1 wall
+    * before the native expression), kept ONLY as the equivalence pin's
+    * reference implementation. */
+  private[graft] def t26VecComposable(s: Column): Column = {
     val buckets = transform(
       sequence(lit(1), length(s) - 2),
       i => (conv(substring(md5(s.substr(i, lit(3))), 1, 1), 16, 10)

@@ -87,4 +87,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bloom.getLong(0) == 1000L, s"bloom must have no false negatives: $bloom")
     assert(bloom.getLong(1) < 100L, s"disjoint keys should mostly miss: $bloom")
   }
+  test("t26 native trigram encoder equals the composable twin (ASCII, non-BMP, sub-trigram)") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the native expression exists for speed only — semantics are the
+    // composable Column form's, pinned here on the edge inputs that
+    // could diverge: code-point windows (non-BMP emoji), accents,
+    // below-trigram strings (zero vector), empty
+    val rows = Seq("spark join fast", "ab", "", "abc",
+      "\u03b1\u03b2\u03b3\u03b4\u03b5", "a\ud83d\ude00b\ud83d\ude00c\ud83d\ude00d",
+      "Hello, w\u00f6rld!").toDF("s")
+    val both = rows.select(col("s"),
+      graft.operators.TextOps.t26Vec(col("s")).as("nat"),
+      graft.operators.TextOps.t26VecComposable(col("s")).as("ref")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"native encoder diverged on '${r.getString(0)}': " +
+          s"${r.getSeq[Double](1)} vs ${r.getSeq[Double](2)}")
+    }
+  }
 }
