@@ -567,6 +567,10 @@ object SparkEntry {
     // tier: deletes land keyless, apply via the scan's _metadata
     // columns, compact at file granularity
     "p21_positional_deletes" -> (Sinks.p21PositionalDeletes _),
+    // p22: both v2 delete forms on one table — equality + positional
+    // anti-joins stacked on one scan; positional compaction ordered
+    // before equality's bucket rewrites (the dangling-reference hazard)
+    "p22_combined_deletes" -> (Sinks.p22CombinedDeletes _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)

@@ -1193,8 +1193,14 @@ object Sinks {
     * compaction), the read is a plain pruned scan — exactly Iceberg's
     * "manifest lists no delete files" fast path; the existence probe
     * is one bounded metadata call. */
-  private[graft] def p18Read(spark: SparkSession, root: String): DataFrame = {
-    val data = spark.read.parquet(s"$root/d")
+  private[graft] def p18Read(spark: SparkSession, root: String): DataFrame =
+    p18ApplyEq(spark, root, spark.read.parquet(s"$root/d"))
+
+  /** Apply the equality delete file (if live) to an arbitrary read
+    * frame — p18Read's inline anti-join factored so p22 can stack it
+    * on the positional apply. */
+  private[graft] def p18ApplyEq(spark: SparkSession, root: String,
+      data: DataFrame): DataFrame = {
     val delPath = new org.apache.hadoop.fs.Path(root, "deletes")
     val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(delPath)) {
@@ -1361,6 +1367,70 @@ object Sinks {
     mor.unionByName(comp).orderBy("phase", "doc_id")
   }
 
+  // ---- p22: combined equality + positional delete read ------------------
+
+  /** The COMBINED merge-on-read read — what a real Iceberg-v2 reader
+    * executes when a table carries BOTH delete forms: the positional
+    * anti-join on the scan's metadata columns, then the equality
+    * anti-join on keys, each applied only if its file is live. Two
+    * broadcast LeftAntis stacked on one scan; the corpus still never
+    * shuffles. */
+  private[graft] def p22Read(spark: SparkSession, root: String): DataFrame =
+    p18ApplyEq(spark, root, p21Read(spark, root))
+
+  /** p22: the two Iceberg-v2 delete forms applied to ONE table in one
+    * scan — p18 landed equality deletes, p21 positional; real v2
+    * tables carry both at once (a MERGE writes positional rows for
+    * matched victims while a keyed DELETE lands equality rows), and
+    * the reader must apply both. The gate splits p18's victim rule
+    * down the middle — even doc_ids land as EQUALITY keys, odd ones as
+    * POSITIONAL (file_path, pos) rows — reads the combined
+    * merge-on-read phase, compacts, and reads again; both phases must
+    * equal p18's oracle rows verbatim (same victims, one logical
+    * table, now through a two-form delete stack).
+    *
+    * The ORDERING rule this gate exists to state: **positional
+    * compaction MUST run before equality compaction.** Equality
+    * compaction rewrites whole buckets — every file in a touched
+    * bucket gets a new name — so any still-live positional row
+    * pointing into a rewritten bucket would dangle, its anti-join
+    * match nothing, and its victim silently RESURRECT (OperatorSpec
+    * constructs exactly that failure on a twin root and pins the
+    * divergence). Positional compaction swaps single files in place
+    * and retires its delete file first, after which the bucket
+    * rewrites are free to rename anything. Iceberg sequences the same
+    * hazard with per-file sequence numbers; with delete files applied
+    * by physical identity, apply-order is the whole mechanism. */
+  def p22CombinedDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = p18LandBase(spark, dir)
+    // equality half: even victims, p18's landed shape
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 13 === 5 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(P12Buckets.toLong)).as("pk"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$root/deletes")
+    // positional half: odd victims, p21's keyless landed shape
+    spark.read.parquet(s"$root/d")
+      .select(col("doc_id"), col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("doc_id") % 13 === 5 && col("doc_id") % 2 === 1)
+      .select(col("file_path"), col("pos"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$root/pos_deletes")
+    def shape(df: DataFrame, phase: String) =
+      df.select(lit(phase).as("phase"), col("doc_id"),
+        col("pk").cast("long").as("pk"), col("ver"),
+        length(col("text")).cast("long").as("n_chars"))
+    val mor = shape(p22Read(spark, root), "mor").localCheckpoint()
+    // positional FIRST (file-granular, names preserved), equality
+    // SECOND (bucket rewrites rename files) — see the scaladoc
+    p21Compact(spark, root)
+    p18Compact(spark, root)
+    val comp = shape(p22Read(spark, root), "compacted")
+    mor.unionByName(comp).orderBy("phase", "doc_id")
+  }
+
   private[graft] val p17Sql: String =
     "WITH ev AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, " +
       "CAST(hour(ts) AS BIGINT) AS hr, CAST(round(value * 100) AS BIGINT) AS cents, " +
@@ -1481,6 +1551,8 @@ object Sinks {
     // deletes (and their mor/compacted representations) must serve
     // one logical table
     "p21_positional_deletes" -> p18Sql,
+    // p22 too: both delete forms on one table still serve p18's rows
+    "p22_combined_deletes" -> p18Sql,
     // p17: both eras replayed from the raw events (era = the day
     // arithmetic) — hash equality proves the evolved layout serves
     // exactly the logical table

@@ -2313,6 +2313,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(removed == full, "incremental must equal the full recompute")
   }
 
+  test("p22 compaction order: equality-first bucket rewrites dangle positional rows and resurrect victims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // equality victim 21 and positional victim 5 share bucket 5 — the
+    // collision the gate's parity-split rule cannot produce (pk = id %
+    // 16 preserves parity), constructed here so the hazard actually
+    // fires
+    def mkRoot(): String = {
+      val root = Sinks.p18LandBase(spark, sf)
+      Seq((21L, 5L)).toDF("doc_id", "pk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes")
+      spark.read.parquet(s"$root/d")
+        .select(col("doc_id"), col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .filter(col("doc_id") === 5L).select("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/pos_deletes")
+      root
+    }
+    def ids(root: String): Set[Long] = Sinks.p22Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the CORRECT order: positional file-swap first, equality bucket
+    // rewrite second — both victims stay gone through compaction
+    val good = mkRoot()
+    val mor = ids(good)
+    assert(!mor.contains(5L) && !mor.contains(21L),
+      "merge-on-read must hide both victims")
+    Sinks.p21Compact(spark, good)
+    Sinks.p18Compact(spark, good)
+    assert(ids(good) == mor, "ordered compaction must be read-invisible")
+    // the REVERSED order on a twin root: the equality compaction
+    // renames every file in bucket 5, the positional row for doc 5 now
+    // points at a file that no longer exists, its anti-join matches
+    // nothing — and the deleted row SILENTLY RESURRECTS
+    val bad = mkRoot()
+    Sinks.p18Compact(spark, bad)
+    val res = ids(bad)
+    assert(res.contains(5L),
+      "fixture broken: the reversed order should dangle the positional row")
+    assert(!res.contains(21L), "the equality victim stays folded either way")
+  }
+
   test("s20 binary signatures: scale-invariant, self-distance zero, recall floor vs exact") {
     import org.apache.spark.sql.functions._
     // recall@5 of the 1-bit tier vs exact s01 at sf0.001 — floor set

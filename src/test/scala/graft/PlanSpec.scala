@@ -622,6 +622,18 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus side must never shuffle for a delete batch:\n$p")
   }
 
+  test("p22 combined read: both delete forms stack as broadcast LeftAntis; corpus never shuffles") {
+    val root = Sinks.p18LandBase(spark, sf)
+    Sinks.p18LandDeletes(spark, sf, root)
+    Sinks.p21LandDeletes(spark, sf, root)
+    val p = plan(Sinks.p22Read(spark, root))
+    assert("LeftAnti".r.findAllIn(p).size >= 2,
+      s"read must apply BOTH delete forms as anti-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"deletes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a delete stack:\n$p")
+  }
+
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
     // the un-memoized build-plan seam. The gate frame is a shared
     // localCheckpoint (never a CacheManager entry), so no suite-order
