@@ -547,6 +547,14 @@ object SparkEntry {
     // re-linking through deleted nodes' surviving neighbors
     // (FreshDiskANN delete+consolidate on the s22 store)
     "s27_graph_delete" -> (Similarity.s27GraphDelete _),
+    // s29: persisted-graph serve — the walk over the src-bucketed
+    // stored artifact's files alone (fresh parquet read, no memo);
+    // shares s23's oracle (persistence semantically invisible)
+    "s29_persisted_graph_search" -> (Similarity.s29PersistedGraphSearch _),
+    // s30: graph-store compaction — base + fold slivers rewritten to
+    // one sorted file per bucket with zero exchange; lifecycle faces
+    // read back from the compacted files (s26's oracle verbatim)
+    "s30_compacted_graph_store" -> (Similarity.s30CompactedGraphStore _),
     // s28: label-filtered beam-search serve — s08's predicate at the
     // graph tier (Filtered-DiskANN): expand through any node, rank
     // only label-matching visited candidates

@@ -2389,34 +2389,87 @@ object Similarity {
     * row-for-row ([[s22OracleSql]]); planted-neighbor recall and the
     * at-scale wall are measured by graft.tools.S22AtScale (NOTES). */
   def s22KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    // the stored artifact is bucket-sorted, not globally sorted — the
+    // gate face re-states the output order the contract names
     s22GraphAt(spark, dir, D11CellTarget, S06FineProbes, S22Pool)
+      .orderBy("src_id", "rnk")
 
-  /** One SHARED materialized graph per (context, dir, params) — the
+  /** One PERSISTED graph store per (context, dir, params) — the
     * deploy amortization (the graph is built once and served many;
-    * five independent gate queries — s23/s24/s25/s26/e06 — consume
-    * it). A memoized eager localCheckpoint instead of `.cache()` for
-    * two reasons the round-15 verdict/advice surfaced: (a) `.cache()`
-    * registers the plan with the session-wide CacheManager, which then
-    * SUBSTITUTES the InMemoryRelation under any later identical plan —
-    * including the supposedly-uncached [[s22GraphPlan]] seam PlanSpec
-    * explains, making the build-plan pin test-order dependent; a
-    * checkpoint is invisible to plan matching. (b) consumers used to
-    * stack their own localCheckpoints ON TOP of the cache, holding the
-    * graph in memory twice — now every consumer serves from this one
-    * materialized copy. */
+    * s23/s24/s25/s26/s27/s28/e06/e07 all consume it). The memo holds
+    * only the (table, path) NAMES of a src-bucketed parquet artifact —
+    * round-16 closed this family's lifecycle asymmetry: every other
+    * index tier (s11 codes, s21 signatures, t18b postings, m08 media)
+    * already served from stored files, while the graph lived in a
+    * session-memoized localCheckpoint. That form had two cluster-scale
+    * defects the round-16 advice named: (a) localCheckpoint blocks are
+    * NOT recoverable after executor loss (unlike cache, which
+    * recomputes, or parquet, which re-reads), so any consumer mid-job
+    * would fail once an executor died; (b) the checkpoint pinned the
+    * full corpus-sized edge set to executor storage for the
+    * application's lifetime with no release path. The stored table
+    * pins ZERO executor storage (spec-pinned via getPersistentRDDs),
+    * survives executor loss, and [[releaseGraphStores]] drops it on
+    * demand. Earlier history, kept for the record: `.cache()` was
+    * rejected in round 15 because CacheManager SUBSTITUTES the
+    * InMemoryRelation under any later identical plan — including the
+    * supposedly-uncached [[s22GraphPlan]] seam PlanSpec explains — and
+    * a metastore table is just as invisible to plan matching as the
+    * checkpoint was. */
   private val s22Memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Int, Int), (String, String)]()
+
+  /** Land a finished graph frame as the src-bucketed stored artifact —
+    * [[Dedup.D13Buckets]] buckets on src_id, rows sorted (src_id, rnk)
+    * within each bucket (the s11/s13 layout discipline: serve-side
+    * frontier joins hit one bucket per src, and a bucketed scan
+    * satisfies any later src-keyed window/compaction with no
+    * exchange). Returns (table, path). */
+  private[graft] def s29LandGraphStore(spark: SparkSession,
+      graph: DataFrame): (String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outT = s"graft_s29_graph_$tag"
+    val path = s"${graft.core.IO.scratchDir("graft-s29")}/graph_$tag"
+    graph.write.mode("overwrite").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "src_id").sortBy("src_id", "rnk")
+      .option("path", path).saveAsTable(outT)
+    (outT, path)
+  }
 
   /** [[s22KnnGraph]] at explicit (cellTarget, fineProbes, pool) — the
     * S22AtScale seam. The first caller per (context, dir, params) pays
-    * the build (eager checkpoint); everyone after reads the
-    * materialized rows. */
+    * the build AND the store write; everyone after reads the stored
+    * parquet files. */
   private[graft] def s22GraphAt(spark: SparkSession, dir: String,
       cellTarget: Long, fineProbes: Int, pool: Int): DataFrame =
+    spark.table(s22StoreAt(spark, dir, cellTarget, fineProbes, pool)._1)
+
+  /** The stored artifact's (table, path) for explicit params —
+    * building it on first request. */
+  private[graft] def s22StoreAt(spark: SparkSession, dir: String,
+      cellTarget: Long, fineProbes: Int, pool: Int): (String, String) =
     s22Memo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, cellTarget, fineProbes, pool),
-      _ => s22GraphPlanAt(spark, dir, cellTarget, fineProbes, pool)
-        .localCheckpoint())
+      _ => s29LandGraphStore(spark,
+        s22GraphPlanAt(spark, dir, cellTarget, fineProbes, pool)))
+
+  /** Release every memoized graph artifact (and the shared s26 base
+    * build): drops the metastore tables and clears the memos, so a
+    * long-lived session holds NOTHING for the graph family after its
+    * last consumer — the round-16 advice's eviction path. The parquet
+    * files live in scratch dirs that self-delete at JVM exit; a later
+    * caller simply rebuilds. */
+  /** (graph-store memo entries, s26 base-build memo entries) — the
+    * release spec's observability seam. */
+  private[graft] def graphMemoSizes: (Int, Int) = (s22Memo.size, s26Memo.size)
+
+  private[graft] def releaseGraphStores(spark: SparkSession): Unit = {
+    s22Memo.forEach((k, v) =>
+      if (k._1 == spark.sparkContext.applicationId)
+        spark.sql(s"DROP TABLE IF EXISTS ${v._1}"))
+    s22Memo.clear()
+    s26Memo.clear()
+  }
 
   /** The UNCACHED, UNMEMOIZED build plan — the PlanSpec seam (a cached
     * or checkpointed frame hides the join shape the spec pins). */
@@ -3367,7 +3420,189 @@ object Similarity {
       s"WHERE rn <= $K ORDER BY query_id, rnk"
   }
 
+  // ---- s29: serve from the PERSISTED graph store alone ------------------
+
+  /** s29: PERSISTED-GRAPH SERVE — the s11/s21/t18b persistence
+    * argument applied to the graph tier (round-16 verdict item 1, the
+    * last index family still served from session memory): the s22
+    * build lands ONCE as a src-bucketed parquet artifact
+    * ([[s29LandGraphStore]]), and the query batch walks the graph read
+    * back FROM THE STORED FILES ALONE — `spark.read.parquet` on the
+    * store path, bypassing the session memo AND the metastore, so the
+    * gate proves the on-disk bytes are sufficient to serve (the
+    * restart story: a new application serves yesterday's graph with
+    * zero recompute). The walk is s23's verbatim — same seed, rounds,
+    * beam, ranking — so the oracle IS [[s23OracleSql]] and persistence
+    * is proven semantically invisible row for row. PlanSpec pins the
+    * physical half: the serve plan's edge input is a parquet FileScan
+    * (never the s22 build DAG), and the frontier broadcasts into it.
+    * 100 TB: the store is O(n·degree) rows — 5 longs a row, ~1/50th of
+    * the vectors — and the src-bucketed layout means a deploy-side
+    * frontier join touches one bucket per src; executor loss costs a
+    * re-read, not a failed job (the round-16 localCheckpoint defect,
+    * closed structurally). */
+  def s29PersistedGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, path) = s22StoreAt(spark, dir,
+      D11CellTarget, S06FineProbes, S22Pool)
+    val graph = spark.read.parquet(path).select(col("src_id"), col("dst_id"))
+    s23Serve(spark, emb(spark, dir), graph,
+      s23SeedFrontier(spark, dir, S23Beam), S23Rounds, S23Beam)
+  }
+
+  // ---- s30: adjacency-store compaction (merge-on-read → one file) -------
+
+  /** Land a base adjacency as the VERSIONED graph store — src-bucketed
+    * like [[s29LandGraphStore]] but with a `ver` column (base = -1),
+    * so later folds append their post-insert adjacency lists as higher
+    * versions and reads resolve latest-version-per-src (the p13
+    * manifest idea on adjacency lists, the layout st18's streaming
+    * folds accumulate). Rows: (src_id, ver, rnk, dst_id, c). */
+  private[graft] def s30LandVersioned(spark: SparkSession,
+      base: DataFrame): (String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outT = s"graft_s30_ver_$tag"
+    val path = s"${graft.core.IO.scratchDir("graft-s30")}/ver_$tag"
+    base.write.mode("overwrite").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "src_id").sortBy("src_id", "ver", "rnk")
+      .option("path", path).saveAsTable(outT)
+    (outT, path)
+  }
+
+  /** Append one fold's rows to the versioned store with the IDENTICAL
+    * bucket spec (the s12FoldIn discipline on edges): a delta-sized
+    * bucket-compatible append — the stored base is never read, never
+    * rewritten. */
+  private[graft] def s30Append(verT: String, fold: DataFrame): Unit =
+    fold.write.mode("append").format("parquet")
+      .bucketBy(Dedup.D13Buckets, "src_id").sortBy("src_id", "ver", "rnk")
+      .saveAsTable(verT)
+
+  /** s30's COMPACTION JOB: fold the versioned store's base + append
+    * slivers into a fresh store holding exactly the CURRENT adjacency
+    * — one sorted file per bucket, with ZERO exchange. The bucketed
+    * scan is forced on (`autoBucketedScan.enabled=false`, the s13
+    * rule), so its HashPartitioning(src_id) already satisfies the
+    * latest-version-per-src window's required distribution — the
+    * resolve is a per-bucket local sort + filter, and the rewrite
+    * under the identical bucket spec streams each bucket-partition to
+    * exactly one file. At 100 TB this is the off-peak maintenance job
+    * that bounds merge-on-read cost: without it every serve pays
+    * O(folds) version dirs forever (round-16 what's-wrong item 2);
+    * after it the store is one file per bucket and fold count resets
+    * to zero. Queries keep working against the old table until the new
+    * one swaps in (the rewrite lands under a fresh name, never in
+    * place). The winning `ver` column is kept so lifecycle faces stay
+    * reconstructable — compaction is physical-layout maintenance only.
+    * Returns (table, path). */
+  private[graft] def s30Compact(spark: SparkSession,
+      verT: String): (String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val outT = s"graft_s30_comp_$tag"
+    val path = s"${graft.core.IO.scratchDir("graft-s30")}/comp_$tag"
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      s30Resolve(spark, verT)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Dedup.D13Buckets, "src_id").sortBy("src_id", "rnk")
+        .option("path", path).saveAsTable(outT)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    (outT, path)
+  }
+
+  /** The compaction's resolve half — latest version per src over the
+    * versioned store. Under a forced bucketed scan the window's
+    * ClusteredDistribution(src_id) is already satisfied by the store's
+    * HashPartitioning, so this plans with ZERO exchange (PlanSpec pins
+    * it) — the whole compaction is per-bucket local work. */
+  private[graft] def s30Resolve(spark: SparkSession, verT: String): DataFrame = {
+    val w = Window.partitionBy(col("src_id"))
+    spark.table(verT)
+      .withColumn("mx", max(col("ver")).over(w))
+      .filter(col("ver") === col("mx")).drop("mx")
+  }
+
+  /** [[s30Compact]] over loose merge-on-read version FRAMES (st18's
+    * per-batch `upd_b<k>` dirs carry no bucket layout) — the one
+    * honest exchange a dirs→store compaction pays is the shuffle that
+    * CREATES the bucketed layout; every later compaction of the
+    * resulting store is the zero-exchange [[s30Compact]] form. Each
+    * frame must expose (src_id, rnk, dst_id, c); `versions` tags carry
+    * the latest-wins order. */
+  private[graft] def s30CompactFrames(spark: SparkSession,
+      versions: Seq[(DataFrame, Long)]): (String, String) = {
+    val tagged = versions.map { case (df, t) =>
+      df.select(col("src_id"), lit(t).as("ver"),
+        col("rnk").cast("long").as("rnk"), col("dst_id"),
+        col("c").cast("double").as("c"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("src_id"))
+    val (outT, path) = s30LandVersioned(spark, tagged
+      .withColumn("mx", max(col("ver")).over(w))
+      .filter(col("ver") === col("mx")).drop("mx"))
+    (outT, path)
+  }
+
+  /** s30: GRAPH-STORE COMPACTION — the full lifecycle gate (build base
+    * graph → land versioned store → fold one delta batch in → COMPACT
+    * → read the lifecycle faces back from the compacted files). The
+    * fold is s26's verbatim (forward edges + FreshDiskANN back-links),
+    * landed as a ver=0 bucket-compatible append; compaction resolves
+    * latest-per-src into one sorted file per bucket with zero exchange
+    * ([[s30Compact]]); the gate then emits the ins/upd faces FROM THE
+    * COMPACTED STORE ALONE — delta srcs are the ins face, ver=0 base
+    * srcs the upd face. Compaction is pure physical-layout
+    * maintenance, so the oracle IS [[s26OracleSql]] VERBATIM: one edge
+    * lost, duplicated, or mis-versioned during the rewrite and the
+    * hash gate breaks. OperatorSpec additionally pins files-after ==
+    * [[Dedup.D13Buckets]] < files-before and that the compacted
+    * CURRENT adjacency equals the merge-on-read resolution
+    * frame-for-frame; PlanSpec pins the no-exchange rewrite. */
+  def s30CompactedGraphStore(spark: SparkSession, dir: String): DataFrame = {
+    val a = s26BuildBase(spark, dir)
+    val allFull = emb(spark, dir)
+    val delta = allFull.filter(col("vec_id") >= a.nBase)
+    val fwd = s26FwdEdges(spark, delta, allFull, a).localCheckpoint()
+    val upd = s26BackLinks(fwd, a.gBase, allFull)
+    // the versioned store: full base adjacency at ver=-1 …
+    val baseFull = s22KnnGraph(spark, a.baseDir)
+      .select(col("src_id"), lit(-1L).as("ver"), col("rnk"),
+        col("dst_id"), col("cos_sim").cast("double").as("c"))
+    val (verT, _) = s30LandVersioned(spark, baseFull)
+    // … then the fold lands as one ver=0 append (new nodes' forward
+    // edges + touched nodes' re-ranked lists — disjoint src sets)
+    s30Append(verT, fwd
+      .select(col("qid").as("src_id"), lit(0L).as("ver"),
+        col("rnk").cast("long").as("rnk"), col("nid").as("dst_id"), col("c"))
+      .unionByName(upd.select(col("src_id"), lit(0L).as("ver"),
+        col("rnk").cast("long").as("rnk"), col("dst_id"), col("c"))))
+    val (_, compPath) = s30Compact(spark, verT)
+    // faces from the compacted files ALONE (fresh read — the s29
+    // restart argument): ver survived the rewrite, so the fold's rows
+    // are exactly the ver=0 ones
+    val comp = spark.read.parquet(compPath)
+    s26Faces(
+      comp.filter(col("src_id") >= a.nBase)
+        .select(col("src_id").as("qid"), col("rnk"),
+          col("dst_id").as("nid"), col("c")),
+      comp.filter(col("ver") >= 0 && col("src_id") < a.nBase)
+        .select(col("src_id"), col("dst_id"), col("c"), col("rnk")))
+  }
+
   val oracles: Map[String, String] = Map(
+    // s29: s23's oracle VERBATIM — the walk over the stored files must
+    // equal the walk over the fresh build (persistence semantically
+    // invisible, the s11 argument on the graph tier)
+    "s29_persisted_graph_search" ->
+      s23OracleSql(LloydRounds, S07Rounds, S23Rounds),
+    // s30: s26's oracle VERBATIM — compaction is physical-layout
+    // maintenance only; the lifecycle faces read back from the
+    // compacted store must equal the one-shot incremental insert
+    "s30_compacted_graph_store" -> s26OracleSql(LloydRounds, S07Rounds),
     "s27_graph_delete" -> s27OracleSql(LloydRounds, S07Rounds, S22Degree),
     "s28_filtered_graph_search" ->
       s28OracleSql(LloydRounds, S07Rounds, S23Rounds),

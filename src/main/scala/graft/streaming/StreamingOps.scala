@@ -1193,10 +1193,18 @@ object StreamingOps {
     * shares [[graft.operators.Similarity.s26OracleSql]] VERBATIM, and
     * StreamingSpec additionally pins streamed == batch frame-for-frame
     * and the folded graph servable through the unchanged s23/s25 walk.
-    * 100 TB: per-batch cost is O(batch) probe/ADC work + a
-    * touched-sized (≤ batch·degree) adjacency re-rank + batch-sized
-    * writes; streaming state is EMPTY (foreachBatch is a stateless
-    * sink) and the store grows by delta files only. */
+    * After the stream, the accumulated fold dirs COMPACT into one
+    * src-bucketed store ([[graft.operators.Similarity
+    * .s30CompactFrames]] — latest-version-per-src, one sorted file per
+    * bucket), and the gate faces + the servable graph read from the
+    * compacted files alone: merge-on-read cost is bounded by the folds
+    * of ONE stream run, never the store's ingest history (round-16
+    * what's-wrong item 2, closed). 100 TB: per-batch cost is O(batch)
+    * probe/ADC work + a touched-sized (≤ batch·degree) adjacency
+    * re-rank + batch-sized writes; streaming state is EMPTY
+    * (foreachBatch is a stateless sink); the store grows by delta
+    * files between compactions and resets to one file per bucket at
+    * each. */
   def st18StreamingGraphIngest(spark: SparkSession, dir: String): DataFrame =
     st18Core(spark, dir)._1
 
@@ -1275,36 +1283,35 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    // assemble the gate faces from the landed dirs (fresh reads — the
-    // clone-session rule)
-    val fwdAll = foldDirs().map(b => spark.read.parquet(s"$wh/fwd_b$b"))
-      .reduce(_ unionByName _)
-    val updFace = latestPerSrcWithScores(spark,
-      foldDirs().map(b => (spark.read.parquet(s"$wh/upd_b$b"), b)))
-    val out = Similarity.s26Faces(fwdAll, updFace)
-    // the folded full graph: untouched base edges + final adjacency of
-    // touched nodes + the delta nodes' forward edges — what s23/s25's
-    // walk serves after the stream
-    val tchAll = updFace.select("src_id").distinct()
-    val folded = a.gBase.join(tchAll, Seq("src_id"), "left_anti")
-      .unionByName(updFace.select(col("src_id"), col("dst_id")))
-      .unionByName(fwdAll.select(col("qid").as("src_id"),
-        col("nid").as("dst_id")))
-    (out, nBatches.get(), folded)
-  }
-
-  /** Latest upd version per src with the score columns kept — the
-    * final-face resolution (every fold stored the FULL re-ranked list,
-    * so max-tag-per-src is the post-stream adjacency). */
-  private def latestPerSrcWithScores(spark: SparkSession,
-      versions: Seq[(DataFrame, Long)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = versions.map { case (df, t) => df.withColumn("tag", lit(t)) }
-      .reduce(_ unionByName _)
-    tagged
-      .withColumn("mx", max(col("tag")).over(Window.partitionBy(col("src_id"))))
-      .filter(col("tag") === col("mx"))
-      .select(col("src_id"), col("dst_id"), col("c"), col("rnk"))
+    // post-stream COMPACTION (the s30 verb): base + every fold dir
+    // resolve latest-per-src ONCE into a src-bucketed store of exactly
+    // the current adjacency — merge-on-read cost stops growing with
+    // fold count here (round-16 what's-wrong item 2: without this, the
+    // serve pays O(folds) version dirs forever). The gate faces and
+    // the s23/s25-servable folded graph then read from the COMPACTED
+    // FILES ALONE (fresh reads — the clone-session rule, now also the
+    // s29 restart argument).
+    val baseFull = Similarity.s22KnnGraph(spark, a.baseDir)
+      .select(col("src_id"), col("rnk").cast("long").as("rnk"),
+        col("dst_id"), col("cos_sim").cast("double").as("c"))
+    val versions = (baseFull, -1L) +: foldDirs().flatMap(b => Seq(
+      (spark.read.parquet(s"$wh/fwd_b$b")
+        .select(col("qid").as("src_id"), col("rnk").cast("long").as("rnk"),
+          col("nid").as("dst_id"), col("c")), b),
+      (spark.read.parquet(s"$wh/upd_b$b")
+        .select(col("src_id"), col("rnk").cast("long").as("rnk"),
+          col("dst_id"), col("c")), b)))
+    val (_, compPath) = Similarity.s30CompactFrames(spark, versions)
+    val comp = spark.read.parquet(compPath)
+    val out = Similarity.s26Faces(
+      comp.filter(col("src_id") >= a.nBase)
+        .select(col("src_id").as("qid"), col("rnk"),
+          col("dst_id").as("nid"), col("c")),
+      comp.filter(col("ver") >= 0 && col("src_id") < a.nBase)
+        .select(col("src_id"), col("dst_id"), col("c"), col("rnk")))
+    // the folded full graph IS the compacted store's edge set — what
+    // s23/s25's walk serves after the stream
+    (out, nBatches.get(), comp.select(col("src_id"), col("dst_id")))
   }
 
   val oracles: Map[String, String] = Map(

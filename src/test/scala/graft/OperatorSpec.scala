@@ -400,6 +400,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(t14(1L) == t14(2L), s"t14 should not distinguish: $t14")
   }
 
+  test("s29/s30 graph store: zero executor storage, droppable, compaction one-file-per-bucket and layout-only") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // ---- the storage contract: serving the (already-built) graph
+    // pins ZERO executor storage — the round-16 localCheckpoint defect
+    // closed structurally (the artifact is parquet on disk)
+    Similarity.s22KnnGraph(spark, sf).count() // ensure built
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.s22KnnGraph(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "a graph-store read must not persist any RDD")
+    // ---- the release path: after releaseGraphStores the session
+    // holds nothing for the graph family, and a rebuild still serves
+    val pre = Similarity.s22KnnGraph(spark, sf).collect().toSeq
+    Similarity.releaseGraphStores(spark)
+    assert(Similarity.graphMemoSizes == ((0, 0)),
+      "release must clear both graph-family memos")
+    val post = Similarity.s22KnnGraph(spark, sf).collect().toSeq
+    assert(pre == post, "rebuild after release must reproduce the store")
+    // ---- s30 compaction: base + one fold → exactly one sorted file
+    // per bucket, and the resolve is layout-only (equals merge-on-read)
+    import spark.implicits._
+    val base = (0L until 64L).flatMap(s => (1 to 3).map(r =>
+      (s, -1L, r.toLong, (s + r) % 64L, 0.5))).toSeq
+      .toDF("src_id", "ver", "rnk", "dst_id", "c")
+    val fold = (0L until 8L).map(s => (s, 0L, 1L, s + 100L, 0.9)).toSeq
+      .toDF("src_id", "ver", "rnk", "dst_id", "c")
+    val (verT, _) = Similarity.s30LandVersioned(spark, base)
+    Similarity.s30Append(verT, fold)
+    def dataFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      java.nio.file.Files.list(java.nio.file.Paths.get(loc)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val nBefore = dataFiles(verT)
+    val (compT, _) = Similarity.s30Compact(spark, verT)
+    val nAfter = dataFiles(compT)
+    assert(nAfter <= graft.operators.Dedup.D13Buckets,
+      s"compaction must leave at most one file per bucket: $nAfter")
+    assert(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("src_id", "ver", "rnk", "dst_id", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sorted
+    // merge-on-read ground truth: ver=0 srcs serve the fold's rows,
+    // everyone else the base — compacted must equal it row for row
+    val mor = base.filter(!col("src_id").isin((0L until 8L): _*))
+      .unionByName(fold)
+    assert(canon(spark.table(compT)) == canon(mor),
+      "compacted store must equal the merge-on-read resolution")
+  }
+
   test("s24 diversified graph: degree-bounded subset of s22 with the occlusion property") {
     import org.apache.spark.sql.functions._
     val g22 = Similarity.s22KnnGraph(spark, sf)

@@ -635,8 +635,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s22 knn graph: corpus-as-queries candidates are cell-restricted BEFORE the ADC join") {
-    // the un-memoized build-plan seam. The gate frame is a shared
-    // localCheckpoint (never a CacheManager entry), so no suite-order
+    // the un-memoized build-plan seam. The gate frame is a persisted
+    // parquet store (never a CacheManager entry), so no suite-order
     // cache substitution can rewrite this plan under us — the round-15
     // 237/238 failure mode (OperatorSpec's earlier s22 .cache() made
     // the CacheManager swap an InMemoryRelation into this explain)
@@ -682,12 +682,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("s23 serve: walk rounds replay against the materialized graph, never the s22 build DAG") {
     val p = plan(Similarity.s23GraphSearch(spark, sf))
-    // the e05 lesson, pinned: the graph and every round's frontier are
-    // localCheckpointed, so the SERVE plan is ExistingRDD leaves plus
-    // broadcast joins — none of the build machinery (cell probe join,
-    // ADC join) may appear in it
+    // the e05 lesson, pinned: the graph is the persisted parquet store
+    // and every round's frontier is localCheckpointed, so the SERVE
+    // plan is file/ExistingRDD leaves plus broadcast joins — none of
+    // the build machinery (cell probe join, ADC join) may appear in it
     assert(p.contains("Scan ExistingRDD"),
-      s"serve must read the materialized graph/frontiers:\n$p")
+      s"serve must read the materialized frontiers:\n$p")
     assert("(ShuffledHashJoin|SortMergeJoin) \\[cell#".r.findFirstIn(p).isEmpty,
       s"s22's cell probe join leaked into the serve plan:\n$p")
     assert("\\[qid#\\d+L, sub#\\d+, code#\\d+".r.findFirstIn(p).isEmpty,
@@ -746,6 +746,47 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(cell".r.findFirstIn(p).isEmpty,
       s"the compacted code store must never shuffle on cell:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
+  test("s29 persisted graph serve: the edge input is a parquet FileScan; no build machinery") {
+    val p = plan(Similarity.s29PersistedGraphSearch(spark, sf))
+    // the persistence argument made physical: the walk's edge input is
+    // the stored artifact's FILES (a parquet scan — not the s22 build
+    // DAG, not a checkpointed RDD of it), so a fresh application could
+    // run this plan over yesterday's store with zero recompute
+    assert("Scan parquet".r.findFirstIn(p).isDefined,
+      s"the serve must read the stored graph's parquet files:\n$p")
+    assert("(ShuffledHashJoin|SortMergeJoin) \\[cell#".r.findFirstIn(p).isEmpty,
+      s"s22's cell probe join leaked into the persisted serve plan:\n$p")
+    assert("\\[qid#\\d+L, sub#\\d+, code#\\d+".r.findFirstIn(p).isEmpty,
+      s"s22's ADC join leaked into the persisted serve plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+  }
+
+  test("s30 compaction: latest-per-src resolve rides the bucketed scan with zero exchange") {
+    import spark.implicits._
+    // a tiny versioned store: 64 srcs at ver=-1, one fold at ver=0
+    val base = (0L until 64L).flatMap(s => (1 to 3).map(r =>
+      (s, -1L, r.toLong, (s + r) % 64L, 0.5))).toSeq
+      .toDF("src_id", "ver", "rnk", "dst_id", "c")
+    val (verT, _) = Similarity.s30LandVersioned(spark, base)
+    Similarity.s30Append(verT, Seq((5L, 0L, 1L, 7L, 0.9))
+      .toDF("src_id", "ver", "rnk", "dst_id", "c"))
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val p = try plan(Similarity.s30Resolve(spark, verT))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // the store's HashPartitioning(src_id) already satisfies the
+    // window's ClusteredDistribution — the whole rewrite is per-bucket
+    // local sort + filter + stream; an Exchange here would mean the
+    // compaction shuffles the full store on every maintenance cycle
+    assert(!p.contains("Exchange"),
+      s"the compaction resolve must not shuffle the store:\n$p")
+    assert(p.contains("Window"), s"latest-per-src window missing:\n$p")
   }
 
   test("d16 edit join: keyed joins only, per-doc window, no product anywhere") {
