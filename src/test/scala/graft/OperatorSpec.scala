@@ -2304,6 +2304,46 @@ class OperatorSpec extends AnyFunSuite {
       "compaction must be semantically invisible to the read")
   }
 
+  test("p21 compaction is crash-safe: replay after a landed plan never re-applies positions") {
+    import org.apache.spark.sql.functions._
+    val root = Sinks.p18LandBase(spark, sf)
+    Sinks.p21LandDeletes(spark, sf, root)
+    val expected = Sinks.p21Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // phase 1 alone — the crash point: plan + tmps landed, no swap yet
+    Sinks.p21CompactPlan(spark, root)
+    val marker = java.nio.file.Paths.get(root, "_compact_plan", "_SUCCESS")
+    assert(java.nio.file.Files.exists(marker), "plan must commit via _SUCCESS")
+    // a replayed phase 1 must be a NO-OP (re-deriving tmps from
+    // half-swapped originals is the double-delete hazard)
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Sinks.p21CompactPlan(spark, root)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "a landed plan must not be rebuilt on replay")
+    // emulate a crash MID-swap: hand-swap fid=0 exactly as phase 2
+    // would, leaving the plan + the other tmps in place …
+    val plan = spark.read.parquet(s"$root/_compact_plan")
+      .orderBy("fid").collect()
+    val f0 = new org.apache.hadoop.fs.Path(plan(0).getString(1))
+    val fs = f0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part0 = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_compact_tmp/fid=0/part-*"))(0).getPath
+    fs.delete(f0, false)
+    assert(fs.rename(part0, f0), "hand swap failed")
+    // … then the full replay: plan skipped, fid=0's swap idempotent
+    // (its tmp is gone), every other file swaps, delete file retires
+    Sinks.p21Compact(spark, root)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "pos_deletes")),
+      "replayed compaction must retire the delete file")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_compact_plan")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_compact_tmp")),
+      "replayed compaction must clean its plan + tmps")
+    val got = Sinks.p21Read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      "replay re-applied positions to an already-swapped file (double delete)")
+  }
+
   test("t26 MaxSim: the multi-aspect doc wins where any pooled single vector provably cannot") {
     import spark.implicits._
     // a two-aspect query; doc 1 covers each aspect in its OWN chunk,
