@@ -64,6 +64,13 @@ object TrigramImpls {
 
 case class TrigramBucketCounts(child: Expression, dims: Int)
     extends UnaryExpression {
+  // the bucket is the md5 HIGH NIBBLE (0-15) mod dims — the rule the
+  // DuckDB oracle replays verbatim. dims > 16 would leave buckets
+  // 16..dims-1 permanently zero with no error (round-16 advice), so
+  // the contract is enforced here, at the only constructor
+  require(dims >= 1 && dims <= 16,
+    s"trigram_bucket_counts dims must be in [1, 16] (md5 high-nibble " +
+      s"bucket rule — buckets beyond 16 would never fill): got $dims")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "trigram_bucket_counts"
 

@@ -1157,7 +1157,19 @@ object StreamingOps {
     def deltas(prefix: String): Seq[DataFrame] =
       fs.globStatus(new org.apache.hadoop.fs.Path(s"$wh/${prefix}_b*"))
         .toSeq.map(s => spark.read.parquet(s.getPath.toString))
-    val tfAll = (spark.table(tfT) +: deltas("tf")).reduce(_ unionByName _)
+    // post-stream COMPACTION of the postings (the s30 discipline on
+    // the lexical store): base + delta dirs rewrite into ONE
+    // term-bucketed table, so the serve reads a single bucketed
+    // artifact instead of a union of unbucketed delta dirs over the
+    // bucketed base — the silent layout regression the round-16
+    // advice named, closed the same way st18's adjacency folds were
+    val ctag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ctfT = s"graft_st17_tf_$ctag"
+    (spark.table(tfT) +: deltas("tf")).reduce(_ unionByName _)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(graft.operators.Dedup.D13Buckets, "term").sortBy("term")
+      .option("path", s"$wh/tf_compact_$ctag").saveAsTable(ctfT)
+    val tfAll = spark.table(ctfT)
     val dlAll = (spark.table(dlT) +: deltas("dl")).reduce(_ unionByName _)
     val dfFolded = spark.read.parquet(s"$wh/df_b${latest.get()}")
     val out = TextOps.t18bServeFrames(spark, tfAll, dlAll, dfFolded,

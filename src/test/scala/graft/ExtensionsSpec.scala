@@ -107,4 +107,17 @@ class ExtensionsSpec extends AnyFunSuite {
           s"${r.getSeq[Double](1)} vs ${r.getSeq[Double](2)}")
     }
   }
+  test("trigram_bucket_counts rejects dims outside the md5 high-nibble range") {
+    import org.apache.spark.sql.functions.lit
+    // the bucket is the md5 high nibble (0-15) mod dims — dims > 16
+    // would leave buckets 16.. permanently zero with no error (the
+    // round-16 advice); the constructor now enforces the contract
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.TrigramFunctions.trigram_bucket_counts(lit("abc"), 17)
+    }
+    assert(e.getMessage.contains("[1, 16]"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.functions.TrigramFunctions.trigram_bucket_counts(lit("abc"), 0)
+    }: Unit
+  }
 }
