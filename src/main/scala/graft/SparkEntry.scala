@@ -367,6 +367,10 @@ object SparkEntry {
     // L-gram census + per-doc interval union names the exact spans to
     // cut, the position-level tier below whole-doc dedup
     "t21_span_excision" -> (TextOps.t21SpanExcision _),
+    // t27: unbounded-span exact-substring dedup — winnowed rare
+    // anchors + extension to maximal cross-doc matches >= 50 tokens
+    // (Lee et al. 2022); brute-force oracle proves anchor losslessness
+    "t27_long_dup_spans" -> (TextOps.t27LongDupSpans _),
     // q34: explicit GROUPING SETS — caller-named grains next to q08
     // rollup / q16 cube; sentinel-coalesced slots, one Expand pass
     "q34_grouping_sets" -> (Relational.q34 _),

@@ -1330,6 +1330,132 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- t27: unbounded-span exact-substring dedup (Lee et al. 2022) ----
+
+  /** t27's keep threshold: a maximal exact match must span ≥ this many
+    * tokens to be reported — Lee et al. 2022's ≈50-token rule
+    * (arXiv:2107.06499 §4.1: long matches are near-certain duplication;
+    * short matches are idiom). t21's df>1 5-gram census is the recall
+    * floor; THIS is the production filter — a common 5-gram idiom never
+    * reaches 50 tokens of pair-consistent match (spec-pinned). */
+  private[graft] val T27Min = 50
+
+  /** Winnowing window in GRAMS: any duplicated span of ≥ [[T27Min]]
+    * tokens contains ≥ [[T27Min]]−L+1 grams, hence at least one FULL
+    * window — the anchor-guarantee bound (Schleimer et al. 2003 §4,
+    * public). */
+  private[graft] val T27W = T27Min - T21L + 1
+
+  /** t27: UNBOUNDED-SPAN EXACT-SUBSTRING DEDUP — the production form
+    * of t21 (round-16 verdict item 3): find every maximal CROSS-DOC
+    * exact match of ≥ [[T27Min]] tokens, the suffix-array semantics of
+    * Lee et al. 2022 re-expressed for a cluster in three bounded
+    * stages:
+    *
+    *  1. RARE-ANCHOR SELECTION (winnowing): per sliding window of
+    *     [[T27W]] consecutive 5-grams, select the window's RAREST gram
+    *     (min (df, hash, gram), leftmost occurrence). The rule is a
+    *     pure function of window CONTENT plus corpus-global df, so two
+    *     copies of a duplicated span select anchors at the SAME
+    *     span-relative offsets — every ≥[[T27Min]]-token span yields
+    *     at least one ALIGNED anchor pair (the full-window guarantee),
+    *     which makes the anchor tier LOSSLESS for spans over the
+    *     threshold. Rarest-first is what bounds pair fan-out: a
+    *     common idiom is anchored only when everything around it is
+    *     just as common (the Ed-Join/d16 rarest-token argument).
+    *  2. CANDIDATE PAIRS: anchors join on gram content across docs
+    *     (da < db), reduced to distinct (da, db, delta) alignments —
+    *     never corpus×corpus; only content-identical anchor grams meet.
+    *  3. EXTENSION to the maximal match: for each candidate alignment,
+    *     the matched-gram position set comes from two id-keyed joins
+    *     (candidate × source grams, then an equi-join on the shifted
+    *     position and gram), and gaps-and-islands (pos − row_number)
+    *     turns consecutive matches into maximal runs — a run of k
+    *     grams is an exact common substring of k+L−1 tokens. Work per
+    *     candidate is O(len(da)) — the Lee et al. extension cost —
+    *     and candidates are anchor-driven, so corpus-wide cost scales
+    *     with true duplication, not with idiom frequency.
+    *
+    * Output: one row per maximal cross-doc span ≥ [[T27Min]] tokens
+    * (doc_a, doc_b, start_a, start_b, n_tokens). Within-doc repetition
+    * stays t21's territory. The DuckDB oracle is BRUTE FORCE — all
+    * matched gram pairs, all alignments, no anchors — so the gate
+    * proves the anchor tier loses nothing above the threshold. */
+  def t27LongDupSpans(spark: SparkSession, dir: String): DataFrame =
+    t27SpansOver(spark, docs(spark, dir))
+
+  /** [[t27LongDupSpans]] over an explicit (doc_id, text) frame — the
+    * planted-fixture spec seam. */
+  private[graft] def t27SpansOver(spark: SparkSession, d: DataFrame): DataFrame = {
+    val L = T21L
+    val toks = d.select(col("doc_id"), tokens(col("text")).as("w"))
+    val grams = toks.filter(size(col("w")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - lit(L - 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("w"), col("pos"), lit(L))).as("gram"))
+    val census = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val gdf = grams.join(census.hint("shuffle_hash"), Seq("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    // winnowing: the rarest gram per window, leftmost on ties — a
+    // content-defined rule, identical for both copies of a span
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, T27W - 1)
+    val anchors = gdf
+      .withColumn("win",
+        min(struct(col("df"), col("h"), col("gram"), col("pos"))).over(wWin))
+      .select(col("doc_id"), col("win.pos").as("pos"))
+      .distinct()
+    val agrams = anchors.join(grams, Seq("doc_id", "pos"))
+    val cand = agrams.as("a").join(agrams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (col("b.pos") - col("a.pos")).as("delta"))
+      .distinct()
+    // extension: candidate alignments broadcast into the gram table;
+    // matches meet on the shifted-position equi-join — never a product
+    val gA = grams.select(col("doc_id").as("da"), col("pos"), col("gram"))
+    val gB = grams.select(col("doc_id").as("db"), col("pos").as("pb"),
+      col("gram"))
+    val matched = broadcast(cand).join(gA, Seq("da"))
+      .withColumn("pb", col("pos") + col("delta"))
+      .join(gB, Seq("db", "pb", "gram"))
+      .select(col("da"), col("db"), col("delta"), col("pos"))
+    val wRun = Window.partitionBy(col("da"), col("db"), col("delta"))
+      .orderBy(col("pos"))
+    matched.withColumn("isl", col("pos") - row_number().over(wRun))
+      .groupBy(col("da"), col("db"), col("delta"), col("isl"))
+      .agg(min(col("pos")).as("sa"), count(lit(1)).as("nrun"))
+      .filter(col("nrun") + lit(L - 1) >= T27Min)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        (col("sa") + col("delta")).cast("long").as("start_b"),
+        (col("nrun") + lit(L - 1)).cast("long").as("n_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  /** t27 oracle: BRUTE FORCE — every matched gram pair, every
+    * (da, db, delta) alignment, gaps-and-islands runs, threshold —
+    * no anchors anywhere, so the gate proves anchor losslessness. */
+  private[graft] val t27OracleSql: String = {
+    val L = T21L
+    "WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      s"g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${L - 2}), i -> i)) AS pos, " +
+      s"unnest(list_transform(range(1, len(w) - ${L - 2}), i -> array_to_string(w[i:i+${L - 1}], ' '))) AS gram " +
+      s"FROM tok WHERE len(w) >= $L), " +
+      "m AS (SELECT a.doc_id AS da, b.doc_id AS db, b.pos - a.pos AS delta, a.pos " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id), " +
+      "runs AS (SELECT da, db, delta, pos, " +
+      "pos - row_number() OVER (PARTITION BY da, db, delta ORDER BY pos) AS isl FROM m), " +
+      "r2 AS (SELECT da AS doc_a, db AS doc_b, CAST(min(pos) AS BIGINT) AS start_a, " +
+      "CAST(min(pos) + delta AS BIGINT) AS start_b, " +
+      s"CAST(count(*) + ${L - 1} AS BIGINT) AS n_tokens " +
+      "FROM runs GROUP BY da, db, delta, isl) " +
+      s"SELECT doc_a, doc_b, start_a, start_b, n_tokens FROM r2 WHERE n_tokens >= $T27Min " +
+      "ORDER BY doc_a, doc_b, start_a, start_b"
+  }
+
   // ---- t20: cross-perplexity filter --------------------------------
 
   /** t20: CROSS-perplexity — the CCNet LM filter run the way
@@ -1982,6 +2108,7 @@ object TextOps {
     // the same shingle census + interval-union window arithmetic,
     // token for token — a span found by one engine and not the other
     // (or merged differently at an overlap) breaks the hash
+    "t27_long_dup_spans" -> t27OracleSql,
     "t21_span_excision" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
         s"sh0 AS (SELECT doc_id, unnest(range(1, len(w) - ${T21L - 2})) AS i, w FROM toks WHERE len(w) >= $T21L), " +

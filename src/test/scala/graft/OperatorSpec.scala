@@ -2344,6 +2344,41 @@ class OperatorSpec extends AnyFunSuite {
       "replay re-applied positions to an already-swapped file (double delete)")
   }
 
+  test("t27 long-dup spans: a common idiom never excises; a planted misaligned long dup is found exactly") {
+    import spark.implicits._
+    // 30 docs sharing one 5-gram idiom ("as a matter of fact") amid
+    // otherwise-unique text: the t21 census flags every one of them
+    // (df > 1), but no pair-consistent match comes near 50 tokens —
+    // the verdict's common-idiom counterfactual, stated as a gate
+    def uniq(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val idiom = "as a matter of fact"
+    val idiomDocs = (0 until 30).map(i =>
+      (i.toLong, s"${uniq(i, 10)} $idiom ${uniq(100 + i, 10)}"))
+    // a 60-token span planted at DIFFERENT offsets in two docs (the
+    // alignment delta is nonzero — catches any absolute-position or
+    // stride assumption in the anchor rule)
+    val span = (0 until 60).map(i => s"dup_$i").mkString(" ")
+    val planted = Seq(
+      (100L, s"${uniq(900, 7)} $span ${uniq(901, 5)}"),
+      (101L, s"${uniq(902, 19)} $span ${uniq(903, 11)}"))
+    val d = (idiomDocs ++ planted).toDF("doc_id", "text")
+    val out = TextOps.t27SpansOver(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly ONE span: docs 100/101, starts 8 and 20 (1-based, after
+    // 7- and 19-token prefixes), 60 tokens — and nothing from the idiom
+    assert(out.toSeq == Seq((100L, 101L, 8L, 20L, 60L)),
+      s"t27 spans diverged: ${out.toSeq}")
+    // sub-threshold counterfactual: the same planted pair with a
+    // 49-token span must NOT be reported (the Lee et al. threshold)
+    val shortSpan = (0 until TextOps.T27Min - 1).map(i => s"sd_$i").mkString(" ")
+    val d2 = Seq(
+      (200L, s"${uniq(910, 7)} $shortSpan ${uniq(911, 5)}"),
+      (201L, s"${uniq(912, 19)} $shortSpan ${uniq(913, 11)}")).toDF("doc_id", "text")
+    assert(TextOps.t27SpansOver(spark, d2).count() == 0L,
+      "a 49-token match must stay under the threshold")
+  }
+
   test("t26 MaxSim: the multi-aspect doc wins where any pooled single vector provably cannot") {
     import spark.implicits._
     // a two-aspect query; doc 1 covers each aspect in its OWN chunk,
