@@ -583,6 +583,10 @@ object SparkEntry {
     // anti-joins stacked on one scan; positional compaction ordered
     // before equality's bucket rewrites (the dangling-reference hazard)
     "p22_combined_deletes" -> (Sinks.p22CombinedDeletes _),
+    // p23: parquet bloom-filter row-group skipping — the point-lookup
+    // complement of p16's zone maps on a high-NDV unsorted column;
+    // census invariants measured from the file's own footer
+    "p23_bloom_skipping" -> (Sinks.p23BloomSkipping _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)

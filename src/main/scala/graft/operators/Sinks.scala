@@ -1096,6 +1096,101 @@ object Sinks {
         col("n_rows"), col("sum_cents"))
   }
 
+  // ---- p23: parquet bloom-filter row-group skipping ----------------------
+
+  /** Land `documents` as ONE parquet file with many small row groups,
+    * rows SCATTERED by an md5 shuffle so doc_id is high-NDV and
+    * unsorted — the layout where min/max zone maps are provably blind
+    * — and a per-row-group BLOOM FILTER on doc_id
+    * (`parquet.bloom.filter.enabled#doc_id`, sized by the NDV hint). */
+  private[graft] def p23Land(spark: SparkSession, dir: String): String = {
+    val root = graft.core.IO.scratchDir("graft-p23")
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(1)
+      .sortWithinPartitions(md5(col("doc_id").cast("string")))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024)
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "8192")
+      .parquet(s"$root/d")
+    root
+  }
+
+  /** The skipping census, read from the landed file's FOOTER with the
+    * same parquet machinery Spark's scan row-group filter runs: per
+    * row group, (a) does the min/max range contain the key — the zone-
+    * map decision p16 serves at file granularity; (b) does the bloom
+    * filter say the key might be present — the decision
+    * `parquet.filter.bloom.enabled` adds. Returns (row groups total,
+    * min/max hits, bloom hits). Driver-side and O(footer) — this is
+    * exactly the metadata read every engine's scan planner performs. */
+  private[graft] def p23Census(spark: SparkSession, root: String,
+      key: Long): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new org.apache.hadoop.fs.Path(s"$root/d")
+    val fs = d.getFileSystem(conf)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(d, "part-*"))(0).getPath
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      var minmaxHits = 0L
+      var bloomHits = 0L
+      blocks.foreach { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id").get
+        val st = cc.getStatistics
+          .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        if (st.getMin <= key && key <= st.getMax) minmaxHits += 1
+        val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+        if (bf == null || bf.findHash(bf.hash(key))) bloomHits += 1
+      }
+      (blocks.size.toLong, minmaxHits, bloomHits)
+    } finally reader.close()
+  }
+
+  /** p23: PARQUET BLOOM-FILTER ROW-GROUP SKIPPING — the point-
+    * predicate complement of p16's min/max zone maps (round-16 missing
+    * item 3): on a high-NDV UNSORTED column, every row group's min/max
+    * range covers nearly the whole key domain, so zone maps prune
+    * NOTHING for a point lookup — the standard answer is a per-row-
+    * group bloom filter on the column, which prunes every group that
+    * provably lacks the key at a footer-metadata cost. The gate lands
+    * the scattered layout, runs the point lookup through the ordinary
+    * pushed-down scan, and publishes the census as three decision
+    * invariants measured from the file's own footer ([[p23Census]] —
+    * the p16 "census rides the result" discipline, with literals the
+    * construction proves, the st14/s02 pattern, because bloom
+    * membership is not SQL-replayable):
+    *
+    *  - `multi_rowgroup`  — the file really has >1 row group;
+    *  - `minmax_blind`    — min/max hits EVERY group (zone maps prune
+    *                        zero — the counterfactual that motivates
+    *                        the bloom);
+    *  - `bloom_skips`     — the bloom prunes ≥1 group min/max kept.
+    *
+    * The full-scan equality oracle proves the pushed-down bloom read
+    * returns exactly the unfiltered rows. 100 TB: the bloom adds
+    * O(bytes) per group at write, the lookup reads footers + the
+    * surviving groups only — the high-NDV point-lookup story
+    * (Iceberg/Delta ship the identical knob). OperatorSpec pins the
+    * counterfactual numerically (bloom hits ≪ min/max hits) and that a
+    * PRESENT key is never bloom-skipped across the whole id domain. */
+  def p23BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = p23Land(spark, dir)
+    val key = Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0) / 2
+    val (nTotal, nMinMax, nBloom) = p23Census(spark, root, key)
+    spark.read.parquet(s"$root/d").filter(col("doc_id") === key)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        lit(nTotal >= 2L).as("multi_rowgroup"),
+        lit(nMinMax == nTotal).as("minmax_blind"),
+        lit(nBloom < nTotal).as("bloom_skips"))
+      .orderBy("doc_id")
+  }
+
   // ---- p17: partition-spec evolution ------------------------------------
 
   /** Land the two eras: days before the newest under the ORIGINAL spec
@@ -1644,6 +1739,14 @@ object Sinks {
     // width arithmetic — equality proves stats-based file skipping is
     // semantically invisible (and the census row pins the pruning)
     "p16_stats_skipping" -> p16Sql,
+    // p23: the point lookup replayed as a full scan; the three census
+    // booleans are literals the construction proves (footer-measured —
+    // bloom membership is not SQL-replayable; the st14/s02 pattern)
+    "p23_bloom_skipping" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "true AS multi_rowgroup, true AS minmax_blind, true AS bloom_skips " +
+        "FROM documents WHERE doc_id = (SELECT max(doc_id) // 2 FROM documents) " +
+        "ORDER BY doc_id"),
     // p15: the full recompute IS the oracle — hash equality proves the
     // delta-refreshed view equals recomputing from scratch, with src
     // derived from the same day arithmetic

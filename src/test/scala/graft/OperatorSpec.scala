@@ -2304,6 +2304,29 @@ class OperatorSpec extends AnyFunSuite {
       "compaction must be semantically invisible to the read")
   }
 
+  test("p23 bloom skipping: zone maps blind, bloom prunes hard, present keys never skipped") {
+    val root = Sinks.p23Land(spark, sf)
+    val nDocs = graft.core.Tables(spark, sf, "documents").count()
+    val key = (nDocs - 1) / 2
+    val (nTotal, nMinMax, nBloom) = Sinks.p23Census(spark, root, key)
+    assert(nTotal >= 4, s"layout must fragment into row groups: $nTotal")
+    // the counterfactual, numerically: on the scattered high-NDV
+    // column min/max prunes NOTHING while the bloom keeps only the
+    // group(s) that hold the key (plus bounded false positives)
+    assert(nMinMax == nTotal, s"zone maps should be blind here: $nMinMax/$nTotal")
+    assert(nBloom * 2 <= nTotal,
+      s"bloom should prune at least half the groups: $nBloom/$nTotal")
+    // no false negatives anywhere in the id domain: a present key's
+    // own group must always bloom-hit (sampled sweep, deterministic)
+    (0L until nDocs by math.max(1L, nDocs / 37)).foreach { k =>
+      val (_, _, b) = Sinks.p23Census(spark, root, k)
+      assert(b >= 1, s"present key $k bloom-skipped everywhere (false negative)")
+    }
+    // and an ABSENT key prunes every group (the point-lookup win)
+    val (_, _, bAbsent) = Sinks.p23Census(spark, root, nDocs * 1000 + 7)
+    assert(bAbsent == 0, s"absent key should bloom-miss every group: $bAbsent")
+  }
+
   test("p21 compaction is crash-safe: replay after a landed plan never re-applies positions") {
     import org.apache.spark.sql.functions._
     val root = Sinks.p18LandBase(spark, sf)

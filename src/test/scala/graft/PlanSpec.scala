@@ -789,6 +789,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"latest-per-src window missing:\n$p")
   }
 
+  test("p23 bloom point lookup: the equality predicate reaches the parquet scan") {
+    // the bloom only fires when the predicate is PUSHED — a post-scan
+    // filter would read every row group regardless of the footer
+    val p = formatted(operators.Sinks.p23BloomSkipping(spark, sf))
+    assert("PushedFilters: \\[.*EqualTo\\(doc_id".r.findFirstIn(p).isDefined,
+      s"doc_id equality must reach PushedFilters:\n$p")
+  }
+
   test("d16 edit join: keyed joins only, per-doc window, no product anywhere") {
     val p = plan(operators.Dedup.d16EditJoin(spark, sf))
     // candidate gen is a posting-list equi-join on gram; the verify
