@@ -587,6 +587,10 @@ object SparkEntry {
     // complement of p16's zone maps on a high-NDV unsorted column;
     // census invariants measured from the file's own footer
     "p23_bloom_skipping" -> (Sinks.p23BloomSkipping _),
+    // p24: the Z-order layout actually served — p08's Morton layout
+    // landed, 2-D predicate routed through per-file box manifests on
+    // both layouts, scanned-file counts hash-checked in the result
+    "p24_zorder_serve" -> (Sinks.p24ZorderServe _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)

@@ -900,6 +900,117 @@ object Sinks {
       .orderBy("layout")
   }
 
+  // ---- p24: SERVE the Z-order layout (p08 composed with p16) -----------
+
+  /** Land events PHYSICALLY Z-ORDERED on (user_id, hour) next to the
+    * ts-only counterfactual layout, each with a p16-style per-file
+    * min/max manifest over BOTH dimensions: p08's Morton arithmetic
+    * assigns the file id ([[P08Files]] z-ranges), `partitionBy(fid)`
+    * lands one file per range, and the manifest records each file's
+    * observed 2-D bounding box — the footer stats a scan planner
+    * prunes by, lifted into a routed manifest. */
+  private[graft] def p24Land(spark: SparkSession, dir: String): String = {
+    val root = graft.core.IO.scratchDir("graft-p24")
+    val ev = Tables.events(spark, dir).select(col("user_id").as("u"),
+      floor(unix_timestamp(col("ts")) / 3600).cast("long").as("tsb"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val t0 = ev.agg(min(col("tsb")).as("t0"))
+    val based = ev.crossJoin(broadcast(t0)) // 1-row attach
+      .select(col("u"), col("tsb"), col("cents"),
+        (col("tsb") - col("t0")).as("rel"))
+    val mx = based.agg(max(col("rel")).as("rmx"), max(col("u")).as("umx"))
+    val keyed = based.crossJoin(broadcast(mx)) // 1-row attach
+      .select(col("u"), col("tsb"), col("cents"),
+        expr(s"rel * $P08Grid div (rmx + 1)").as("rel12"),
+        expr(s"u * $P08Grid div (umx + 1)").as("ub12"))
+      .select(col("u"), col("tsb"), col("cents"), col("rel12"),
+        spread16(col("rel12")).bitwiseOR(shiftleft(spread16(col("ub12")), 1))
+          .as("zv"))
+      .select(col("u"), col("tsb"), col("cents"),
+        expr(s"zv div ${P08Grid * P08Grid / P08Files}").as("zfile"),
+        expr(s"rel12 div ${P08Grid / P08Files}").as("tfile"))
+    def land(fileCol: String, sub: String): Unit = {
+      keyed.select(col("u"), col("tsb"), col("cents"), col(fileCol).as("fid"))
+        .repartition(col("fid"))
+        .write.mode("overwrite").partitionBy("fid")
+        .option("compression", "zstd").parquet(s"$root/$sub")
+      spark.read.parquet(s"$root/$sub")
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+          min(col("tsb")).as("min_t"), max(col("tsb")).as("max_t"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/${sub}_manifest")
+    }
+    land("zfile", "z")
+    land("tfile", "t")
+    root
+  }
+
+  /** The 2-D manifest-routed read over layout `sub` — [[p16Read]]
+    * generalized to a bounding-box intersection: a file is scanned iff
+    * its (u, t) box intersects the predicate rectangle; the predicate
+    * stays as the residual filter on survivors. Returns (pruned scan,
+    * selected paths, total files). */
+  private[graft] def p24Read(spark: SparkSession, root: String, sub: String,
+      ulo: Long, uhi: Long, tlo: Long, thi: Long)
+      : (DataFrame, Seq[String], Long) = {
+    val man = spark.read.parquet(s"$root/${sub}_manifest")
+    val nTotal = man.count()
+    val selected = man.filter(col("max_u") >= ulo && col("min_u") <= uhi &&
+        col("max_t") >= tlo && col("min_t") <= thi)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val pruned =
+      if (selected.nonEmpty)
+        spark.read.option("basePath", s"$root/$sub").parquet(selected: _*)
+          .filter(col("u").between(ulo, uhi) && col("tsb").between(tlo, thi))
+      else {
+        val anyPath = man.orderBy("path").select("path").head().getString(0)
+        spark.read.option("basePath", s"$root/$sub").parquet(anyPath)
+          .filter(lit(false))
+      }
+    (pruned, selected, nTotal)
+  }
+
+  /** p24: the Z-ORDER LAYOUT ACTUALLY SERVED — round-16 missing item
+    * 4: p08 computed the Morton layout and its expected-scan-cost
+    * census; here the layout is LANDED and a 2-D predicate (the
+    * mid-box u ∈ [umx/8, umx/4], hour ∈ [t0+rmx/8, t0+rmx/4], derived
+    * from the same scalars the layout normalized by) reads through
+    * manifest routing against BOTH layouts. The gate publishes the
+    * query result next to the measured file-pruning census — expected
+    * scan cost becomes a SERVED plan property: the z-layout's files
+    * cluster both dimensions, so the 2-D box touches fewer files than
+    * the ts-only layout, whose every file spans the full user domain
+    * (its u-range prunes nothing). Everything — normalization,
+    * interleave, file split, per-file boxes, selection, result — is
+    * integer-deterministic, so the DuckDB oracle replays the ENTIRE
+    * chain including both scanned-file counts; OperatorSpec pins the
+    * exact selected file LIST and that both layouts' routed reads
+    * return identical rows. 100 TB: this is `OPTIMIZE ZORDER BY`
+    * + manifest pruning end to end — O(files) driver routing, scan
+    * cost O(selected), and the z/t counts in every result row keep the
+    * layout's advantage measurable in production. */
+  def p24ZorderServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = p24Land(spark, dir)
+    val sc = Tables.events(spark, dir)
+      .select(col("user_id").as("u"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("tsb"))
+      .agg(min(col("tsb")).as("t0"),
+        (max(col("tsb")) - min(col("tsb"))).as("rmx"),
+        max(col("u")).as("umx")).head()
+    val (t0, rmx, umx) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    val (ulo, uhi) = (umx / 8, umx / 4)
+    val (tlo, thi) = (t0 + rmx / 8, t0 + rmx / 4)
+    val (zdf, zsel, zn) = p24Read(spark, root, "z", ulo, uhi, tlo, thi)
+    val (_, tsel, tn) = p24Read(spark, root, "t", ulo, uhi, tlo, thi)
+    zdf.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(zn).as("z_files_total"),
+        lit(zsel.size.toLong).as("z_files_scanned"),
+        lit(tn).as("t_files_total"),
+        lit(tsel.size.toLong).as("t_files_scanned"))
+  }
+
   // ---- p15: incremental materialized-view maintenance ------------------
 
   /** The p15 view definition over a slice of events: revenue cents and
@@ -1795,6 +1906,31 @@ object Sinks {
         "UNION ALL SELECT doc_id, text, 1 FROM ins) " +
         s"SELECT doc_id, doc_id % $P12Buckets AS pk, CAST(ver AS BIGINT) AS ver, " +
         "length(text) AS n_chars FROM merged ORDER BY doc_id"),
+    // p24: the ENTIRE serve chain replayed — normalization, Morton
+    // interleave, file split, per-file 2-D boxes, manifest selection,
+    // and the routed query result — so even the scanned-file counts
+    // are hash-checked, not asserted
+    "p24_zorder_serve" ->
+      ("WITH ev AS (SELECT user_id AS u, CAST(floor(epoch(ts)/3600) AS BIGINT) AS tsb, " +
+        "CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+        "sc AS (SELECT min(tsb) AS t0, max(tsb) - min(tsb) AS rmx, max(u) AS umx FROM ev), " +
+        s"g24 AS (SELECT u, tsb, cents, (tsb - t0) * $P08Grid // (rmx + 1) AS rel12, " +
+        s"u * $P08Grid // (umx + 1) AS ub12 FROM ev, sc), " +
+        s"k24 AS (SELECT u, tsb, cents, (${p08SpreadSql("rel12")} | (${p08SpreadSql("ub12")} << 1)) " +
+        s"// ${P08Grid * P08Grid / P08Files} AS zfile, " +
+        s"rel12 // ${P08Grid / P08Files} AS tfile FROM g24), " +
+        "p24 AS (SELECT umx // 8 AS ulo, umx // 4 AS uhi, " +
+        "t0 + rmx // 8 AS tlo, t0 + rmx // 4 AS thi FROM sc), " +
+        "zman AS (SELECT zfile, min(u) AS mu, max(u) AS xu, min(tsb) AS mt, max(tsb) AS xt FROM k24 GROUP BY zfile), " +
+        "tman AS (SELECT tfile, min(u) AS mu, max(u) AS xu, min(tsb) AS mt, max(tsb) AS xt FROM k24 GROUP BY tfile), " +
+        "res AS (SELECT count(*) AS n_rows, CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents " +
+        "FROM k24, p24 WHERE u BETWEEN ulo AND uhi AND tsb BETWEEN tlo AND thi) " +
+        "SELECT res.n_rows, res.sum_cents, " +
+        "(SELECT count(*) FROM zman) AS z_files_total, " +
+        "(SELECT count(*) FROM zman, p24 WHERE xu >= ulo AND mu <= uhi AND xt >= tlo AND mt <= thi) AS z_files_scanned, " +
+        "(SELECT count(*) FROM tman) AS t_files_total, " +
+        "(SELECT count(*) FROM tman, p24 WHERE xu >= ulo AND mu <= uhi AND xt >= tlo AND mt <= thi) AS t_files_scanned " +
+        "FROM res"),
     "p08_zorder_layout" ->
       // the normalization, interleave, file split and box census
       // replayed in integer arithmetic; spread generated by the same

@@ -2327,6 +2327,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(bAbsent == 0, s"absent key should bloom-miss every group: $bAbsent")
   }
 
+  test("p24 z-order serve: exact pruned file list, identical rows from both layouts, z scans fewer") {
+    import org.apache.spark.sql.functions._
+    val root = Sinks.p24Land(spark, sf)
+    val sc = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").as("u"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("tsb"))
+      .agg(min(col("tsb")), max(col("tsb")) - min(col("tsb")), max(col("u")))
+      .head()
+    val (t0, rmx, umx) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    val (ulo, uhi, tlo, thi) = (umx / 8, umx / 4, t0 + rmx / 8, t0 + rmx / 4)
+    val (zdf, zsel, _) = Sinks.p24Read(spark, root, "z", ulo, uhi, tlo, thi)
+    val (tdf, tsel, _) = Sinks.p24Read(spark, root, "t", ulo, uhi, tlo, thi)
+    // the EXACT file list, re-derived from the data files themselves
+    // (never the manifest the read routed through): a file is selected
+    // iff its observed 2-D box intersects the predicate rectangle
+    def expect(sub: String): Seq[String] =
+      spark.read.parquet(s"$root/$sub")
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(min(col("u")).as("mu"), max(col("u")).as("xu"),
+          min(col("tsb")).as("mt"), max(col("tsb")).as("xt"))
+        .filter(col("xu") >= ulo && col("mu") <= uhi &&
+          col("xt") >= tlo && col("mt") <= thi)
+        .select("path").collect().map(_.getString(0)).toSeq.sorted
+    assert(zsel == expect("z"), s"z file list diverged: $zsel vs ${expect("z")}")
+    assert(tsel == expect("t"), s"t file list diverged: $tsel vs ${expect("t")}")
+    // pruning is semantically invisible: both routed reads return the
+    // SAME multiset — and exactly the unrouted full-scan filter
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("u", "tsb", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val zRows = rows(zdf)
+    assert(zRows == rows(tdf), "layouts must serve identical rows")
+    val full = rows(spark.read.parquet(s"$root/z")
+      .filter(col("u").between(ulo, uhi) && col("tsb").between(tlo, thi)))
+    assert(zRows == full, "routed read must equal the full-scan filter")
+    // the counterfactual, measured: the 2-D box touches strictly fewer
+    // z-files — the ts-only layout cannot prune on the user dimension
+    assert(zsel.size < tsel.size,
+      s"z-order must scan fewer files than ts-only: ${zsel.size} vs ${tsel.size}")
+  }
+
   test("p21 compaction is crash-safe: replay after a landed plan never re-applies positions") {
     import org.apache.spark.sql.functions._
     val root = Sinks.p18LandBase(spark, sf)
