@@ -371,6 +371,9 @@ object SparkEntry {
     // anchors + extension to maximal cross-doc matches >= 50 tokens
     // (Lee et al. 2022); brute-force oracle proves anchor losslessness
     "t27_long_dup_spans" -> (TextOps.t27LongDupSpans _),
+    // t06d: byte-level BPE — GPT-2-class regex pre-split + UTF-8 byte
+    // alphabet (hex-pair atoms), zero OOV; t06b's merge loop verbatim
+    "t06d_byte_bpe" -> (TextOps.t06dByteBpe _),
     // q34: explicit GROUPING SETS — caller-named grains next to q08
     // rollup / q16 cube; sentinel-coalesced slots, one Expand pass
     "q34_grouping_sets" -> (Relational.q34 _),

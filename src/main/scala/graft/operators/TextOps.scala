@@ -891,9 +891,17 @@ object TextOps {
     val w0 = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    var seqDf = w0.select(col("w"), col("n"),
+    t06TrainLoop(w0.select(col("w"), col("n"),
       concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
-        lit(" ")).as("seq")).cache()
+        lit(" ")).as("seq")), merges)
+  }
+
+  /** The merge-round loop shared by the word-level (t06b) and
+    * byte-level (t06d) trainers — identical given a starting
+    * (w, n, seq) vocabulary frame; only the alphabet differs. */
+  private[graft] def t06TrainLoop(seq0: DataFrame,
+      merges: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
+    var seqDf = seq0.cache()
     val pairsOf = expr(
       "transform(sequence(1, size(split(trim(seq), '  ')) - 1), " +
         "i -> concat(element_at(split(trim(seq), '  '), i), ' ', " +
@@ -964,7 +972,17 @@ object TextOps {
     * by the trainer oracle (reads b/z per round) and the encode oracle
     * (reads the final s$merges vocabulary). Each s CTE carries the
     * word so the trained segmentation stays addressable. */
-  private[graft] def t06bCtesSql(merges: Int): String = {
+  private[graft] def t06bCtesSql(merges: Int): String =
+    t06CtesSqlOver(merges,
+      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents",
+      "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '")
+
+  /** The trainer CTE chain over an explicit pre-tokenizer (`tokSql`,
+    * one `w` per row) and seq-0 builder (`seq0Sql`, an expression of
+    * `w`) — shared by the word-level (t06b/t06c) and byte-level (t06d)
+    * oracles; the merge rounds are alphabet-blind. */
+  private[graft] def t06CtesSqlOver(merges: Int, tokSql: String,
+      seq0Sql: String): String = {
     val roundsSql = (1 to merges).map { r =>
       s"pc$r AS MATERIALIZED (SELECT p AS pair, CAST(sum(n) AS BIGINT) AS pn FROM (" +
         "SELECT n, unnest(list_transform(range(1, len(string_split(trim(seq), '  '))), " +
@@ -976,9 +994,8 @@ object TextOps {
         s"' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq FROM s${r - 1}), " +
         s"z$r AS MATERIALIZED (SELECT CAST(sum(n * len(string_split(trim(seq), '  '))) AS BIGINT) AS pieces FROM s$r), "
     }.mkString
-    "WITH w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM (" +
-      "SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS w FROM documents) GROUP BY w), " +
-      "s0 AS MATERIALIZED (SELECT w, n, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS seq FROM w0), " +
+    s"WITH w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM ($tokSql) GROUP BY w), " +
+      s"s0 AS MATERIALIZED (SELECT w, n, $seq0Sql AS seq FROM w0), " +
       roundsSql
   }
 
@@ -1000,6 +1017,73 @@ object TextOps {
       "SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces, " +
       "CAST(sum(np) * 10000 // count(*) AS BIGINT) AS pieces_per_token_bp " +
       "FROM enc JOIN vp USING (w) GROUP BY doc_id ORDER BY doc_id"
+
+  // ---- t06d: byte-level BPE (GPT-2-class pre-split, no OOV) ------------
+
+  /** The GPT-2-CLASS pre-tokenizer, lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB) execute it identically: an optionally
+    * space-prefixed letter run, digit run, or punctuation run, with
+    * whitespace runs as their own tokens. GPT-2's exact rule spells
+    * the last alternative `\s+(?!\S)` (donate a run's final space to
+    * the next token) — RE2 has no lookahead, so a multi-space run
+    * keeps its last space instead; byte CONSERVATION holds either way
+    * (every byte of the text lands in exactly one pre-token —
+    * spec-pinned), which is the property that makes byte-level BPE
+    * OOV-free. */
+  private[graft] val T06dPat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** t06d: BYTE-LEVEL BPE — the production tokenization level
+    * (round-16 missing item 5): GPT-2/Llama-class trainers pre-split
+    * with a regex and operate on UTF-8 BYTES, so every input — unseen
+    * words, emoji, any script — segments with zero OOV (the byte
+    * alphabet covers everything; Radford et al. 2019 §2.2, public).
+    * t06b's trainer shape is reused verbatim ([[t06TrainLoop]] — the
+    * merge rounds are alphabet-blind, vocabulary-sized state,
+    * driver-side argmax); what changes is the alphabet: each
+    * pre-token's seq-0 is its UTF-8 bytes as fixed-width HEX PAIRS
+    * ("he" → " 68  65 "), which keeps merged symbols uniquely
+    * decodable by construction (every atom is exactly two hex digits —
+    * decimal atoms could collide after concatenation). Output is
+    * t06b's compression curve over the byte alphabet; the oracle
+    * replays pre-split, byte expansion, and every merge round through
+    * the SAME generated CTE chain as t06b ([[t06CtesSqlOver]]).
+    * OperatorSpec pins byte conservation (round-0 pieces == the
+    * corpus's exact byte count — word-level t06b provably loses the
+    * whitespace bytes) and the no-OOV property (an unseen word
+    * segments through the trained table without any fallback path). */
+  def t06dByteBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (rows, vocab) = t06dTrain(spark, dir, T06bMerges)
+    vocab.unpersist()
+    rows.toDF("round", "pair", "pair_n", "corpus_pieces").orderBy("round")
+  }
+
+  /** The byte-level trainer: GPT-2-class pre-tokens, hex-pair byte
+    * seq-0, then the shared merge loop. */
+  private[graft] def t06dTrain(spark: SparkSession, dir: String,
+      merges: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
+    val w0 = docs(spark, dir)
+      .select(explode(
+        regexp_extract_all(rtrim(col("text")), lit(T06dPat), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    t06TrainLoop(w0.select(col("w"), col("n"),
+      concat(lit(" "),
+        rtrim(regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)", "$1  ")),
+        lit(" ")).as("seq")), merges)
+  }
+
+  /** t06d oracle: the byte-level pre-split and seq-0 fed through the
+    * shared generated trainer chain. */
+  private[graft] def t06dOracleSql(merges: Int): String = {
+    val rows = (1 to merges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM b$r) AS pair, " +
+        s"(SELECT pn FROM b$r) AS pair_n, (SELECT pieces FROM z$r) AS corpus_pieces"
+    }.mkString(" UNION ALL ")
+    t06CtesSqlOver(merges,
+      s"SELECT unnest(regexp_extract_all(rtrim(text), '$T06dPat')) AS w FROM documents",
+      "' ' || rtrim(regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g')) || ' '")
+      .stripSuffix(", ") + " " + rows + " ORDER BY round"
+  }
 
   /** The t17 train+apply pipeline in DuckDB — GD-round CTEs GENERATED
     * per round (the s04 rule: changing [[T17Rounds]] cannot
@@ -2124,6 +2208,7 @@ object TextOps {
         "CAST(len(t.w) AS BIGINT) - coalesce(n_covered, 0) AS n_kept " +
         "FROM toks t LEFT JOIN spans USING (doc_id) ORDER BY doc_id"),
     "t06b_bpe_merges" -> t06bOracleSql(T06bMerges),
+    "t06d_byte_bpe" -> t06dOracleSql(T06bMerges),
     "t06c_bpe_encode" -> t06cOracleSql(T06bMerges),
     "t18_bm25" -> t18OracleSql,
     // persistence must be semantically invisible: t18b shares t18's

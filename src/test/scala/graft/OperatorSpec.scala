@@ -2408,6 +2408,49 @@ class OperatorSpec extends AnyFunSuite {
       "replay re-applied positions to an already-swapped file (double delete)")
   }
 
+  test("t06d byte BPE: exact byte conservation, word-level loses whitespace, unseen words never OOV") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables(spark, sf, "documents")
+    // CONSERVATION: the GPT-2-class pre-split covers every byte of the
+    // text exactly once — Σ octets(pre-tokens) == Σ octets(text)
+    val pre = d.select(explode(regexp_extract_all(
+      rtrim(col("text")), lit(TextOps.T06dPat), lit(0))).as("w"))
+    val byteTotal = pre.agg(sum(octet_length(col("w")))).head().getLong(0)
+    val textTotal = d.agg(sum(octet_length(rtrim(col("text"))))).head().getLong(0)
+    assert(byteTotal == textTotal,
+      s"pre-split must conserve every byte: $byteTotal vs $textTotal")
+    // the census vs t06b's word-level alphabet: whitespace-split drops
+    // exactly the whitespace bytes — byte-level's round-0 piece count
+    // is the text itself, word-level's is the text minus its spaces
+    val wordTotal = d.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .agg(sum(octet_length(col("w")))).head().getLong(0)
+    val wsBytes = d.agg(sum(octet_length(rtrim(col("text"))) -
+      octet_length(regexp_replace(rtrim(col("text")), "\\s", ""))))
+      .head().getLong(0)
+    assert(byteTotal == wordTotal + wsBytes,
+      s"word-level must lose exactly the whitespace: $byteTotal != $wordTotal + $wsBytes")
+    // NO-OOV: an unseen word (absent from the corpus, non-ASCII byte
+    // included) segments through the TRAINED merge table with no
+    // fallback path — every piece is whole hex-pair bytes and the
+    // pieces re-concatenate to the original byte string
+    val (rows, vocab) = TextOps.t06dTrain(spark, sf, TextOps.T06bMerges)
+    vocab.unpersist()
+    val word = "zqxjvé"
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    var seq = " " + hexOf(word).grouped(2).mkString("  ") + " "
+    rows.map(_._2).foreach { p =>
+      seq = seq.replace(" " + p.replace(" ", "  ") + " ",
+        " " + p.replace(" ", "") + " ")
+    }
+    val pieces = seq.trim.split("  ").toSeq
+    assert(pieces.forall(_.matches("([0-9A-F]{2})+")),
+      s"every piece must be whole bytes: $pieces")
+    assert(pieces.mkString == hexOf(word),
+      s"pieces must reconstruct the original bytes: $pieces")
+  }
+
   test("t27 long-dup spans: a common idiom never excises; a planted misaligned long dup is found exactly") {
     import spark.implicits._
     // 30 docs sharing one 5-gram idiom ("as a matter of fact") amid
