@@ -554,6 +554,11 @@ object SparkEntry {
     // re-linking through deleted nodes' surviving neighbors
     // (FreshDiskANN delete+consolidate on the s22 store)
     "s27_graph_delete" -> (Similarity.s27GraphDelete _),
+    // st19: streaming snapshot commits — p13's versioned table written
+    // per micro-batch (batchId-keyed manifest dirs, marker-last,
+    // overwrite-idempotent); time travel across the micro-batch history
+    "st19_streaming_snapshots" ->
+      (graft.streaming.StreamingOps.st19StreamingSnapshots _),
     // s29: persisted-graph serve — the walk over the src-bucketed
     // stored artifact's files alone (fresh parquet read, no memo);
     // shares s23's oracle (persistence semantically invisible)

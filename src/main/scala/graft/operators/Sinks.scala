@@ -263,6 +263,21 @@ object Sinks {
             .filter(col("snap") === v - 1).isEmpty) manifest
         else "manifest"
       }
+    p13CommitInto(spark, root, v, changes, baseManifest, manifest,
+      overwriteManifest = false)
+  }
+
+  /** The commit body against an EXPLICIT (base manifest, out manifest)
+    * pair — st19's seam: a streaming commit lands each snapshot's
+    * manifest rows in its OWN batchId-keyed dir with mode OVERWRITE,
+    * so a replayed micro-batch rewrites the identical rows instead of
+    * double-appending (exactly-once manifest rows, structurally). The
+    * write order is the marker discipline: the data dir `d/dv=v`
+    * first, the manifest dir LAST — its _SUCCESS is the commit
+    * marker a replay checks. */
+  private[graft] def p13CommitInto(spark: SparkSession, root: String,
+      v: Long, changes: DataFrame, baseManifest: String,
+      outManifest: String, overwriteManifest: Boolean): Unit = {
     // bounded scalar routing read (the p12 pattern): which buckets the
     // batch touches — never row data
     val touched = changes.select(col("pk")).distinct()
@@ -285,7 +300,8 @@ object Sinks {
     prev.join(tdf, Seq("pk"), "full_outer")
       .select(lit(v).as("snap"), col("pk"),
         when(col("hit").isNotNull, lit(v)).otherwise(col("dver")).as("dver"))
-      .coalesce(1).write.mode("append").parquet(s"$root/$manifest")
+      .coalesce(1).write.mode(if (overwriteManifest) "overwrite" else "append")
+      .parquet(s"$root/$outManifest")
   }
 
   /** The p13/p14 oracle: v0/v1/v2 re-derived from `documents` through

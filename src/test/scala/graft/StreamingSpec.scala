@@ -285,6 +285,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(vis.count() > 0, "the folded graph must walk")
   }
 
+  test("st19 streaming snapshots: per-batch commits equal batch p13; replay keeps manifest rows exactly-once") {
+    import org.apache.spark.sql.functions._
+    val (outDf, n, root) = StreamingOps.st19Core(spark, sf)
+    assert(n == 2, s"expected exactly 2 committed micro-batches, got $n")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.Sinks.p13TimeTravel(spark, sf)
+      .collect().map(key).toSeq
+    assert(streamed == batch,
+      s"streamed snapshots diverged from batch p13 (${streamed.size} vs ${batch.size} rows)")
+    // exactly-once manifest rows: one (snap, pk) entry across the
+    // whole commit history …
+    def manifest() = spark.read.parquet(s"$root/manifest*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val m0 = manifest()
+    assert(m0.map(r => (r._1, r._2)).distinct.size == m0.size,
+      s"duplicate manifest rows after the stream: $m0")
+    // … and a FORCED REPLAY of both committed batches is a no-op: the
+    // marker (each commit dir's _SUCCESS, written last) short-circuits,
+    // so the manifest — and therefore every snapshot — is unchanged
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    assert(!StreamingOps.st19CommitIfAbsent(spark, root, 1L,
+      graft.operators.Sinks.p12Changes(d)), "replayed batch 1 must skip")
+    assert(!StreamingOps.st19CommitIfAbsent(spark, root, 2L,
+      graft.operators.Sinks.p13Changes2(d)), "replayed batch 2 must skip")
+    assert(manifest() == m0, "a replay must not change the manifest")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
