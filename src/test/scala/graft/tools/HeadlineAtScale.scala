@@ -49,7 +49,13 @@ object HeadlineAtScale {
 
     val names = Seq("d13_incremental_dedup", "s11_persisted_ivf_pq",
       "e01_curation_pipeline", "e02_incremental_curation",
-      "e05_serving_pipeline")
+      "e05_serving_pipeline",
+      // the GRAPH CHAIN (round-16 verdict item 9): build the store,
+      // stream folds + compaction, serve the pruned graph, then the
+      // incremental graph curation census — the lifecycle the s29/s30
+      // round persisted, measured one decade up
+      "s22_knn_graph", "st18_streaming_graph", "s25_pruned_search",
+      "e07_incremental_curation")
     var failed = 0
     for (name <- names) {
       try {
@@ -60,6 +66,28 @@ object HeadlineAtScale {
           failed += 1
           println(s"HEADLINE100X $name FAILED: ${e.getMessage.take(300)}")
       }
+    }
+    // the fold-count-independence datapoint: the post-stream serve
+    // walks ONE compacted bucketed store whatever the fold count was —
+    // time the walk alone over st18's compacted adjacency
+    try {
+      val (folded, st18Sec) = time {
+        val (_, _, f) = graft.streaming.StreamingOps.st18Core(spark, dst)
+        f.localCheckpoint()
+      }
+      val sim = graft.operators.Similarity
+      val (_, walkSec) = time {
+        val (vis, _, _) = sim.s23WalkFrames(spark, sim.emb(spark, dst),
+          folded, sim.s23SeedFrontier(spark, dst, 8), 4, 8)
+        force(vis)
+      }
+      println(f"HEADLINE100X st18_compacted_store=$st18Sec%.1fs " +
+        f"postcompact_walk=$walkSec%.1fs (walk input = one bucketed " +
+        "store, fold-count-independent)")
+    } catch {
+      case e: Throwable =>
+        failed += 1
+        println(s"HEADLINE100X postcompact_walk FAILED: ${e.getMessage.take(300)}")
     }
     println(s"HEADLINE100X done failed=$failed")
     spark.stop()
