@@ -2601,10 +2601,11 @@ object Similarity {
   /** [[s23GraphSearch]] at explicit (rounds, beam) — the sweep seam. */
   private[graft] def s23At(spark: SparkSession, dir: String,
       rounds: Int, beamWidth: Int): DataFrame = {
-    // the graph is already the shared materialized checkpoint; the
-    // projection stays a narrow scan over it — no second copy
+    // the store read materializes ONCE per query (a transient
+    // per-query checkpoint — the walk references the edge set every
+    // round, and 4 re-scans of the parquet store cost ~0.8 s at sf0.1)
     val graph = s22KnnGraph(spark, dir)
-      .select(col("src_id"), col("dst_id"))
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
     s23Serve(spark, emb(spark, dir), graph,
       s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
   }
@@ -2815,7 +2816,9 @@ object Similarity {
   /** [[s24DiverseGraph]] at explicit degree — the sweep/spec seam. */
   private[graft] def s24At(spark: SparkSession, dir: String,
       degree: Int): DataFrame =
-    s24PruneOver(s22KnnGraph(spark, dir), emb(spark, dir), degree)
+    // one materialized read — the prune references g twice per round
+    s24PruneOver(s22KnnGraph(spark, dir).localCheckpoint(),
+      emb(spark, dir), degree)
 
   /** The prune over an explicit (already-materialized) candidate graph
     * and vector frame — the S25AtScale seam. */
@@ -3012,8 +3015,10 @@ object Similarity {
     Tables(spark, dir, "embeddings").filter(col("vec_id") < nBase)
       .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
     // base graph + FROZEN base model (cached by the graph build)
+    // materialized once: every st18 micro-batch back-link pass and the
+    // s26/e07 faces re-reference the base edge set
     val gBase = s22KnnGraph(spark, baseDir)
-      .select(col("src_id"), col("dst_id"))
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
     val (k1, k2) = d12Factors(nBase)
     val (cc, fc, assigned) = twoLevelModel(spark, baseDir, k1, k2, LloydRounds)
     // the stored base index: cell-keyed codes (s22ScoredAllAt's layout)
@@ -3193,7 +3198,8 @@ object Similarity {
     * graph build → tombstones → re-link pool → exact re-rank
     * CTE-for-CTE. */
   def s27GraphDelete(spark: SparkSession, dir: String): DataFrame =
-    s27ConsolidateOver(s22KnnGraph(spark, dir), emb(spark, dir),
+    s27ConsolidateOver(s22KnnGraph(spark, dir).localCheckpoint(),
+      emb(spark, dir),
       s16Tombstones(spark, dir), S22Degree)
 
   /** The consolidate over explicit (graph, vectors, tombstones) frames
@@ -3296,7 +3302,8 @@ object Similarity {
     * — the corpus never shuffles on label. The oracle replays build +
     * both seed tracks + every two-beam round CTE-for-CTE. */
   def s28FilteredGraphSearch(spark: SparkSession, dir: String): DataFrame = {
-    val graph = s22KnnGraph(spark, dir).select(col("src_id"), col("dst_id"))
+    val graph = s22KnnGraph(spark, dir)
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
     val all = emb(spark, dir)
     val lbl = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
