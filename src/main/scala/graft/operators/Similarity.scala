@@ -2991,7 +2991,7 @@ object Similarity {
     * substrate). */
   private[graft] case class S26Artifacts(baseDir: String, nBase: Long,
       gBase: DataFrame, cc: DataFrame, fc: DataFrame, k2: Int,
-      cb: DataFrame, codesByCell: DataFrame)
+      cb: DataFrame, codesByCell: DataFrame, probes: Int)
 
   /** One shared base build per (context, dir): s26, st18, and e07 all
     * consume the IDENTICAL deterministic artifacts (base slice, base
@@ -3000,15 +3000,24 @@ object Similarity {
     * the same way the graph consumers share [[s22Memo]] (round-16: the
     * three gates each paid a ~15 s rebuild at sf0.1 before this). */
   private val s26Memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), S26Artifacts]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Int), S26Artifacts]()
 
   private[graft] def s26BuildBase(spark: SparkSession,
       dir: String): S26Artifacts =
-    s26Memo.computeIfAbsent((spark.sparkContext.applicationId, dir),
-      _ => s26BuildBaseUncached(spark, dir))
+    s26BuildBaseAt(spark, dir, D11CellTarget, S06FineProbes)
 
-  private def s26BuildBaseUncached(spark: SparkSession,
-      dir: String): S26Artifacts = {
+  /** [[s26BuildBase]] at explicit (cellTarget, fineProbes) — the
+    * single-box at-scale seam (the S22AtScale knob rationale: one box
+    * shrinks cells to hold the per-node candidate budget, a
+    * 1000-executor cluster keeps the gate defaults). */
+  private[graft] def s26BuildBaseAt(spark: SparkSession, dir: String,
+      cellTarget: Long, fineProbes: Int): S26Artifacts =
+    s26Memo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, cellTarget, fineProbes),
+      _ => s26BuildBaseUncached(spark, dir, cellTarget, fineProbes))
+
+  private def s26BuildBaseUncached(spark: SparkSession, dir: String,
+      cellTarget: Long, fineProbes: Int): S26Artifacts = {
     val n = Tables(spark, dir, "embeddings").count()
     val nBase = n * S12BaseNum / S12BaseDen
     val baseDir = graft.core.IO.scratchDir("graft-s26")
@@ -3017,16 +3026,16 @@ object Similarity {
     // base graph + FROZEN base model (cached by the graph build)
     // materialized once: every st18 micro-batch back-link pass and the
     // s26/e07 faces re-reference the base edge set
-    val gBase = s22KnnGraph(spark, baseDir)
+    val gBase = s22GraphAt(spark, baseDir, cellTarget, fineProbes, S22Pool)
       .select(col("src_id"), col("dst_id")).localCheckpoint()
-    val (k1, k2) = d12Factors(nBase)
+    val (k1, k2) = d12FactorsAt(nBase, cellTarget)
     val (cc, fc, assigned) = twoLevelModel(spark, baseDir, k1, k2, LloydRounds)
     // the stored base index: cell-keyed codes (s22ScoredAllAt's layout)
     val cb = s07Codebooks(spark, baseDir, S07Rounds)
     val codesByCell = s07Encode(subvecs(spark, baseDir), cb)
       .select(col("vec_id"), col("sub"), col("cid").as("code"))
       .join(assigned.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
-    S26Artifacts(baseDir, nBase, gBase, cc, fc, k2, cb, codesByCell)
+    S26Artifacts(baseDir, nBase, gBase, cc, fc, k2, cb, codesByCell, fineProbes)
   }
 
   /** FORWARD edges for one delta slice against the frozen artifacts —
@@ -3038,7 +3047,7 @@ object Similarity {
     import graft.functions.VectorFunctions.array_dot
     val dq = delta.withColumn("nrm", sqrt(array_dot(col("e"), col("e"))))
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val fprobes = probeCellsOf(dq, a.cc, a.fc, a.k2, S06FineProbes)
+    val fprobes = probeCellsOf(dq, a.cc, a.fc, a.k2, a.probes)
       .select(col("qid"), col("cid").as("cell"))
     val dtab = subvecsOf(delta, S07Subspaces)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))

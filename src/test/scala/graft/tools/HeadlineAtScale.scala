@@ -49,13 +49,7 @@ object HeadlineAtScale {
 
     val names = Seq("d13_incremental_dedup", "s11_persisted_ivf_pq",
       "e01_curation_pipeline", "e02_incremental_curation",
-      "e05_serving_pipeline",
-      // the GRAPH CHAIN (round-16 verdict item 9): build the store,
-      // stream folds + compaction, serve the pruned graph, then the
-      // incremental graph curation census — the lifecycle the s29/s30
-      // round persisted, measured one decade up
-      "s22_knn_graph", "st18_streaming_graph", "s25_pruned_search",
-      "e07_incremental_curation")
+      "e05_serving_pipeline")
     var failed = 0
     for (name <- names) {
       try {
@@ -67,27 +61,122 @@ object HeadlineAtScale {
           println(s"HEADLINE100X $name FAILED: ${e.getMessage.take(300)}")
       }
     }
-    // the fold-count-independence datapoint: the post-stream serve
-    // walks ONE compacted bucketed store whatever the fold count was —
-    // time the walk alone over st18's compacted adjacency
+    // ---- the GRAPH CHAIN (round-16 verdict item 9): s22 build →
+    // st18-style folds → compaction → s25 serve → e07 census, at the
+    // SINGLE-BOX knob (cellTarget 64 / probes 2, the S22AtScale
+    // rationale: per-node candidates = probes·cellTarget, so one box
+    // shrinks cells where a 1000-executor cluster keeps the 1024/4
+    // gate defaults and spreads the identical linear total work; the
+    // gate defaults at 200k vectors put an ~8e8-pair scored join on
+    // one box, which is exactly what a cluster exists to spread)
     try {
-      val (folded, st18Sec) = time {
-        val (_, _, f) = graft.streaming.StreamingOps.st18Core(spark, dst)
-        f.localCheckpoint()
-      }
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val sim = graft.operators.Similarity
-      val (_, walkSec) = time {
-        val (vis, _, _) = sim.s23WalkFrames(spark, sim.emb(spark, dst),
-          folded, sim.s23SeedFrontier(spark, dst, 8), 4, 8)
+      val (kc, kp) = (64L, 2)
+      val (gStore, s22Sec) = time {
+        val g0 = sim.s22GraphAt(spark, dst, kc, kp, sim.S22Pool).localCheckpoint()
+        g0.count(); g0
+      }
+      println(f"HEADLINE100X s22_graph_store wall=$s22Sec%.1fs edges=${gStore.count()}")
+      // st18-style folds: frozen base artifacts once, then 3 delta
+      // slices fold in (fwd + back-links vs merge-on-read current)
+      val (a, baseSec) = time(sim.s26BuildBaseAt(spark, dst, kc, kp))
+      println(f"HEADLINE100X s26_base_build wall=$baseSec%.1fs nBase=${a.nBase}")
+      val allFull = sim.emb(spark, dst)
+      val nAll = graft.core.Tables(spark, dst, "embeddings").count()
+      val baseFull = sim.s22GraphAt(spark, a.baseDir, kc, kp, sim.S22Pool)
+        .select(col("src_id"), col("rnk").cast("long").as("rnk"),
+          col("dst_id"), col("cos_sim").cast("double").as("c"))
+        .localCheckpoint()
+      var versions = Seq((baseFull, -1L))
+      for (b <- 0 until 3) {
+        val lo = a.nBase + (nAll - a.nBase) * b / 3
+        val hi = a.nBase + (nAll - a.nBase) * (b + 1) / 3
+        val (_, foldSec) = time {
+          val slice = allFull.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          val fwd = sim.s26FwdEdges(spark, slice, allFull, a).localCheckpoint()
+          val tch = fwd.select(col("nid").as("src_id")).distinct()
+          val tagged = versions.map { case (df, t) =>
+            df.join(broadcast(tch), Seq("src_id"))
+              .select(col("src_id"), col("dst_id"), col("rnk"))
+              .withColumn("tag", lit(t)) }
+            .reduce(_ unionByName _)
+          val cur = tagged
+            .withColumn("mx", max(col("tag")).over(Window.partitionBy(col("src_id"))))
+            .filter(col("tag") === col("mx"))
+            .select(col("src_id"), col("dst_id"), col("rnk"))
+          val upd = sim.s26BackLinks(fwd, cur, allFull).localCheckpoint()
+          versions = versions :+ (fwd.select(col("qid").as("src_id"),
+            col("rnk").cast("long").as("rnk"), col("nid").as("dst_id"),
+            col("c")).unionByName(
+              upd.select(col("src_id"), col("rnk").cast("long").as("rnk"),
+                col("dst_id"), col("c"))).localCheckpoint(), b.toLong)
+        }
+        println(f"HEADLINE100X st18_fold_b$b wall=$foldSec%.1fs")
+      }
+      // the s30 compaction verb: all versions → one src-bucketed store
+      val ((_, compPath), compSec) = time(sim.s30CompactFrames(spark, versions))
+      println(f"HEADLINE100X s30_compaction wall=$compSec%.1fs")
+      // fold-count independence, MEASURED: the same walk over (a) the
+      // merge-on-read resolution of base + 3 fold dirs vs (b) the one
+      // compacted store — (b)'s input is one bucketed table whatever
+      // the fold count was
+      // the serve seed through the SAME cell-target's model the build
+      // trained (cached by twoLevelModel) — the S25AtScale discipline
+      val (k1, k2) = sim.d12FactorsAt(nAll, kc)
+      val (cc, fc, assigned) = sim.twoLevelModel(spark, dst, k1, k2, sim.LloydRounds)
+      val seed = sim.s23SeedOver(
+        sim.probeCells(spark, dst, cc, fc, k2), assigned, 8).localCheckpoint()
+      def walkWall(edges: org.apache.spark.sql.DataFrame): Double = {
+        val (_, sec) = time {
+          val (vis, _, _) = sim.s23WalkFrames(spark, allFull,
+            edges.select(col("src_id"), col("dst_id")), seed, 4, 8)
+          force(vis)
+        }
+        sec
+      }
+      val morTagged = versions.map { case (df, t) =>
+        df.select(col("src_id"), col("dst_id"), col("rnk")).withColumn("tag", lit(t)) }
+        .reduce(_ unionByName _)
+      val mor = morTagged
+        .withColumn("mx", max(col("tag")).over(Window.partitionBy(col("src_id"))))
+        .filter(col("tag") === col("mx"))
+      val morSec = walkWall(mor)
+      val comp = spark.read.parquet(compPath)
+      val compWalkSec = walkWall(comp)
+      println(f"HEADLINE100X serve_merge_on_read=$morSec%.1fs " +
+        f"serve_compacted=$compWalkSec%.1fs (compacted input = one " +
+        "bucketed store, fold-count-independent)")
+      // s25: occlusion-prune the folded graph, serve through the prune
+      val (_, s25Sec) = time {
+        val pruned = sim.s24PruneOver(
+          comp.select(col("src_id"), col("rnk"), col("dst_id"),
+            round(col("c"), 4).as("cos_sim")).localCheckpoint(),
+          allFull, sim.S24Degree)
+          .select(col("src_id"), col("dst_id")).localCheckpoint()
+        val (vis, _, _) = sim.s23WalkFrames(spark, allFull, pruned, seed, 4, 8)
         force(vis)
       }
-      println(f"HEADLINE100X st18_compacted_store=$st18Sec%.1fs " +
-        f"postcompact_walk=$walkSec%.1fs (walk input = one bucketed " +
-        "store, fold-count-independent)")
+      println(f"HEADLINE100X s25_prune_and_serve wall=$s25Sec%.1fs")
+      // e07: the incremental-curation census over base vs folded pairs
+      val (_, e07Sec) = time {
+        def pairsOf(edges: org.apache.spark.sql.DataFrame) =
+          edges.filter(round(col("c"), 4) >= graft.operators.Pipeline.E06Tau)
+            .select(least(col("src_id"), col("dst_id")).as("ida"),
+              greatest(col("src_id"), col("dst_id")).as("idb")).distinct()
+        val verdict = graft.operators.Pipeline.e07IncrementalVerdict(
+          pairsOf(baseFull).localCheckpoint(),
+          pairsOf(comp).localCheckpoint(),
+          allFull.filter(col("vec_id") < a.nBase).select("vec_id"),
+          allFull.filter(col("vec_id") >= a.nBase).select("vec_id"))
+        force(verdict)
+      }
+      println(f"HEADLINE100X e07_census wall=$e07Sec%.1fs")
     } catch {
       case e: Throwable =>
         failed += 1
-        println(s"HEADLINE100X postcompact_walk FAILED: ${e.getMessage.take(300)}")
+        println(s"HEADLINE100X graph_chain FAILED: ${e.toString.take(400)}")
     }
     println(s"HEADLINE100X done failed=$failed")
     spark.stop()
