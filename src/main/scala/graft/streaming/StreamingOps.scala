@@ -1380,14 +1380,36 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    // TIME TRAVEL across the micro-batch history: the manifest is the
-    // glob union of the base manifest + every batch's commit dir
+    // post-stream MANIFEST ROLL-UP (the s30 discipline on the commit
+    // log): the per-batch manifest dirs are what make replays
+    // exactly-once, but left alone the history is one tiny dir per
+    // micro-batch forever — fold them into ONE dir and time-travel
+    // from it alone (metadata-only, snapshots untouched; a crash
+    // mid-roll-up is harmless — the source dirs are read-only and the
+    // roll-up is an idempotent overwrite)
+    val rolled = st19RollUpManifests(spark, root)
+    // TIME TRAVEL across the micro-batch history from the rolled-up
+    // manifest alone
     val out = (0L to 2L).map { v =>
-      Sinks.p13Read(spark, root, v, "manifest*")
+      Sinks.p13Read(spark, root, v, rolled)
         .select(lit(v).as("snap"), col("doc_id"), col("ver"),
           length(col("text")).cast("long").as("n_chars"))
     }.reduce(_ unionByName _).orderBy("snap", "doc_id")
     (out, nBatches.get(), root)
+  }
+
+  /** Fold the base manifest + every batchId-keyed commit dir into one
+    * `manifest_rolled` dir — returns its name. Reads the glob union,
+    * writes one file; the per-batch dirs stay in place as the replay
+    * markers (dropping them would re-open the exactly-once window). */
+  private[graft] def st19RollUpManifests(spark: SparkSession,
+      root: String): String = {
+    // base + commit dirs named explicitly (a bare `manifest*` glob
+    // would re-ingest an earlier roll-up on replay)
+    spark.read.parquet(s"$root/manifest", s"$root/manifest_b*")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/manifest_rolled")
+    "manifest_rolled"
   }
 
   /** The guarded commit — the foreachBatch body and the spec's replay

@@ -298,11 +298,19 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed snapshots diverged from batch p13 (${streamed.size} vs ${batch.size} rows)")
     // exactly-once manifest rows: one (snap, pk) entry across the
     // whole commit history …
-    def manifest() = spark.read.parquet(s"$root/manifest*")
+    def manifest() = spark.read
+      .parquet(s"$root/manifest", s"$root/manifest_b*")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     val m0 = manifest()
     assert(m0.map(r => (r._1, r._2)).distinct.size == m0.size,
       s"duplicate manifest rows after the stream: $m0")
+    // the roll-up is metadata-identical to the commit history (and
+    // idempotent — a second roll-up rewrites the same rows)
+    def rolled() = spark.read.parquet(s"$root/manifest_rolled")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rolled() == m0, "rolled-up manifest must equal the history")
+    StreamingOps.st19RollUpManifests(spark, root)
+    assert(rolled() == m0, "a second roll-up must be a no-op")
     // … and a FORCED REPLAY of both committed batches is a no-op: the
     // marker (each commit dir's _SUCCESS, written last) short-circuits,
     // so the manifest — and therefore every snapshot — is unchanged

@@ -177,6 +177,7 @@ object HeadlineAtScale {
       case e: Throwable =>
         failed += 1
         println(s"HEADLINE100X graph_chain FAILED: ${e.toString.take(400)}")
+        e.printStackTrace()
     }
     println(s"HEADLINE100X done failed=$failed")
     spark.stop()
