@@ -1279,12 +1279,18 @@ object Dedup {
       val stepped = labels.join(viaNeighbors, col("node") === col("node2"), "left_outer")
         .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // (2) pointer jumping: follow my label's label
-      val next = stepped.as("x")
-        .join(stepped.select(col("node").as("n2"), col("lbl").as("l2")).as("y"),
-          col("x.lbl") === col("n2"), "left_outer")
-        .select(col("x.node").as("node"),
-          least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint()
+      // rebased: each round's checkpoint restarts from DEFAULT leaf
+      // stats — localCheckpoint preserves the pre-checkpoint plan's
+      // sizeInBytes, and across rounds those estimates COMPOUND
+      // (visitJoin multiplies child sizes) until the stats product
+      // overflows BigInteger during planning (hit at the 100× corpus)
+      val next = org.apache.spark.sql.GraftShims.rebaseCheckpoint(
+        stepped.as("x")
+          .join(stepped.select(col("node").as("n2"), col("lbl").as("l2")).as("y"),
+            col("x.lbl") === col("n2"), "left_outer")
+          .select(col("x.node").as("node"),
+            least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl"))
+          .localCheckpoint())
       val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
       unpersistLocalCheckpoint(labels)

@@ -30,4 +30,29 @@ object GraftShims {
       }
     case _ => ()
   }
+
+  /** Re-root a checkpointed Dataset on its materialized RDD with FRESH
+    * default statistics.
+    *
+    * `localCheckpoint()` truncates lineage but PRESERVES the original
+    * plan's sizeInBytes estimate on the LogicalRDD. In an iterative
+    * operator whose round r+1 joins round r's checkpoint, those
+    * estimates COMPOUND — visitJoin multiplies child sizes, so the
+    * estimate grows exponentially in round count until Catalyst's
+    * BigInt stats product overflows BigInteger during planning
+    * (surfaced by connectedComponents at the 100×-sf0.1 corpus,
+    * round 17). Rebasing each round's checkpoint on its RDD with
+    * default leaf stats keeps every iteration's plan estimate bounded
+    * by one round's shape. */
+  def rebaseCheckpoint(df: DataFrame): DataFrame = df match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          org.apache.spark.sql.classic.Dataset.ofRows(c.sparkSession,
+            org.apache.spark.sql.execution.LogicalRDD(
+              l.output, l.rdd)(c.sparkSession))
+        case _ => df
+      }
+    case _ => df
+  }
 }
