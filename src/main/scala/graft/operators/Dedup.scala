@@ -1242,7 +1242,13 @@ object Dedup {
     within.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
-  private val CCMaxIters = 25
+  // safety valve only — the loop exits at convergence, so a generous
+  // cap costs nothing on normal inputs (gate corpora converge in ~5).
+  // 25 was too tight for the 100×-sf0.1 e07 census: its τ=0.45 pair
+  // graph over 200k kNN edges has one sprawling high-diameter
+  // component, and one neighbor-min + one pointer jump per round
+  // shrinks label distance geometrically, not in a single hop
+  private val CCMaxIters = 64
 
   /** Distributed min-label connected components over an undirected pair
     * list (columns: ida, idb). Each round does (1) neighbor
@@ -1270,29 +1276,49 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // every round's checkpoint is REBASED: localCheckpoint preserves
+    // the pre-checkpoint plan's sizeInBytes, and across rounds those
+    // estimates COMPOUND (visitJoin multiplies child sizes) until the
+    // stats product overflows BigInteger during planning (hit at the
+    // 100×-sf0.1 e07 census, round 17)
+    def cp(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftShims.rebaseCheckpoint(df.localCheckpoint())
     var converged = false
     var iter = 0
     while (!converged && iter < CCMaxIters) {
       // (1) each node takes min(own label, neighbors' labels)
       val viaNeighbors = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("node2")).agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(viaNeighbors, col("node") === col("node2"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // (2) pointer jumping: follow my label's label
-      // rebased: each round's checkpoint restarts from DEFAULT leaf
-      // stats — localCheckpoint preserves the pre-checkpoint plan's
-      // sizeInBytes, and across rounds those estimates COMPOUND
-      // (visitJoin multiplies child sizes) until the stats product
-      // overflows BigInteger during planning (hit at the 100× corpus)
-      val next = org.apache.spark.sql.GraftShims.rebaseCheckpoint(
-        stepped.as("x")
-          .join(stepped.select(col("node").as("n2"), col("lbl").as("l2")).as("y"),
+      var jumped = cp(labels
+        .join(viaNeighbors, col("node") === col("node2"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      // (2) FULL pointer jumping — follow label chains to their
+      // fixpoint. A single jump per round converges in O(diameter)
+      // rounds, which on a path-shaped giant component (the 100×
+      // census's τ-threshold kNN graph) exceeds any fixed cap; path
+      // compression to the fixpoint restores the O(log n) total bound
+      // (each inner pass halves every chain, so the inner loop is
+      // O(log diameter) and gate-scale inputs exit after one pass).
+      var jumping = true
+      while (jumping) {
+        val nxt = cp(jumped.as("x")
+          .join(jumped.select(col("node").as("n2"), col("lbl").as("l2")).as("y"),
             col("x.lbl") === col("n2"), "left_outer")
           .select(col("x.node").as("node"),
-            least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl"))
-          .localCheckpoint())
+            least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl")))
+        jumping = nxt.as("n").join(jumped.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count() > 0
+        if (jumping) {
+          unpersistLocalCheckpoint(jumped)
+          jumped = nxt
+        } else {
+          unpersistLocalCheckpoint(nxt)
+        }
+      }
+      val next = jumped
       val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
       unpersistLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
