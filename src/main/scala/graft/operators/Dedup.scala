@@ -1283,23 +1283,36 @@ object Dedup {
     // 100×-sf0.1 e07 census, round 17)
     def cp(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftShims.rebaseCheckpoint(df.localCheckpoint())
-    var converged = false
+    // MIN-CONTRACTION rounds (the round-17 rewrite): the earlier
+    // neighbor-min + pointer-jump form converged in O(graph diameter)
+    // — compression flattens label POINTER chains, but the minimum
+    // still crawls one GRAPH hop per round, and the 100×-sf0.1 e07
+    // census's τ-threshold kNN graph has a giant component whose
+    // diameter beat any fixed cap. Contraction is geometric
+    // DETERMINISTICALLY: each round every supernode with a smaller
+    // neighbor merges into its minimum neighbor, so every non-minimal
+    // supernode disappears — a component's supernode count at least
+    // halves per round, done in O(log n) with `no edges left` the
+    // convergence certificate (every component fully contracted).
+    // Final labels are component minima, exactly the min-label
+    // contract the DuckDB closures replay.
+    var cedges = cp(edges.filter(col("src") =!= col("dst")).distinct())
+    var converged = cedges.isEmpty
     var iter = 0
     while (!converged && iter < CCMaxIters) {
-      // (1) each node takes min(own label, neighbors' labels)
-      val viaNeighbors = edges.join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("node2")).agg(min(col("lbl")).as("nlbl"))
+      // (1) each supernode's best merge target: its minimum neighbor,
+      // kept only when strictly smaller
+      val newMin = cedges.groupBy(col("dst").as("l"))
+        .agg(min(col("src")).as("m"))
+        .filter(col("m") < col("l"))
+      // (2) node labels route through the merge map …
       var jumped = cp(labels
-        .join(viaNeighbors, col("node") === col("node2"), "left_outer")
+        .join(newMin, col("lbl") === col("l"), "left_outer")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      // (2) FULL pointer jumping — follow label chains to their
-      // fixpoint. A single jump per round converges in O(diameter)
-      // rounds, which on a path-shaped giant component (the 100×
-      // census's τ-threshold kNN graph) exceeds any fixed cap; path
-      // compression to the fixpoint restores the O(log n) total bound
-      // (each inner pass halves every chain, so the inner loop is
-      // O(log diameter) and gate-scale inputs exit after one pass).
+          least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl")))
+      // … then label CHAINS compress to their fixpoint (merge targets
+      // may themselves have merged this round; chains are short, so
+      // this inner loop is 1-2 passes)
       var jumping = true
       while (jumping) {
         val nxt = cp(jumped.as("x")
@@ -1316,12 +1329,20 @@ object Dedup {
           unpersistLocalCheckpoint(nxt)
         }
       }
-      val next = jumped
-      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
       unpersistLocalCheckpoint(labels)
-      labels = next
-      converged = changed == 0
+      labels = jumped
+      // (3) contract the edge list through the new labels — the next
+      // round's graph is supernode-level, so the minimum spreads
+      // across whole merged regions per hop, not one vertex
+      val m = labels
+      val nextEdges = cp(cedges
+        .join(m.select(col("node").as("src"), col("lbl").as("s2")), Seq("src"))
+        .join(m.select(col("node").as("dst"), col("lbl").as("d2")), Seq("dst"))
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+      unpersistLocalCheckpoint(cedges)
+      cedges = nextEdges
+      converged = cedges.isEmpty
       iter += 1
     }
     unpersistLocalCheckpoint(edges)
