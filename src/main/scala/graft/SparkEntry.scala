@@ -113,6 +113,10 @@ object SparkEntry {
     "d06_embedding_neardup" -> (Dedup.d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_ngram_jaccard_capped" -> (Dedup.d08NgramJaccardCapped _),
+    // d17: shingle containment — Broder's asymmetric measure; flags a
+    // short doc substantially quoted inside a long one where Jaccard
+    // stays low (directional rows, d08's capped-postings scale shape)
+    "d17_containment_dedup" -> (Dedup.d17ContainmentDedup _),
     "d09_lsh_cosine_neardup" -> (Dedup.d09LshCosineNearDup _),
     // d11 SemDeDup — k-means cells + within-cell cosine census (the
     // n²/K scale answer to d06's exact quadratic tier)

@@ -101,6 +101,80 @@ object Dedup {
   private[graft] def capDf(nDocs: Long): Long =
     math.max(CapDfFloor, math.ceil(CapDfFrac * nDocs).toLong)
 
+  /** d17's directional containment threshold. */
+  private[graft] val D17Tau = 0.8
+
+  /** d17: SHINGLE-CONTAINMENT dedup — the ASYMMETRIC tier Jaccard
+    * structurally cannot express (Broder 1997's "containment", the
+    * second resemblance measure of the original shingling paper,
+    * public): containment(A→B) = |S(A) ∩ S(B)| / |S(A)| flags a SHORT
+    * document substantially quoted inside a much LONGER one — the
+    * aggregator/quote-farm shape a real curation pipeline must catch —
+    * where Jaccard stays low because the union is dominated by the
+    * container (spec-pinned with a planted short-in-long fixture that
+    * d03's threshold provably misses). Output is DIRECTIONAL: one row
+    * per (contained_id, container_id) with containment ≥ [[D17Tau]],
+    * both directions evaluated from ONE intersection pass.
+    *
+    * Scale shape is d08's verbatim: hashed distinct-shingle postings,
+    * the corpus-relative hot-shingle df cap (a stop-shingle shared by
+    * k docs is k² pair events on one key), count-based intersection
+    * via the shuffle-hash self-join, per-doc set sizes attached after
+    * aggregation. The oracle replays postings, cap, intersection, and
+    * BOTH directional emits with the identically-parameterized cap. */
+  def d17ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).count() // parquet metadata count, cheap
+    val sh = shingled(spark, dir)
+    val invAll = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > capDf(n)).select(col("s"))
+    val inv = invAll.join(hot, Seq("s"), "left_anti")
+    val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = inv.hint("shuffle_hash").as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+    val scored = inter
+      .join(broadcast(cnt.select(col("doc_id").as("ida"), col("n").as("na"))), "ida")
+      .join(broadcast(cnt.select(col("doc_id").as("idb"), col("n").as("nb"))), "idb")
+    def face(contained: String, container: String, sz: String): DataFrame =
+      scored.filter(col("i").cast("double") / col(sz) >= D17Tau)
+        .select(col(contained).as("contained_id"),
+          col(container).as("container_id"),
+          round(col("i").cast("double") / col(sz), 4).as("containment"),
+          col("i").as("n_shared"))
+    face("ida", "idb", "na").unionByName(face("idb", "ida", "nb"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  /** [[d17ContainmentDedup]] over an explicit (doc_id, text) frame —
+    * the planted short-in-long spec seam (no df cap: the fixture is
+    * tiny). */
+  private[graft] def d17Over(spark: SparkSession, d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+    val scored = inter
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+    def face(contained: String, container: String, sz: String): DataFrame =
+      scored.filter(col("i").cast("double") / col(sz) >= D17Tau)
+        .select(col(contained).as("contained_id"),
+          col(container).as("container_id"),
+          round(col("i").cast("double") / col(sz), 4).as("containment"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+            .as("jaccard"))
+    face("ida", "idb", "na").unionByName(face("idb", "ida", "nb"))
+      .orderBy("contained_id", "container_id")
+  }
+
   private[graft] val DecontamShingleK = 8
   private[graft] val DecontamMinShared = 4L
 
@@ -1486,6 +1560,25 @@ object Dedup {
     "d08_ngram_jaccard_capped" -> jaccardSqlWith(Some(
       s"greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
         "(SELECT count(*) FROM documents)) AS BIGINT))")),
+    // d17: the same capped postings + intersection as d08, then BOTH
+    // directional containment emits (Broder's second measure)
+    "d17_containment_dedup" ->
+      ("WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+        s"sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s " +
+        s"HAVING count(*) <= (greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
+        "(SELECT count(*) FROM documents)) AS BIGINT))))), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sc AS (SELECT ida, idb, i, ca.n AS na, cb.n AS nb FROM inter " +
+        "JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb) " +
+        "SELECT contained_id, container_id, containment, n_shared FROM (" +
+        s"SELECT ida AS contained_id, idb AS container_id, round(i / CAST(na AS DOUBLE), 4) AS containment, " +
+        s"i AS n_shared FROM sc WHERE i / CAST(na AS DOUBLE) >= $D17Tau " +
+        s"UNION ALL SELECT idb, ida, round(i / CAST(nb AS DOUBLE), 4), i FROM sc " +
+        s"WHERE i / CAST(nb AS DOUBLE) >= $D17Tau) " +
+        "ORDER BY contained_id, container_id"),
     "d07_dedup_clusters" ->
       ("WITH pairs AS (" + jaccardSql.replace(" ORDER BY ida, idb", "") + "), " +
         "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +

@@ -1497,12 +1497,16 @@ object TextOps {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         (col("b.pos") - col("a.pos")).as("delta"))
       .distinct()
-    // extension: candidate alignments broadcast into the gram table;
-    // matches meet on the shifted-position equi-join — never a product
+    // extension: candidate alignments join into the gram table;
+    // matches meet on the shifted-position equi-join — never a
+    // product. No broadcast hint: the alignment set is anchor-driven
+    // (duplication-sized, not corpus-sized), but at 100 TB a heavy-dup
+    // corpus could exceed the driver's broadcast budget — AQE picks
+    // broadcast whenever the set actually is small
     val gA = grams.select(col("doc_id").as("da"), col("pos"), col("gram"))
     val gB = grams.select(col("doc_id").as("db"), col("pos").as("pb"),
       col("gram"))
-    val matched = broadcast(cand).join(gA, Seq("da"))
+    val matched = cand.join(gA, Seq("da"))
       .withColumn("pb", col("pos") + col("delta"))
       .join(gB, Seq("db", "pb", "gram"))
       .select(col("da"), col("db"), col("delta"), col("pos"))

@@ -2451,6 +2451,32 @@ class OperatorSpec extends AnyFunSuite {
       s"pieces must reconstruct the original bytes: $pieces")
   }
 
+  test("d17 containment: a short doc quoted in a long one is caught where Jaccard provably misses") {
+    import spark.implicits._
+    // doc 1 = a 30-token passage; doc 2 = a 300-token page QUOTING it
+    // verbatim in the middle; doc 3 = unrelated. Containment(1→2) = 1.0
+    // while Jaccard(1,2) ≈ |S1|/|S2| ≈ 0.1 — the asymmetric case the
+    // operator exists for, stated as a gate: d03's threshold (0.6)
+    // cannot fire on this pair
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"u${seed}_$i").mkString(" ")
+    val passage = (0 until 30).map(i => s"q_$i").mkString(" ")
+    val d = Seq(
+      (1L, passage),
+      (2L, s"${words(1, 140)} $passage ${words(2, 130)}"),
+      (3L, words(3, 60))).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.d17Over(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 1, s"exactly the quoted passage should flag: ${out.toSeq}")
+    val (contained, container, cont, jac) = out.head
+    assert(contained == 1L && container == 2L,
+      s"direction must be short-into-long: ${out.toSeq}")
+    assert(cont == 1.0, s"verbatim quote must have containment 1.0: $cont")
+    // the counterfactual: Jaccard on the same pair sits far below any
+    // dedup threshold — symmetric similarity cannot see this shape
+    assert(jac < 0.2, s"Jaccard should be tiny on short-in-long: $jac")
+  }
+
   test("t27 long-dup spans: a common idiom never excises; a planted misaligned long dup is found exactly") {
     import spark.implicits._
     // 30 docs sharing one 5-gram idiom ("as a matter of fact") amid
