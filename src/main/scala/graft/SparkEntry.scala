@@ -603,6 +603,10 @@ object SparkEntry {
     // landed, 2-D predicate routed through per-file box manifests on
     // both layouts, scanned-file counts hash-checked in the result
     "p24_zorder_serve" -> (Sinks.p24ZorderServe _),
+    // p25: schema evolution across snapshots — commit 2 adds a column,
+    // old files stay byte-identical, reads reconcile both physical
+    // schemas with null backfill, time travel shows schema-as-of
+    "p25_schema_evolution" -> (Sinks.p25SchemaEvolution _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)

@@ -337,6 +337,99 @@ object Sinks {
       s"SELECT snap, doc_id, ver, n_chars FROM ($union) ORDER BY snap, doc_id"
   }
 
+  // ---- p25: schema evolution across snapshots ---------------------------
+
+  /** p25's derived new column — a deterministic pure function of the
+    * key, so both engines re-derive it bit-identically. */
+  private[graft] def p25LangOf(id: Column): Column =
+    when(id % 3 === 0, lit("en"))
+      .when(id % 3 === 1, lit("de"))
+      .otherwise(lit("fr"))
+
+  /** The SCHEMA-EVOLVING commit: [[p13CommitInto]]'s copy-on-write
+    * merge, but the rewritten touched buckets land WITH a brand-new
+    * `lang` column. Old commit directories are never touched (the
+    * evolution is write-side only — spec pins their bytes), so after
+    * this commit the table's files carry TWO physical schemas and the
+    * read reconciles them. */
+  private[graft] def p25CommitEvolved(spark: SparkSession, root: String,
+      v: Long, changes: DataFrame): Unit = {
+    val touched = changes.select(col("pk")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val base = p13Read(spark, root, v - 1)
+      .filter(col("pk").isin(touched: _*))
+    base.as("b")
+      .join(changes.as("c"), Seq("doc_id", "pk"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c.text"), col("b.text")).as("text"),
+        when(col("c.op").isNotNull, lit(v)).otherwise(col("b.ver")).as("ver"),
+        col("pk"))
+      .withColumn("lang", p25LangOf(col("doc_id")))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(s"$root/d/dv=$v")
+    val prev = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === v - 1).select(col("pk"), col("dver"))
+    val tdf = changes.select(col("pk")).distinct().withColumn("hit", lit(true))
+    prev.join(tdf, Seq("pk"), "full_outer")
+      .select(lit(v).as("snap"), col("pk"),
+        when(col("hit").isNotNull, lit(v)).otherwise(col("dver")).as("dver"))
+      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+  }
+
+  /** The schema-reconciling snapshot read: [[p13Read]]'s manifest
+    * routing with `mergeSchema` on, so a snapshot whose live files mix
+    * both physical schemas serves the EVOLVED logical schema with NULL
+    * backfill for rows from pre-evolution files — exactly Iceberg/
+    * Delta add-column semantics (no rewrite, no default materialized).
+    * A snapshot routed entirely to pre-evolution files has no `lang`
+    * field at all (schema-as-of); the caller decides how to surface
+    * that. */
+  private[graft] def p25Read(spark: SparkSession, root: String,
+      snap: Long): DataFrame = {
+    val paths = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === snap).select("dver", "pk")
+      .collect().map(r => s"$root/d/dv=${r.getLong(0)}/pk=${r.getLong(1)}")
+      .toSeq
+    val df = spark.read.option("basePath", s"$root/d")
+      .option("mergeSchema", "true").parquet(paths: _*)
+    val withLang =
+      if (df.columns.contains("lang")) df
+      else df.withColumn("lang", lit(null).cast("string"))
+    withLang.select(col("doc_id"), col("text"), col("ver"),
+      col("lang"), col("pk").cast("long").as("pk"))
+  }
+
+  /** p25: SCHEMA EVOLUTION across snapshots — the lakehouse verb p17
+    * covers for PARTITION specs, applied to the COLUMN schema
+    * (round-17 extension; Iceberg's add-column, Delta's
+    * mergeSchema=true append): commit 2 introduces a `lang` column,
+    * rewriting only its touched buckets with the new schema; every
+    * pre-evolution file stays byte-identical (spec-pinned), the
+    * manifest carries them forward, and the snapshot-2 read reconciles
+    * the two physical schemas with NULL backfill. Time travel shows
+    * schema-as-of: snapshot 1 predates the column, so its rows serve
+    * lang = NULL everywhere. The gate emits every snapshot's rows with
+    * (snap, doc_id, ver, lang, n_chars) and the oracle re-derives the
+    * whole table INCLUDING which rows carry a concrete lang — exactly
+    * the rows in commit-2-touched buckets, a set the oracle recomputes
+    * from the change rules. 100 TB: add-column costs zero data I/O on
+    * untouched files (the whole point), and the read tax is parquet
+    * footer schema merging over the routed snapshot only. */
+  def p25SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p25")
+    p13LandBase(spark, d, root)
+    p13Commit(spark, root, 1L, p12Changes(d))
+    p25CommitEvolved(spark, root, 2L, p13Changes2(d))
+    (0L to 2L).map { v =>
+      p25Read(spark, root, v).select(lit(v).as("snap"), col("doc_id"),
+        col("ver"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _).orderBy("snap", "doc_id")
+  }
+
   /** p14: VACUUM — drop snapshots below `retainFrom`, then delete
     * every commit-bucket directory NO surviving manifest row
     * references. The two-step order is the safety property: retention
@@ -1893,6 +1986,28 @@ object Sinks {
     // one untouched bucket rewritten, one version leaking into another
     // and the row-level hash breaks
     "p13_time_travel" -> p13OracleSql(0 to 2),
+    // p25: the full table re-derived INCLUDING which rows carry a
+    // concrete lang — exactly the commit-2-touched buckets' rows,
+    // recomputed from the change rules; snapshots 0-1 predate the
+    // column (schema-as-of null)
+    "p25_schema_evolution" ->
+      (p13V1Ctes +
+        s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
+        "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
+        "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
+        s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
+        "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
+        "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
+        "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
+        s"tb2 AS (SELECT DISTINCT doc_id % $P12Buckets AS pk FROM ch2) " +
+        "SELECT snap, doc_id, ver, lang, n_chars FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS snap, doc_id, ver, CAST(NULL AS VARCHAR) AS lang, length(text) AS n_chars FROM v0 " +
+        "UNION ALL SELECT CAST(1 AS BIGINT), doc_id, ver, CAST(NULL AS VARCHAR), length(text) FROM v1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), doc_id, ver, " +
+        s"CASE WHEN doc_id % $P12Buckets IN (SELECT pk FROM tb2) THEN " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END) " +
+        "ELSE CAST(NULL AS VARCHAR) END, length(text) FROM v2) " +
+        "ORDER BY snap, doc_id"),
     // published face = v1 exactly (the good merge; the bad candidate
     // never publishes); audits re-derived from the same v1 CTEs
     "p20_write_audit_publish" -> (p13V1Ctes +

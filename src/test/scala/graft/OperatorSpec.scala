@@ -2327,6 +2327,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(bAbsent == 0, s"absent key should bloom-miss every group: $bAbsent")
   }
 
+  test("p25 schema evolution: old files byte-identical, schema-as-of on time travel, null backfill exact") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p25spec")
+    Sinks.p13LandBase(spark, d, root)
+    Sinks.p13Commit(spark, root, 1L, Sinks.p12Changes(d))
+    def md5s(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root, "d")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          base.relativize(p).toString -> dg.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = md5s()
+    Sinks.p25CommitEvolved(spark, root, 2L, Sinks.p13Changes2(d))
+    // add-column rewrites NOTHING outside its own commit dir — every
+    // pre-evolution file byte-identical (the zero-data-IO property)
+    val after = md5s()
+    before.foreach { case (path, hash) =>
+      assert(after.get(path).contains(hash),
+        s"schema evolution rewrote pre-evolution file $path") }
+    // schema-as-of: the snapshot-1 read's PHYSICAL schema has no lang
+    // field anywhere (p25Read backfills the logical column as null)
+    val s1 = Sinks.p25Read(spark, root, 1L)
+    assert(s1.filter(col("lang").isNotNull).count() == 0L,
+      "snapshot 1 predates the column — lang must be null everywhere")
+    // null backfill is EXACTLY the untouched buckets: snapshot 2 rows
+    // in commit-2-touched buckets all carry lang; all others null
+    val touched = Sinks.p13Changes2(d).select("pk").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sinks.p25Read(spark, root, 2L)
+      .select(col("doc_id"), col("pk"), col("lang")).collect()
+    s2.foreach { r =>
+      val (pk, lang) = (r.getLong(1), Option(r.getString(2)))
+      if (touched(pk))
+        assert(lang.isDefined, s"touched-bucket row ${r.getLong(0)} lost lang")
+      else
+        assert(lang.isEmpty, s"untouched-bucket row ${r.getLong(0)} grew lang")
+    }
+  }
+
   test("p24 z-order serve: exact pruned file list, identical rows from both layouts, z scans fewer") {
     import org.apache.spark.sql.functions._
     val root = Sinks.p24Land(spark, sf)
