@@ -135,9 +135,13 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("i"))
+    // no forced broadcast: the per-doc count table is CORPUS-sized
+    // (one row per doc — 16 GB at 1e9 docs), so a mandatory broadcast
+    // is exactly the driver-blowup d08's cap comment warns about; AQE
+    // broadcasts at gate scale where it actually fits
     val scored = inter
-      .join(broadcast(cnt.select(col("doc_id").as("ida"), col("n").as("na"))), "ida")
-      .join(broadcast(cnt.select(col("doc_id").as("idb"), col("n").as("nb"))), "idb")
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
     def face(contained: String, container: String, sz: String): DataFrame =
       scored.filter(col("i").cast("double") / col(sz) >= D17Tau)
         .select(col(contained).as("contained_id"),
