@@ -2463,12 +2463,70 @@ object Similarity {
     * release spec's observability seam. */
   private[graft] def graphMemoSizes: (Int, Int) = (s22Memo.size, s26Memo.size)
 
+  /** The per-query transient edge checkpoints [[servedOverEdges]]
+    * handed out — pinned while their serve results may still be
+    * consumed (the results reference them lazily), drained by
+    * [[releaseGraphStores]]. */
+  private val transientPins =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** The transient-pin discipline for graph consumers (round-17
+    * advice): s23/s24/s25/s27/s28 each materialize the stored graph
+    * ONCE per query as a localCheckpoint the walk/prune references
+    * every round. Left alone those corpus-sized edge pins accumulate
+    * executor storage across a long session until the ContextCleaner
+    * happens to GC them. Every such checkpoint is therefore
+    * REGISTERED here and [[releaseGraphStores]] — the family's
+    * eviction verb — unpersists them deterministically. (Releasing
+    * eagerly per query would require materializing the serve result
+    * inside the operator, which would collapse the serve plan the
+    * PlanSpecs pin; the registry keeps the plan intact and the release
+    * explicit.) */
+  private def servedOverEdges(edges: DataFrame)
+      (serve: DataFrame => DataFrame): DataFrame = {
+    val g = edges.localCheckpoint()
+    transientPins.add(g)
+    serve(g)
+  }
+
+  /** Pins currently registered — the release spec's seam. */
+  private[graft] def transientPinCount: Int = transientPins.size
+
+  /** Release every graph artifact THIS application holds: drop the
+    * memoized graph-store tables, unpersist the s26 base builds'
+    * checkpointed edge sets, and drain the transient serve pins — so a
+    * long-lived session holds NOTHING for the graph family after its
+    * last consumer (the round-16 advice's eviction path, completed per
+    * round-17 advice: gBase was abandoned still-pinned, and other
+    * applications' memo entries were dropped without their tables).
+    * Entries keyed by OTHER applicationIds stay memoized — their
+    * owners release them. The parquet files live in scratch dirs that
+    * self-delete at JVM exit; a later caller simply rebuilds. */
   private[graft] def releaseGraphStores(spark: SparkSession): Unit = {
-    s22Memo.forEach((k, v) =>
-      if (k._1 == spark.sparkContext.applicationId)
-        spark.sql(s"DROP TABLE IF EXISTS ${v._1}"))
-    s22Memo.clear()
-    s26Memo.clear()
+    import org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint
+    val app = spark.sparkContext.applicationId
+    val sIt = s22Memo.entrySet().iterator()
+    while (sIt.hasNext) {
+      val e = sIt.next()
+      if (e.getKey._1 == app) {
+        spark.sql(s"DROP TABLE IF EXISTS ${e.getValue._1}")
+        sIt.remove()
+      }
+    }
+    val aIt = s26Memo.entrySet().iterator()
+    while (aIt.hasNext) {
+      val e = aIt.next()
+      if (e.getKey._1 == app) {
+        unpersistLocalCheckpoint(e.getValue.gBase)
+        aIt.remove()
+      }
+    }
+    var p = transientPins.poll()
+    while (p != null) {
+      try unpersistLocalCheckpoint(p)
+      catch { case _: IllegalStateException => () } // owner context gone
+      p = transientPins.poll()
+    }
   }
 
   /** The UNCACHED, UNMEMOIZED build plan — the PlanSpec seam (a cached
@@ -2600,15 +2658,16 @@ object Similarity {
 
   /** [[s23GraphSearch]] at explicit (rounds, beam) — the sweep seam. */
   private[graft] def s23At(spark: SparkSession, dir: String,
-      rounds: Int, beamWidth: Int): DataFrame = {
+      rounds: Int, beamWidth: Int): DataFrame =
     // the store read materializes ONCE per query (a transient
     // per-query checkpoint — the walk references the edge set every
     // round, and 4 re-scans of the parquet store cost ~0.8 s at sf0.1)
-    val graph = s22KnnGraph(spark, dir)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
-    s23Serve(spark, emb(spark, dir), graph,
-      s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
-  }
+    // and is RELEASED once the result lands ([[servedOverEdges]])
+    servedOverEdges(s22KnnGraph(spark, dir)
+        .select(col("src_id"), col("dst_id"))) { graph =>
+      s23Serve(spark, emb(spark, dir), graph,
+        s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
+    }
 
   /** The walk's entry frontier — the top-`beamWidth` exact-ranked
     * members of the query's probed IVF cells (s06's scan, the
@@ -2816,9 +2875,11 @@ object Similarity {
   /** [[s24DiverseGraph]] at explicit degree — the sweep/spec seam. */
   private[graft] def s24At(spark: SparkSession, dir: String,
       degree: Int): DataFrame =
-    // one materialized read — the prune references g twice per round
-    s24PruneOver(s22KnnGraph(spark, dir).localCheckpoint(),
-      emb(spark, dir), degree)
+    // one materialized read — the prune references g twice per round;
+    // released once the (smaller) pruned graph lands
+    servedOverEdges(s22KnnGraph(spark, dir)) { g =>
+      s24PruneOver(g, emb(spark, dir), degree)
+    }
 
   /** The prune over an explicit (already-materialized) candidate graph
     * and vector frame — the S25AtScale seam. */
@@ -2926,12 +2987,12 @@ object Similarity {
 
   /** [[s25PrunedSearch]] at explicit (degree, rounds, beam). */
   private[graft] def s25At(spark: SparkSession, dir: String,
-      degree: Int, rounds: Int, beamWidth: Int): DataFrame = {
-    val pruned = s24At(spark, dir, degree)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
-    s23Serve(spark, emb(spark, dir), pruned,
-      s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
-  }
+      degree: Int, rounds: Int, beamWidth: Int): DataFrame =
+    servedOverEdges(s24At(spark, dir, degree)
+        .select(col("src_id"), col("dst_id"))) { pruned =>
+      s23Serve(spark, emb(spark, dir), pruned,
+        s23SeedFrontier(spark, dir, beamWidth), rounds, beamWidth)
+    }
 
   /** s25 oracle: s22 graph build + s24 prune chain + the s23 walk over
     * the pruned edge set `k<degree>`. */
@@ -3207,9 +3268,10 @@ object Similarity {
     * graph build → tombstones → re-link pool → exact re-rank
     * CTE-for-CTE. */
   def s27GraphDelete(spark: SparkSession, dir: String): DataFrame =
-    s27ConsolidateOver(s22KnnGraph(spark, dir).localCheckpoint(),
-      emb(spark, dir),
-      s16Tombstones(spark, dir), S22Degree)
+    servedOverEdges(s22KnnGraph(spark, dir)) { g =>
+      s27ConsolidateOver(g, emb(spark, dir),
+        s16Tombstones(spark, dir), S22Degree)
+    }
 
   /** The consolidate over explicit (graph, vectors, tombstones) frames
     * — the spec seam (the planted re-link fixture builds its own tiny
@@ -3310,9 +3372,9 @@ object Similarity {
     * materialized graph, doubled frontier, plus broadcast label joins
     * — the corpus never shuffles on label. The oracle replays build +
     * both seed tracks + every two-beam round CTE-for-CTE. */
-  def s28FilteredGraphSearch(spark: SparkSession, dir: String): DataFrame = {
-    val graph = s22KnnGraph(spark, dir)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
+  def s28FilteredGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    servedOverEdges(s22KnnGraph(spark, dir)
+        .select(col("src_id"), col("dst_id"))) { graph =>
     val all = emb(spark, dir)
     val lbl = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))

@@ -43,14 +43,19 @@ object GraftShims {
     * (surfaced by connectedComponents at the 100×-sf0.1 corpus,
     * round 17). Rebasing each round's checkpoint on its RDD with
     * default leaf stats keeps every iteration's plan estimate bounded
-    * by one round's shape. */
+    * by one round's shape. The checkpoint's outputPartitioning and
+    * outputOrdering ride along (round-17 advice): they are physical
+    * facts about the materialized RDD, so dropping them would make
+    * every consumer re-exchange data that is already hash-partitioned
+    * — ONLY the stats reset. */
   def rebaseCheckpoint(df: DataFrame): DataFrame = df match {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
       c.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           org.apache.spark.sql.classic.Dataset.ofRows(c.sparkSession,
             org.apache.spark.sql.execution.LogicalRDD(
-              l.output, l.rdd)(c.sparkSession))
+              l.output, l.rdd, l.outputPartitioning,
+              l.outputOrdering)(c.sparkSession))
         case _ => df
       }
     case _ => df

@@ -414,9 +414,17 @@ class OperatorSpec extends AnyFunSuite {
     // ---- the release path: after releaseGraphStores the session
     // holds nothing for the graph family, and a rebuild still serves
     val pre = Similarity.s22KnnGraph(spark, sf).collect().toSeq
+    // a serve consumer leaves its transient edge checkpoint REGISTERED
+    // (round-17 advice: these used to linger until GC); release drains
+    // it together with the memos
+    Similarity.s23GraphSearch(spark, sf).count()
+    assert(Similarity.transientPinCount > 0,
+      "a graph serve must register its transient edge checkpoint")
     Similarity.releaseGraphStores(spark)
     assert(Similarity.graphMemoSizes == ((0, 0)),
       "release must clear both graph-family memos")
+    assert(Similarity.transientPinCount == 0,
+      "release must drain the transient serve pins")
     val post = Similarity.s22KnnGraph(spark, sf).collect().toSeq
     assert(pre == post, "rebuild after release must reproduce the store")
     // ---- s30 compaction: base + one fold → exactly one sorted file
