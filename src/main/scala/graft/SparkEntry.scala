@@ -563,6 +563,11 @@ object SparkEntry {
     // overwrite-idempotent); time travel across the micro-batch history
     "st19_streaming_snapshots" ->
       (graft.streaming.StreamingOps.st19StreamingSnapshots _),
+    // st20: commit-log retention — HWM + vacuum over st19's per-batch
+    // manifest dirs, with a forced replay AFTER vacuum required to be
+    // a no-op in-gate; time travel still equals batch p13
+    "st20_commit_log_vacuum" ->
+      (graft.streaming.StreamingOps.st20CommitLogVacuum _),
     // s29: persisted-graph serve — the walk over the src-bucketed
     // stored artifact's files alone (fresh parquet read, no memo);
     // shares s23's oracle (persistence semantically invisible)
@@ -607,6 +612,10 @@ object SparkEntry {
     // old files stay byte-identical, reads reconcile both physical
     // schemas with null backfill, time travel shows schema-as-of
     "p25_schema_evolution" -> (Sinks.p25SchemaEvolution _),
+    // p26: schema evolution beyond add-column — int→long widening
+    // (mixed physical types served through the manifest-declared read
+    // schema with cast-on-read) and metadata-only column drop
+    "p26_schema_evolution2" -> (Sinks.p26SchemaEvolution2 _),
     // p19: dynamic partition pruning — dim-attribute predicate becomes
     // a RUNTIME partition filter on the day-partitioned fact scan
     // (PlanSpec pins the dynamicpruning expression)

@@ -322,18 +322,24 @@ object Sinks {
       "CASE WHEN c.op IS NOT NULL THEN CAST(1 AS BIGINT) ELSE b.ver END AS ver " +
       "FROM v0 b FULL OUTER JOIN ch1 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), "
 
-  private[graft] def p13OracleSql(snaps: Range): String = {
-    val union = snaps.map(v =>
-      s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v$v")
-      .mkString(" UNION ALL ")
-    p13V1Ctes +
-      s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
+  /** The ch2 → v2 block (second change batch, second merge) — shared
+    * by the p13/p14 time-travel oracles and p26's evolution oracle.
+    * Assumes [[p13V1Ctes]]'s `d`/`v1` are in scope; ends WITHOUT a
+    * trailing comma. */
+  private[graft] val p13V2Ctes: String =
+    s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
       "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
       "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
       s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
       "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
       "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
-      "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D') " +
+      "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D')"
+
+  private[graft] def p13OracleSql(snaps: Range): String = {
+    val union = snaps.map(v =>
+      s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, length(text) AS n_chars FROM v$v")
+      .mkString(" UNION ALL ")
+    p13V1Ctes + p13V2Ctes + " " +
       s"SELECT snap, doc_id, ver, n_chars FROM ($union) ORDER BY snap, doc_id"
   }
 
@@ -426,6 +432,194 @@ object Sinks {
     (0L to 2L).map { v =>
       p25Read(spark, root, v).select(lit(v).as("snap"), col("doc_id"),
         col("ver"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _).orderBy("snap", "doc_id")
+  }
+
+  // ---- p26: schema evolution II — type widening + column drop -----------
+
+  /** p26's scored column — a pure function of (doc_id, ver), so base
+    * rows carried through a merge keep their value and both engines
+    * re-derive it bit-identically. Rows versioned at-or-after the
+    * widening commit take values ABOVE Int.MaxValue — the payload that
+    * makes int→long widening load-bearing, not cosmetic. */
+  private[graft] def p26ScoreOf(id: Column, ver: Column): Column =
+    when(ver >= 2, id % 1000 + lit(3000000000L)).otherwise(id % 1000)
+
+  /** p26's droppable column — static in doc_id. */
+  private[graft] def p26TagOf(id: Column): Column =
+    concat(lit("t"), (id % 5).cast("string"))
+
+  /** Write one full-schema row set per declared schema version —
+    * the manifest-declared READ SCHEMA (Iceberg's `schemas` +
+    * `current-schema-id` metadata): `since` = the first snapshot the
+    * schema applies to, (name, dtype) in `ord` order. Time travel
+    * resolves schema-as-of by taking the largest `since` ≤ snapshot.
+    */
+  private[graft] def p26DeclareSchema(spark: SparkSession, root: String,
+      since: Long, cols: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    cols.zipWithIndex
+      .map { case ((n, t), i) => (since, i.toLong, n, t) }
+      .toDF("since", "ord", "name", "dtype")
+      .coalesce(1).write.mode("append").parquet(s"$root/schemas")
+  }
+
+  /** The declared read schema as of `snap` — a bounded metadata read
+    * (schema-version count × column count rows). */
+  private[graft] def p26SchemaAsOf(spark: SparkSession, root: String,
+      snap: Long): Seq[(String, String)] = {
+    val rows = spark.read.parquet(s"$root/schemas")
+      .filter(col("since") <= snap).collect()
+    val cur = rows.map(_.getLong(0)).max
+    rows.filter(_.getLong(0) == cur).sortBy(_.getLong(1))
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+  }
+
+  /** p26's base: p13's versioned layout plus `score` (stored INT32 —
+    * the pre-widening physical type) and `tag`, with the initial
+    * declared schema registered as schema-version 0. */
+  private[graft] def p26LandBase(spark: SparkSession, d: DataFrame,
+      root: String): Unit = {
+    d.withColumn("ver", lit(0L))
+      .withColumn("pk", pmod(col("doc_id"), lit(P12Buckets.toLong)))
+      .withColumn("score", p26ScoreOf(col("doc_id"), lit(0L)).cast("int"))
+      .withColumn("tag", p26TagOf(col("doc_id")))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(s"$root/d/dv=0")
+    spark.read.parquet(s"$root/d/dv=0").select(col("pk")).distinct()
+      .select(lit(0L).as("snap"), col("pk").cast("long").as("pk"),
+        lit(0L).as("dver"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    p26DeclareSchema(spark, root, 0L, Seq("doc_id" -> "bigint",
+      "text" -> "string", "ver" -> "bigint", "score" -> "int",
+      "tag" -> "string"))
+  }
+
+  /** p26's copy-on-write commit: p13's touched-bucket merge carrying
+    * the scored/tagged columns. `widen` picks the commit dir's
+    * PHYSICAL type for score — INT32 before the widening, INT64 from
+    * it on — so after the widening commit the table's live files mix
+    * two physical types for one logical column (what plain
+    * mergeSchema cannot serve — parquet schema merge errors on
+    * IntegerType vs LongType; [[p26Read]]'s declared-schema
+    * cast-on-read is the fix, and the spec pins the counterfactual).
+    */
+  private[graft] def p26Commit(spark: SparkSession, root: String, v: Long,
+      changes: DataFrame, widen: Boolean): Unit = {
+    val touched = changes.select(col("pk")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val base = p26Read(spark, root, v - 1)
+      .filter(col("pk").isin(touched: _*))
+    base.as("b")
+      .join(changes.as("c"), Seq("doc_id", "pk"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c.text"), col("b.text")).as("text"),
+        when(col("c.op").isNotNull, lit(v)).otherwise(col("b.ver")).as("ver"),
+        col("pk"))
+      .withColumn("score", p26ScoreOf(col("doc_id"), col("ver"))
+        .cast(if (widen) "bigint" else "int"))
+      .withColumn("tag", p26TagOf(col("doc_id")))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk")
+      .option("compression", "zstd").parquet(s"$root/d/dv=$v")
+    val prev = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === v - 1).select(col("pk"), col("dver"))
+    val tdf = changes.select(col("pk")).distinct().withColumn("hit", lit(true))
+    prev.join(tdf, Seq("pk"), "full_outer")
+      .select(lit(v).as("snap"), col("pk"),
+        when(col("hit").isNotNull, lit(v)).otherwise(col("dver")).as("dver"))
+      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+    if (widen)
+      p26DeclareSchema(spark, root, v, Seq("doc_id" -> "bigint",
+        "text" -> "string", "ver" -> "bigint", "score" -> "bigint",
+        "tag" -> "string"))
+  }
+
+  /** COLUMN DROP as a METADATA-ONLY commit (the Iceberg shape: no
+    * data file is read or written — the column simply leaves the
+    * declared schema): snapshot `v` re-points at snapshot v-1's exact
+    * commit dirs, and schema-version `v` omits the dropped column.
+    * Earlier snapshots still time-travel WITH the column
+    * (schema-as-of), and the bytes that store it remain on disk for
+    * them. */
+  private[graft] def p26DropColumn(spark: SparkSession, root: String,
+      v: Long, drop: String): Unit = {
+    spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === v - 1)
+      .select(lit(v).as("snap"), col("pk"), col("dver"))
+      .coalesce(1).write.mode("append").parquet(s"$root/manifest")
+    p26DeclareSchema(spark, root, v,
+      p26SchemaAsOf(spark, root, v - 1).filterNot(_._1 == drop))
+  }
+
+  /** The DECLARED-SCHEMA read (Iceberg field resolution): route the
+    * snapshot through the manifest as p13 does, but group the routed
+    * dirs BY COMMIT VERSION — each group's files share one physical
+    * schema, so each reads under its own parquet footer — then
+    * resolve every group to the declared schema-as-of: CAST columns
+    * whose physical type is narrower (int→long), NULL-backfill
+    * columns the group's files predate, and DROP columns the schema
+    * no longer declares (their bytes are simply never projected).
+    * Planning stays O(routed dirs) — the per-group scans are the same
+    * files one merged scan would read, just schema-resolved per group
+    * instead of footer-merged (which ERRORS on a widened column). */
+  private[graft] def p26Read(spark: SparkSession, root: String,
+      snap: Long): DataFrame = {
+    val sch = p26SchemaAsOf(spark, root, snap)
+    val routed = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === snap).select("dver", "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    routed.groupBy(_._1).toSeq.sortBy(_._1).map { case (dv, pks) =>
+      val df = spark.read.option("basePath", s"$root/d")
+        .parquet(pks.map { case (_, pk) => s"$root/d/dv=$dv/pk=$pk" }: _*)
+      df.select((sch.map { case (n, t) =>
+        (if (df.columns.contains(n)) col(n) else lit(null)).cast(t).as(n)
+      } :+ col("pk").cast("long").as("pk")): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** p26: SCHEMA EVOLUTION beyond add-column — TYPE WIDENING and
+    * COLUMN DROP on the p13 snapshot table (round-17 verdict item 2;
+    * Iceberg's update-column-type and drop-column verbs). p25 proved
+    * add-column, which plain parquet `mergeSchema` can serve; these
+    * two CANNOT ride mergeSchema — a widened column errors the footer
+    * merge outright (spec-pinned counterfactual) and a dropped column
+    * would simply resurface — so the table grows a MANIFEST-DECLARED
+    * READ SCHEMA ([[p26DeclareSchema]], versioned by first-applicable
+    * snapshot) and every read resolves physical files against it with
+    * cast-on-read ([[p26Read]]). The timeline: v0 base + v1 commit
+    * store score as INT32; v2 widens score to INT64 — only its
+    * touched buckets rewrite, and its changed rows take values above
+    * Int.MaxValue (the widening is load-bearing); v3 drops `tag` as a
+    * METADATA-ONLY commit (zero data I/O — the Iceberg drop shape).
+    * Time travel serves SCHEMA-AS-OF all four ways: snap ≤ 1 reads
+    * int-typed score files cast up, snap 2 mixes both physical types
+    * under one declared type, snap 3 serves the same files minus the
+    * dropped column (surfaced NULL in the flattened gate output, the
+    * p25 discipline). Pre-evolution files stay byte-identical
+    * (spec-pinned). The oracle re-derives all four snapshots AND both
+    * evolved columns from the change rules. 100 TB: widening costs
+    * one commit's touched buckets, drop costs ZERO data I/O, reads
+    * pay only per-commit-group schema resolution over the routed
+    * snapshot — exactly why warehouse tables evolve in metadata, not
+    * by rewriting petabytes. */
+  def p26SchemaEvolution2(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p26")
+    p26LandBase(spark, d, root)
+    p26Commit(spark, root, 1L, p12Changes(d), widen = false)
+    p26Commit(spark, root, 2L, p13Changes2(d), widen = true)
+    p26DropColumn(spark, root, 3L, "tag")
+    (0L to 3L).map { v =>
+      val s = p26Read(spark, root, v)
+      val tagged =
+        if (s.columns.contains("tag")) s
+        else s.withColumn("tag", lit(null).cast("string"))
+      tagged.select(lit(v).as("snap"), col("doc_id"), col("ver"),
+        col("score").cast("long").as("score"), col("tag"),
         length(col("text")).cast("long").as("n_chars"))
     }.reduce(_ unionByName _).orderBy("snap", "doc_id")
   }
@@ -1991,14 +2185,7 @@ object Sinks {
     // recomputed from the change rules; snapshots 0-1 predate the
     // column (schema-as-of null)
     "p25_schema_evolution" ->
-      (p13V1Ctes +
-        s"dlow AS (SELECT doc_id, text FROM d WHERE doc_id % $P12Buckets < 8), " +
-        "ch2 AS (SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text FROM dlow WHERE doc_id % 9 = 4 " +
-        "UNION ALL SELECT doc_id, 'U', 'rev3: ' || text FROM dlow WHERE doc_id % 6 = 1 AND doc_id % 9 <> 4 " +
-        s"UNION ALL SELECT doc_id + ${2L * P12InsOffset}, 'I', 'ins2: ' || text FROM dlow WHERE doc_id % 10 = 3), " +
-        "v2 AS (SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, coalesce(c.text, b.text) AS text, " +
-        "CASE WHEN c.op IS NOT NULL THEN CAST(2 AS BIGINT) ELSE b.ver END AS ver " +
-        "FROM v1 b FULL OUTER JOIN ch2 c ON b.doc_id = c.doc_id WHERE coalesce(c.op, '') <> 'D'), " +
+      (p13V1Ctes + p13V2Ctes + ", " +
         s"tb2 AS (SELECT DISTINCT doc_id % $P12Buckets AS pk FROM ch2) " +
         "SELECT snap, doc_id, ver, lang, n_chars FROM (" +
         "SELECT CAST(0 AS BIGINT) AS snap, doc_id, ver, CAST(NULL AS VARCHAR) AS lang, length(text) AS n_chars FROM v0 " +
@@ -2008,6 +2195,23 @@ object Sinks {
         "(CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END) " +
         "ELSE CAST(NULL AS VARCHAR) END, length(text) FROM v2) " +
         "ORDER BY snap, doc_id"),
+    // p26: widening + drop — all four snapshots re-derived with score
+    // a pure f(doc_id, ver) (values above Int.MaxValue from ver≥2 —
+    // the widening payload) and tag NULL exactly from the drop
+    // snapshot on (schema-as-of)
+    "p26_schema_evolution2" ->
+      (p13V1Ctes + p13V2Ctes + ", " +
+        "v3 AS (SELECT * FROM v2) " +
+        "SELECT snap, doc_id, ver, score, tag, n_chars FROM (" +
+        (0 to 3).map { v =>
+          s"SELECT CAST($v AS BIGINT) AS snap, doc_id, ver, " +
+            "CAST(CASE WHEN ver >= 2 THEN doc_id % 1000 + 3000000000 " +
+            "ELSE doc_id % 1000 END AS BIGINT) AS score, " +
+            (if (v >= 3) "CAST(NULL AS VARCHAR) AS tag, "
+             else "'t' || CAST(doc_id % 5 AS VARCHAR) AS tag, ") +
+            s"length(text) AS n_chars FROM v$v"
+        }.mkString(" UNION ALL ") +
+        ") ORDER BY snap, doc_id"),
     // published face = v1 exactly (the good merge; the bad candidate
     // never publishes); audits re-derived from the same v1 CTEs
     "p20_write_audit_publish" -> (p13V1Ctes +

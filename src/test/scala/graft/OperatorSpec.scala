@@ -2381,6 +2381,67 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("p26 widening+drop: mergeSchema counterfactual fails, old files byte-pinned, schema-as-of types, widened values served") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = graft.core.IO.scratchDir("graft-p26spec")
+    Sinks.p26LandBase(spark, d, root)
+    Sinks.p26Commit(spark, root, 1L, Sinks.p12Changes(d), widen = false)
+    def md5s(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(root, "d")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          base.relativize(p).toString -> dg.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = md5s()
+    Sinks.p26Commit(spark, root, 2L, Sinks.p13Changes2(d), widen = true)
+    Sinks.p26DropColumn(spark, root, 3L, "tag")
+    // widening + drop rewrite NOTHING outside the widening commit's
+    // own dir (drop is metadata-only — zero data I/O)
+    val after = md5s()
+    before.foreach { case (path, hash) =>
+      assert(after.get(path).contains(hash),
+        s"evolution rewrote pre-evolution file $path") }
+    // THE COUNTERFACTUAL the manifest-declared read schema exists for:
+    // a plain mergeSchema read over snapshot 2's mixed physical types
+    // (score INT32 in carried dirs, INT64 in the widening commit's)
+    // cannot serve the table — the footer merge throws
+    val mixed = spark.read.parquet(s"$root/manifest")
+      .filter(col("snap") === 2L).select("dver", "pk")
+      .collect().map(r => s"$root/d/dv=${r.getLong(0)}/pk=${r.getLong(1)}")
+      .toSeq
+    val ex = intercept[Exception] {
+      spark.read.option("basePath", s"$root/d")
+        .option("mergeSchema", "true").parquet(mixed: _*).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("merge")
+        || ex.getMessage.toLowerCase.contains("incompatible"),
+      s"expected a schema-merge failure, got: ${ex.getMessage.take(200)}")
+    // schema-as-of drives the served TYPE: snap 1 serves score as the
+    // declared pre-widening int, snap 2-3 as long; snap 3 has no tag
+    assert(Sinks.p26Read(spark, root, 1L).schema("score").dataType ==
+      org.apache.spark.sql.types.IntegerType, "snap 1 must serve int score")
+    assert(Sinks.p26Read(spark, root, 2L).schema("score").dataType ==
+      org.apache.spark.sql.types.LongType, "snap 2 must serve long score")
+    assert(!Sinks.p26Read(spark, root, 3L).columns.contains("tag"),
+      "snap 3 must not declare the dropped column")
+    assert(Sinks.p26Read(spark, root, 2L).columns.contains("tag"),
+      "snap 2 must still declare tag — drop is as-of snapshot 3 only")
+    // the widening is load-bearing: snapshot 2 serves values above
+    // Int.MaxValue, and they are exactly the ver-2 rows
+    val wide = Sinks.p26Read(spark, root, 2L)
+      .filter(col("score") > Int.MaxValue.toLong)
+    assert(wide.count() > 0, "no widened value served — widening is dead")
+    assert(wide.filter(col("ver") =!= 2L).count() == 0L,
+      "only ver-2 rows may carry widened scores")
+  }
+
   test("p24 z-order serve: exact pruned file list, identical rows from both layouts, z scans fewer") {
     import org.apache.spark.sql.functions._
     val root = Sinks.p24Land(spark, sf)

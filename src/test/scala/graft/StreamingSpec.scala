@@ -323,6 +323,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(manifest() == m0, "a replay must not change the manifest")
   }
 
+  test("st20 commit-log vacuum: O(1) dirs, replay-after-vacuum no-op, serve unchanged, log stays writable") {
+    import org.apache.spark.sql.functions._
+    val (outDf, n, root) = StreamingOps.st20Core(spark, sf)
+    assert(n == 2, s"expected exactly 2 committed micro-batches, got $n")
+    // O(1) retention: the batchId-keyed commit dirs are GONE — the
+    // rolled manifest + the HWM mark are the whole remaining history
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/manifest_b*"))).toSeq.flatten
+    assert(leftover.isEmpty, s"commit dirs survived the vacuum: " +
+      leftover.map(_.getPath.getName).mkString(", "))
+    assert(StreamingOps.commitLogHwm(spark, root) == 2L,
+      "HWM must record the largest absorbed snapshot")
+    // serve unchanged: the vacuumed table still time-travels to
+    // exactly the batch p13 snapshots (st20Core already forced the
+    // replay-after-vacuum no-ops via its own require()s)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = outDf.collect().map(key).toSeq
+    val batch = graft.operators.Sinks.p13TimeTravel(spark, sf)
+      .collect().map(key).toSeq
+    assert(streamed == batch, "post-vacuum snapshots diverged from batch p13")
+    // the log stays WRITABLE: a NEW commit (v=3 > HWM) is not blocked
+    // by the watermark and bases on the rolled-up manifest (its
+    // predecessor's dir was vacuumed)
+    val d = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    assert(StreamingOps.st19CommitIfAbsent(spark, root, 3L,
+      graft.operators.Sinks.p13Changes2(d)),
+      "a fresh commit above the HWM must run")
+    val v2 = graft.operators.Sinks.p13Read(spark, root, 2L, "manifest_rolled")
+    val v3 = graft.operators.Sinks.p13Read(spark, root, 3L, "manifest_b3")
+    assert(v3.count() == v2.count(),
+      "the post-vacuum commit must produce a coherent snapshot")
+    assert(v3.filter(col("ver") === 3L).count() > 0,
+      "the post-vacuum commit must version its changed rows")
+  }
+
   test("st07 streaming delta-vs-index dedup: planted near-dup flagged, fresh content not, matches batch") {
     import spark.implicits._
     import graft.operators.Dedup
