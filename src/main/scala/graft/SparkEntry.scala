@@ -34,7 +34,10 @@ object SparkEntry {
     // s07's exhaustive ADC scans all n code rows per query batch; s09
     // restricts the same scoring to the probed cells — the capped
     // deploy form of the identical quantizer (round-12 verdict item 4)
-    "s07_pq_adc" -> Seq("s09_ivf_pq"))
+    "s07_pq_adc" -> Seq("s09_ivf_pq"),
+    // d17's exact directional intersections vs d18's bottom-k sample
+    // estimate + restricted exact verify (round-17 verdict item 3)
+    "d17_containment_dedup" -> Seq("d18_sketch_containment"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,6 +120,9 @@ object SparkEntry {
     // short doc substantially quoted inside a long one where Jaccard
     // stays low (directional rows, d08's capped-postings scale shape)
     "d17_containment_dedup" -> (Dedup.d17ContainmentDedup _),
+    // d18: containment at the sketch tier — bottom-k sample estimate,
+    // candidates at tau-margin, exact verify on survivors (d17 = twin)
+    "d18_sketch_containment" -> (Dedup.d18SketchContainment _),
     "d09_lsh_cosine_neardup" -> (Dedup.d09LshCosineNearDup _),
     // d11 SemDeDup — k-means cells + within-cell cosine census (the
     // n²/K scale answer to d06's exact quadratic tier)

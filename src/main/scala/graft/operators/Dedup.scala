@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
   /** d01: exact-duplicate census — one aggregation over the text hash. */
@@ -48,7 +48,7 @@ object Dedup {
   private val JaccardThreshold = 0.6
 
   /** Distinct word-3-gram set per doc. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
 
   /** Exact Jaccard over distinct shingle sets for pairs of docs given as
@@ -177,6 +177,107 @@ object Dedup {
             .as("jaccard"))
     face("ida", "idb", "na").unionByName(face("idb", "ida", "nb"))
       .orderBy("contained_id", "container_id")
+  }
+
+  /** d18's sample size (bottom-k per doc) and estimate margin. k=128
+    * puts the directional estimate's Hoeffding bound at
+    * P(|ĉ−C| > 0.25) ≤ 2·exp(−2·128·0.25²) ≈ 2e−7 per pair — the
+    * d04-class miss-probability argument, measured (not assumed) by
+    * OperatorSpec's error-bound gate. */
+  private[graft] val D18K = 128
+  private[graft] val D18Margin = 0.25
+
+  /** d18: CONTAINMENT AT THE SKETCH TIER — the deploy form of d17
+    * (round-17 verdict item 3; the d03→d08 relationship repeated on
+    * the asymmetric measure): d17 computes EXACT intersections over
+    * every co-shingled pair, so a pair of big docs costs |doc|-bounded
+    * pair events; d18 bounds the sketch tier's per-doc contribution by
+    * k using a BOTTOM-K SAMPLE (Broder's min-wise sampling / the KMV
+    * sketch, public): a doc's k smallest shingle hashes are a uniform
+    * sample of its shingle set, so the fraction of them found in
+    * another doc's postings estimates the DIRECTIONAL containment
+    * |A∩B|/|A| directly — no Jaccard detour, whose union-sketch
+    * estimate amplifies error by |A∪B|/|A| on exactly the asymmetric
+    * pairs containment exists for. The size census (exact per-doc
+    * set sizes, one aggregate) finishes the estimator: ĉ(A→B) =
+    * m/min(k,|A|), EXACT when |A| ≤ k (the sample is the whole set).
+    *
+    * Chain: capped postings (d08's corpus-relative hot-shingle cap) →
+    * bottom-k sample join (the ONLY corpus-wide pair work, k-bounded
+    * per doc on the probe side) → survivors at τ−margin → EXACT
+    * verification restricted to candidate docs (d04's verify
+    * discipline, the join order plan-pinned by construction: the
+    * corpus-sized postings are semi-joined to candidate docs BEFORE
+    * any pair enumeration) → d17's directional faces at τ. Output ==
+    * d17's rows whenever the sampler's ≈2e−7 per-pair miss doesn't
+    * fire, so it shares d17's oracle verbatim and d17 is its DECLARED
+    * EXACT TWIN ([[graft.SparkEntry.exactTwins]]). OperatorSpec gates
+    * the error bound (max |ĉ−C| over all candidate pairs), the catch
+    * rate vs d17, and the planted short-in-long fixture. */
+  def d18SketchContainment(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).count() // parquet metadata count, cheap
+    d18Over(spark, shingled(spark, dir), Some(capDf(n)))._2
+  }
+
+  /** The d18 chain over an explicit (doc_id, sh) frame — returns
+    * (estimate rows (ida, idb, m, na, c_est) BEFORE the margin filter,
+    * final verified faces). Seam for the error-bound spec gate and the
+    * planted fixture. */
+  private[graft] def d18Over(spark: SparkSession, sh: DataFrame,
+      cap: Option[Long]): (DataFrame, DataFrame) = {
+    val invAll = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val inv = cap match {
+      case Some(c) =>
+        val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > c).select(col("s"))
+        invAll.join(hot, Seq("s"), "left_anti")
+      case None => invAll
+    }
+    val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // bottom-k sample postings: k smallest hashes per doc — a uniform
+    // sample of the doc's (capped) shingle set, k-bounding the sketch
+    // tier's per-doc pair contribution
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s").asc)
+    val samp = inv.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= D18K).select(col("doc_id"), col("s"))
+    // directional sample-membership counts m = |sample(A) ∩ B|; pairs
+    // sharing no sampled shingle never materialize (candidates-first)
+    val est = samp.hint("shuffle_hash").as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("m"))
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .withColumn("c_est",
+        col("m").cast("double") / least(col("na"), lit(D18K.toLong)))
+    val candPairs = est.filter(col("c_est") >= D17Tau - D18Margin)
+      .select(least(col("ida"), col("idb")).as("pa"),
+        greatest(col("ida"), col("idb")).as("pb"))
+      .distinct()
+    // EXACT verification restricted to the survivors' docs — the
+    // corpus postings shrink to candidate docs BEFORE any pair
+    // enumeration, then d17's faces emit at the exact threshold
+    val cdocs = candPairs.select(col("pa").as("doc_id"))
+      .unionByName(candPairs.select(col("pb").as("doc_id"))).distinct()
+    val invC = inv.join(cdocs, Seq("doc_id"), "left_semi")
+    val inter = invC.hint("shuffle_hash").as("a").join(invC.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+      .join(candPairs.select(col("pa").as("ida"), col("pb").as("idb")),
+        Seq("ida", "idb"), "left_semi")
+    val scored = inter
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+    def face(contained: String, container: String, sz: String): DataFrame =
+      scored.filter(col("i").cast("double") / col(sz) >= D17Tau)
+        .select(col(contained).as("contained_id"),
+          col(container).as("container_id"),
+          round(col("i").cast("double") / col(sz), 4).as("containment"),
+          col("i").as("n_shared"))
+    (est,
+      face("ida", "idb", "na").unionByName(face("idb", "ida", "nb"))
+        .orderBy("contained_id", "container_id"))
   }
 
   private[graft] val DecontamShingleK = 8
@@ -1452,6 +1553,26 @@ object Dedup {
 
   private val jaccardSql: String = jaccardSqlWith(None)
 
+  /** The d17/d18 shared oracle: capped postings + intersection (d08's
+    * chain), then BOTH directional containment emits at [[D17Tau]]. */
+  private val containmentSql: String =
+    "WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
+      "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
+      s"sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s " +
+      s"HAVING count(*) <= (greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
+      "(SELECT count(*) FROM documents)) AS BIGINT))))), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sc AS (SELECT ida, idb, i, ca.n AS na, cb.n AS nb FROM inter " +
+      "JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb) " +
+      "SELECT contained_id, container_id, containment, n_shared FROM (" +
+      s"SELECT ida AS contained_id, idb AS container_id, round(i / CAST(na AS DOUBLE), 4) AS containment, " +
+      s"i AS n_shared FROM sc WHERE i / CAST(na AS DOUBLE) >= $D17Tau " +
+      s"UNION ALL SELECT idb, ida, round(i / CAST(nb AS DOUBLE), 4), i FROM sc " +
+      s"WHERE i / CAST(nb AS DOUBLE) >= $D17Tau) " +
+      "ORDER BY contained_id, container_id"
+
   /** The d14/d15 canonical-selection oracle over a given pair-graph
     * SQL: recursive-CTE components + the shared t02 quality subquery +
     * per-cluster survivor window. */
@@ -1566,23 +1687,11 @@ object Dedup {
         "(SELECT count(*) FROM documents)) AS BIGINT))")),
     // d17: the same capped postings + intersection as d08, then BOTH
     // directional containment emits (Broder's second measure)
-    "d17_containment_dedup" ->
-      ("WITH tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM documents), " +
-        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok), " +
-        s"sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM sh0 GROUP BY s " +
-        s"HAVING count(*) <= (greatest($CapDfFloor, CAST(ceil($CapDfFrac * " +
-        "(SELECT count(*) FROM documents)) AS BIGINT))))), " +
-        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "sc AS (SELECT ida, idb, i, ca.n AS na, cb.n AS nb FROM inter " +
-        "JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb) " +
-        "SELECT contained_id, container_id, containment, n_shared FROM (" +
-        s"SELECT ida AS contained_id, idb AS container_id, round(i / CAST(na AS DOUBLE), 4) AS containment, " +
-        s"i AS n_shared FROM sc WHERE i / CAST(na AS DOUBLE) >= $D17Tau " +
-        s"UNION ALL SELECT idb, ida, round(i / CAST(nb AS DOUBLE), 4), i FROM sc " +
-        s"WHERE i / CAST(nb AS DOUBLE) >= $D17Tau) " +
-        "ORDER BY contained_id, container_id"),
+    "d17_containment_dedup" -> containmentSql,
+    // d18: sketch-tier containment — bottom-k sample estimate + exact
+    // verify ⇒ same result set as d17 (the d04→d03 oracle-sharing
+    // pattern; miss probability ≈ 2e-7/pair, error bound spec-gated)
+    "d18_sketch_containment" -> containmentSql,
     "d07_dedup_clusters" ->
       ("WITH pairs AS (" + jaccardSql.replace(" ORDER BY ida, idb", "") + "), " +
         "edges AS (SELECT ida AS src, idb AS dst FROM pairs " +

@@ -2592,6 +2592,106 @@ class OperatorSpec extends AnyFunSuite {
     assert(jac < 0.2, s"Jaccard should be tiny on short-in-long: $jac")
   }
 
+  test("d18 sketch containment: error bound holds, result equals d17 exactly, planted fixture caught") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // ---- error-bound invariant gate at gate SF: every estimate row's
+    // ĉ(A→B) vs the exact directional containment over the SAME capped
+    // postings stays inside the Hoeffding envelope (and exact when
+    // |A| ≤ k — the sample IS the set)
+    val sh = Dedup.shingled(spark, sf)
+    val n = Dedup.docs(spark, sf).count()
+    val (est, out) = Dedup.d18Over(spark, sh, Some(Dedup.capDf(n)))
+    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val hot = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.capDf(n)).select(col("s"))
+    val inv = inv0.join(hot, Seq("s"), "left_anti")
+    val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val exact = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+      .join(cnt.select(col("doc_id").as("ida"), col("nn")), "ida")
+      .select(col("ida"), col("idb"),
+        (col("i").cast("double") / col("nn")).as("c_exact"))
+    val errs = est.join(exact, Seq("ida", "idb"))
+      .select(col("c_est"), col("c_exact"),
+        abs(col("c_est") - col("c_exact")).as("err"),
+        (col("na") <= Dedup.D18K.toLong).as("small"))
+      .collect()
+    assert(errs.nonEmpty, "no estimate rows to gate")
+    errs.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getDouble(2) < 1e-9,
+        s"|A| <= k must estimate exactly: est=${r.getDouble(0)} exact=${r.getDouble(1)}") }
+    val maxErr = errs.map(_.getDouble(2)).max
+    assert(maxErr <= Dedup.D18Margin,
+      s"estimate error $maxErr exceeds the margin ${Dedup.D18Margin}")
+    info(f"d18 estimate rows=${errs.length} maxErr=$maxErr%.4f")
+    // ---- catch rate vs the exact twin: identical result sets
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val d18 = out.collect().map(key).toSeq
+    val d17 = Dedup.d17ContainmentDedup(spark, sf).collect().map(key).toSeq
+    assert(d18 == d17,
+      s"d18 diverged from its exact twin (${d18.size} vs ${d17.size} rows)")
+    // ---- the planted short-in-long fixture flags through the sketch
+    // tier too (same fixture as the d17 spec, no cap)
+    import spark.implicits._
+    def words(seed: Int, nw: Int): String =
+      (0 until nw).map(i => s"u${seed}_$i").mkString(" ")
+    val passage = (0 until 30).map(i => s"q_$i").mkString(" ")
+    val fx = Seq(
+      (1L, passage),
+      (2L, s"${words(1, 140)} $passage ${words(2, 130)}"),
+      (3L, words(3, 60))).toDF("doc_id", "text")
+    val fsh = fx.select(col("doc_id"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val caught = Dedup.d18Over(spark, fsh, None)._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(caught.toSeq == Seq((1L, 2L)),
+      s"planted short-in-long must flag (and only it): ${caught.toSeq}")
+  }
+
+  test("d17 cap-bias: a boilerplate-heavy short doc's containment uses the POST-cap denominator (pinned)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // 6 docs share a 10-token boilerplate footer (each of its shingles
+    // has df=6 > cap=2, so the cap removes them all); doc 10 is a
+    // SHORT doc = that footer + 4 informative tokens, of which the
+    // informative tail also appears inside long doc 20. Post-cap,
+    // doc 10's denominator shrinks to its informative shingles only,
+    // so containment(10→20) over capped sets reads 1.0 even though
+    // most of doc 10's RAW text is boilerplate, not quoted in 20 —
+    // the round-17 verdict's documented false-positive direction.
+    // The oracle computes the identical post-cap measure (same cap
+    // both sides), so this is pinned BEHAVIOR, not a bug: the cap
+    // deliberately scores informative content only.
+    val footer = (0 until 10).map(i => s"bp_$i").mkString(" ")
+    val tail = "alpha beta gamma delta epsilon zeta"
+    def uniq(seed: Int, nw: Int): String =
+      (0 until nw).map(i => s"z${seed}_$i").mkString(" ")
+    // docs 1-5 carry the footer PLUS its two-token continuation, so
+    // doc 10's footer→tail boundary shingles are hot (df=6) and the
+    // cap removes them too — doc 10's post-cap set is exactly its
+    // informative tail
+    val d = (Seq(
+      (10L, s"$footer $tail"),
+      (20L, s"${uniq(1, 60)} $tail ${uniq(2, 60)}")) ++
+      (1 to 5).map(i => (i.toLong, s"${uniq(100 + i, 12)} $footer alpha beta")))
+      .toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val out = Dedup.d18Over(spark, sh, Some(2L))._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hit = out.find(p => p._1 == 10L && p._2 == 20L)
+    assert(hit.isDefined,
+      s"post-cap denominator must fire on the informative tail: ${out.toSeq}")
+    assert(hit.get._3 >= 0.99,
+      s"post-cap containment must read ~1.0 (denominator = informative shingles only): $hit")
+  }
+
   test("t27 long-dup spans: a common idiom never excises; a planted misaligned long dup is found exactly") {
     import spark.implicits._
     // 30 docs sharing one 5-gram idiom ("as a matter of fact") amid
