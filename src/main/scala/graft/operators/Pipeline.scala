@@ -21,15 +21,68 @@ object Pipeline {
     * quarter of the synthetic corpus — a realistic pre-filter rate). */
   private[graft] val E01QualityBp = 4500L
 
-  /** e01: the five-stage curation chain over `documents`, emitting one
-    * census row per stage: (stage, stage_name, n_in, n_out).
+  /** CONTAINMENT-stage drop set over a survivor frame (round-17
+    * verdict item 4 — the quote/excerpt shape the symmetric Jaccard
+    * stage provably passes: a short doc fully quoted inside a long
+    * survivor has Jaccard ≈ |short|/|long|, far under d08's bar,
+    * while its containment is 1.0): d18's sketch-tier chain (result ==
+    * d17 exactly, gated there) emits directional pairs at
+    * [[Dedup.D17Tau]]; the CONTAINED side drops — its shingles already
+    * live inside the surviving container, so the shipped corpus loses
+    * (almost) nothing and the duplication goes away — and in a MUTUAL
+    * containment pair the lower id survives (d02's keep-lowest rule).
+    * A pipeline with the opposite editorial policy (protect originals,
+    * drop aggregators) flips the face; the operator emits both
+    * directions. Single-pass, not iterative: a doc contained only in
+    * a doc that itself drops still drops (its content survives
+    * transitively in the final container — documented, spec-pinned on
+    * the planted fixture). */
+  private[graft] def containmentDrops(spark: SparkSession,
+      survivors: DataFrame, cap: Long): DataFrame = {
+    val cpairs = Dedup.d18Over(spark, Dedup.shingledOf(survivors),
+        Some(cap))._2
+      .select(col("contained_id"), col("container_id")).localCheckpoint()
+    val mutual = cpairs.as("x").join(cpairs.as("y"),
+        col("x.contained_id") === col("y.container_id") &&
+          col("x.container_id") === col("y.contained_id"))
+      .select(col("x.contained_id"), col("x.container_id"))
+    cpairs.join(mutual, Seq("contained_id", "container_id"), "left_anti")
+      .select(col("contained_id").as("doc_id"))
+      .unionByName(mutual.filter(col("contained_id") > col("container_id"))
+        .select(col("contained_id").as("doc_id")))
+      .distinct()
+  }
+
+  /** LONG-SPAN-stage drop set (round-17 verdict item 4 — the 50-token
+    * verbatim splice neither Jaccard nor containment reaches: spliced
+    * into enough fresh text, the shared span is a minority of BOTH
+    * docs' shingle sets): t27's anchor tier (lossless for spans ≥
+    * [[TextOps.T27Min]] tokens, gated against the brute-force oracle)
+    * finds every cross-doc verbatim span among the survivors; the
+    * HIGHER-id member of each spanning pair drops (d02's keep-lowest
+    * rule on the span graph). At deploy the excision form (cut the
+    * span, keep the rest) is t21's gate; the curation chain drops
+    * whole docs so the census stays a document count. */
+  private[graft] def spanDrops(spark: SparkSession,
+      survivors: DataFrame): DataFrame =
+    TextOps.t27SpansOver(spark, survivors)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+  /** e01: the seven-stage curation chain over `documents`, emitting
+    * one census row per stage: (stage, stage_name, n_in, n_out).
     *
     *  1. quality   — keep docs with t02 quality_bp ≥ [[E01QualityBp]]
     *     (map-only score, one semi join);
     *  2. dedup     — d08's corpus-relative df-capped pair graph OVER THE
     *     SURVIVORS, pointer-jumping CC, then d14's survivor rule (keep
     *     the highest-quality member per cluster, tie → lowest id);
-    *  3. semantic  — d11's SemDeDup over the survivors' EMBEDDINGS
+    *  3. containment — [[containmentDrops]]: the quote/excerpt shape
+    *     stage 2's symmetric Jaccard provably passes (round-17 verdict
+    *     item 4), via d18's sketch tier over the stage-2 survivors;
+    *  4. span_dedup  — [[spanDrops]]: ≥[[TextOps.T27Min]]-token
+    *     verbatim splices neither Jaccard nor containment reaches,
+    *     via t27's lossless anchor tier;
+    *  5. semantic  — d11's SemDeDup over the survivors' EMBEDDINGS
     *     (survivor doc_ids joined to `embeddings` on vec_id): quantizer
     *     cells trained on the survivor set, drop every doc with a
     *     lower-id within-cell neighbor at cos ≥ τ — the embedding-level
@@ -86,14 +139,25 @@ object Pipeline {
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
       .select("doc_id").localCheckpoint()
     val s2 = d.join(canonIds, "doc_id")
-    // stage 3: SEMANTIC dedup over the survivors' embeddings — the
+    val n2 = s2.count() // routing scalar: the containment-stage df cap
+    // stage 3: CONTAINMENT dedup (quote/excerpt shape) over the
+    // canonical survivors — the round-17 quote-farm gap, closed with
+    // the d18 sketch tier (== d17 exactly)
+    val s3c = s2.join(containmentDrops(spark, s2, Dedup.capDf(n2)),
+      Seq("doc_id"), "left_anti")
+    // stage 4: LONG-SPAN dedup — a ≥[[TextOps.T27Min]]-token verbatim
+    // splice between survivors drops the higher id (the round-17
+    // long-splice gap, closed with t27's lossless anchor tier)
+    val s4sp = s3c.join(spanDrops(spark, s3c), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stage 5: SEMANTIC dedup over the survivors' embeddings — the
     // survivor-joined embedding set lands as a scratch corpus so d11's
     // train/assign/pair machinery runs on it verbatim (quantizer K and
     // stride seeds re-derive from the SURVIVOR count, exactly what the
     // oracle's own count(*) does)
     val semDir = graft.core.IO.scratchDir("graft-e01sem")
     Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .join(s2.select(col("doc_id").as("vec_id")), "vec_id")
+      .join(s4sp.select(col("doc_id").as("vec_id")), "vec_id")
       .write.mode("overwrite").parquet(s"$semDir/embeddings.parquet")
     // the drop set PERSISTS like the embeddings above: the census
     // evaluates s3 through several downstream branches (n3/n4/nseq/
@@ -105,37 +169,43 @@ object Pipeline {
       .select(col("vec_id").as("doc_id"))
       .write.mode("overwrite").parquet(s"$semDir/dropped.parquet")
     val semDropped = spark.read.parquet(s"$semDir/dropped.parquet")
-    val s3 = s2.join(semDropped, Seq("doc_id"), "left_anti")
-    val n3 = s3.count() // routing scalar: decontam's corpus-relative cap
-    // stage 4: holdout-overlap decontamination over the survivors —
-    // checkpointed (small id set) because s4 is walked by both the
+    val s5 = s4sp.join(semDropped, Seq("doc_id"), "left_anti")
+    val n5 = s5.count() // routing scalar: decontam's corpus-relative cap
+    // stage 6: holdout-overlap decontamination over the survivors —
+    // checkpointed (small id set) because s6 is walked by both the
     // pack stage and the census
-    val contaminated = Dedup.decontaminate(s3, n3)
+    val contaminated = Dedup.decontaminate(s5, n5)
       .select(col("train_id").as("doc_id")).distinct().localCheckpoint()
-    val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
+    val s6 = s5.filter(Sinks.splitBucket(col("doc_id")) < 980)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 5: packed-sequence count over survivors (t16's token rule)
-    val packed = s4.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // stage 7: packed-sequence count over survivors (t16's token rule)
+    val packed = s6.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
       .agg(expr(s"(coalesce(sum(n_tokens), 0) + ${TextOps.T16SeqLen - 1}) " +
         s"div ${TextOps.T16SeqLen}").as("nseq"))
     // census: single-row aggs cross-joined (all 1×1), exploded to rows
     val counts = d.agg(count(lit(1)).as("n0"))
       .crossJoin(s1.agg(count(lit(1)).as("n1")))
       .crossJoin(s2.agg(count(lit(1)).as("n2")))
-      .crossJoin(s3.agg(count(lit(1)).as("n3")))
-      .crossJoin(s4.agg(count(lit(1)).as("n4")))
+      .crossJoin(s3c.agg(count(lit(1)).as("n3")))
+      .crossJoin(s4sp.agg(count(lit(1)).as("n4")))
+      .crossJoin(s5.agg(count(lit(1)).as("n5")))
+      .crossJoin(s6.agg(count(lit(1)).as("n6")))
       .crossJoin(packed)
     counts.select(explode(array(
         struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
           col("n0").as("n_in"), col("n1").as("n_out")),
         struct(lit(2L).as("stage"), lit("dedup_canonical").as("stage_name"),
           col("n1").as("n_in"), col("n2").as("n_out")),
-        struct(lit(3L).as("stage"), lit("semantic").as("stage_name"),
+        struct(lit(3L).as("stage"), lit("containment").as("stage_name"),
           col("n2").as("n_in"), col("n3").as("n_out")),
-        struct(lit(4L).as("stage"), lit("decontam").as("stage_name"),
+        struct(lit(4L).as("stage"), lit("span_dedup").as("stage_name"),
           col("n3").as("n_in"), col("n4").as("n_out")),
-        struct(lit(5L).as("stage"), lit("pack").as("stage_name"),
-          col("n4").as("n_in"), col("nseq").as("n_out")))).as("r"))
+        struct(lit(5L).as("stage"), lit("semantic").as("stage_name"),
+          col("n4").as("n_in"), col("n5").as("n_out")),
+        struct(lit(6L).as("stage"), lit("decontam").as("stage_name"),
+          col("n5").as("n_in"), col("n6").as("n_out")),
+        struct(lit(7L).as("stage"), lit("pack").as("stage_name"),
+          col("n6").as("n_in"), col("nseq").as("n_out")))).as("r"))
       .select(col("r.stage"), col("r.stage_name"), col("r.n_in"), col("r.n_out"))
       .orderBy("stage")
   }
@@ -166,11 +236,18 @@ object Pipeline {
     *     d14's canonical rule (the delta can carry its own dup
     *     clusters — a delta-vs-index check alone would admit every
     *     member of a new cluster);
-    *  4. decontam       — the stage-3 survivors against the PERSISTED
+    *  4. containment    — drop delta docs CONTAINED (≥ [[Dedup
+    *     .D17Tau]] of their capped shingles) in a base survivor or a
+    *     lower-id surviving doc — the quote/excerpt shape stage 2's
+    *     symmetric bar passes (round-17 verdict item 4);
+    *  5. span_dedup     — drop delta docs sharing a ≥[[TextOps
+    *     .T27Min]]-token verbatim span with a base survivor or a
+    *     lower-id surviving delta doc (t27's lossless anchor tier);
+    *  6. decontam       — the surviving delta against the PERSISTED
     *     holdout split of the whole corpus (the eval set is global
     *     state, not delta state: a delta doc contaminated against
     *     last month's benchmark must still drop);
-    *  5. pack           — t16's sequence count over the shipped delta.
+    *  7. pack           — t16's sequence count over the shipped delta.
     *
     * Lexical + decontamination tiers only, by design: they are the
     * tiers with persisted-index fold-in forms (d13/d10); the semantic
@@ -223,26 +300,52 @@ object Pipeline {
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
       .select("doc_id").localCheckpoint()
     val s3 = s2.join(canonIds, "doc_id")
-    // stage 4: survivors vs the GLOBAL holdout split (identical rows
+    // stage 4: CONTAINMENT vs the index — a delta doc contained in a
+    // base survivor or in any LOWER-id survivor drops (base state is
+    // immutable within an ingest cycle, so only delta docs drop; the
+    // arrival-order rule makes the incremental chain deterministic).
+    // The pair set comes from d18's sketch chain over base ∪ delta
+    // survivors — at deploy the base postings are the persisted index
+    // (the e02 stage-2 argument)
+    val u3 = baseS.unionByName(s3)
+    val nu3 = u3.count() // routing scalar: the containment df cap
+    val cpairs = Dedup.d18Over(spark, Dedup.shingledOf(u3),
+      Some(Dedup.capDf(nu3)))._2
+    val cdrop = cpairs.filter(col("contained_id") >= nb &&
+        col("container_id") < col("contained_id"))
+      .select(col("contained_id").as("doc_id")).distinct()
+    val s4c = s3.join(cdrop, Seq("doc_id"), "left_anti")
+    // stage 5: LONG-SPAN vs the index — a delta doc sharing a
+    // ≥T27Min-token verbatim span with a base survivor or a lower-id
+    // delta survivor drops (t27 emits doc_a < doc_b, so doc_b ≥ nb IS
+    // the delta side of every cross pair and the higher id within
+    // delta)
+    val sdrop = TextOps.t27SpansOver(spark, baseS.unionByName(s4c))
+      .filter(col("doc_b") >= nb)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s5sp = s4c.join(sdrop, Seq("doc_id"), "left_anti").localCheckpoint()
+    // stage 6: survivors vs the GLOBAL holdout split (identical rows
     // dedupe, so dropDuplicates is deterministic here)
     val holdoutAll = d.filter(Sinks.splitBucket(col("doc_id")) >= 980)
-    val u4 = s3.unionByName(holdoutAll).dropDuplicates("doc_id")
-    val n4c = u4.count() // routing scalar: decontam's cap
-    // contaminated ids feed s4, which the pack stage AND the census
+    val u6 = s5sp.unionByName(holdoutAll).dropDuplicates("doc_id")
+    val n6c = u6.count() // routing scalar: decontam's cap
+    // contaminated ids feed s6, which the pack stage AND the census
     // both walk — checkpoint the 8-gram overlap scan (small id set)
-    val contaminated = Dedup.decontaminate(u4, n4c)
+    val contaminated = Dedup.decontaminate(u6, n6c)
       .select(col("train_id").as("doc_id")).distinct().localCheckpoint()
-    val s4 = s3.filter(Sinks.splitBucket(col("doc_id")) < 980)
+    val s6 = s5sp.filter(Sinks.splitBucket(col("doc_id")) < 980)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 5: packed-sequence count over the shipped delta
-    val packed = s4.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // stage 7: packed-sequence count over the shipped delta
+    val packed = s6.select(size(tokens(col("text"))).cast("long").as("n_tokens"))
       .agg(expr(s"(coalesce(sum(n_tokens), 0) + ${TextOps.T16SeqLen - 1}) " +
         s"div ${TextOps.T16SeqLen}").as("nseq"))
     val counts = deltaAll.agg(count(lit(1)).as("n0"))
       .crossJoin(s1.agg(count(lit(1)).as("n1")))
       .crossJoin(s2.agg(count(lit(1)).as("n2")))
       .crossJoin(s3.agg(count(lit(1)).as("n3")))
-      .crossJoin(s4.agg(count(lit(1)).as("n4")))
+      .crossJoin(s4c.agg(count(lit(1)).as("n4")))
+      .crossJoin(s5sp.agg(count(lit(1)).as("n5")))
+      .crossJoin(s6.agg(count(lit(1)).as("n6")))
       .crossJoin(packed)
     counts.select(explode(array(
         struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
@@ -251,10 +354,14 @@ object Pipeline {
           col("n1").as("n_in"), col("n2").as("n_out")),
         struct(lit(3L).as("stage"), lit("dedup_within").as("stage_name"),
           col("n2").as("n_in"), col("n3").as("n_out")),
-        struct(lit(4L).as("stage"), lit("decontam").as("stage_name"),
+        struct(lit(4L).as("stage"), lit("containment").as("stage_name"),
           col("n3").as("n_in"), col("n4").as("n_out")),
-        struct(lit(5L).as("stage"), lit("pack").as("stage_name"),
-          col("n4").as("n_in"), col("nseq").as("n_out")))).as("r"))
+        struct(lit(5L).as("stage"), lit("span_dedup").as("stage_name"),
+          col("n4").as("n_in"), col("n5").as("n_out")),
+        struct(lit(6L).as("stage"), lit("decontam").as("stage_name"),
+          col("n5").as("n_in"), col("n6").as("n_out")),
+        struct(lit(7L).as("stage"), lit("pack").as("stage_name"),
+          col("n6").as("n_in"), col("nseq").as("n_out")))).as("r"))
       .select(col("r.stage"), col("r.stage_name"), col("r.n_in"), col("r.n_out"))
       .orderBy("stage")
   }
@@ -324,6 +431,44 @@ object Pipeline {
     * recursive-CTE components + d14 window, the global-holdout 8-gram
     * overlap, and the packed count — caps re-derived from the oracle's
     * OWN counts (the e01 rule). */
+  /** Containment-stage oracle CTEs over survivor CTE `src` (doc_id,
+    * text): capped postings (cap re-derived from the oracle's OWN
+    * `src` count — the e01 rule), directional pairs at
+    * [[Dedup.D17Tau]] as `<p>cp(cid, rid)` = (contained, container).
+    * Shared by the e01/e02 oracles; ends with ", ". */
+  private def containmentCtesSql(p: String, src: String): String = {
+    val cap = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
+      s"(SELECT count(*) FROM $src)) AS BIGINT))"
+    s"${p}tok AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM $src), " +
+      s"${p}sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), " +
+      s"i -> array_to_string(w[i:i+2], ' ')))) AS s FROM ${p}tok), " +
+      s"${p}sh AS (SELECT doc_id, s FROM ${p}sh0 WHERE s IN (SELECT s FROM ${p}sh0 GROUP BY s HAVING count(*) <= ($cap))), " +
+      s"${p}cnt AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id), " +
+      s"${p}sc AS (SELECT ida, idb, i, ca.n AS na, cb.n AS nb FROM (" +
+      s"SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      s"FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) x " +
+      s"JOIN ${p}cnt ca ON ca.doc_id = ida JOIN ${p}cnt cb ON cb.doc_id = idb), " +
+      s"${p}cp AS (SELECT ida AS cid, idb AS rid FROM ${p}sc WHERE i / CAST(na AS DOUBLE) >= ${Dedup.D17Tau} " +
+      s"UNION ALL SELECT idb, ida FROM ${p}sc WHERE i / CAST(nb AS DOUBLE) >= ${Dedup.D17Tau}), "
+  }
+
+  /** Long-span-stage oracle CTEs over `src`: t27's brute-force matched
+    * grams → (da, db, delta) alignment runs → spanning pairs as
+    * `<p>sp(da, db)` (runs ≥ [[TextOps.T27Min]] tokens). Ends with
+    * ", ". */
+  private def spanCtesSql(p: String, src: String): String = {
+    val L = TextOps.T21L
+    s"${p}g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${L - 2}), i -> i)) AS pos, " +
+      s"unnest(list_transform(range(1, len(w) - ${L - 2}), i -> array_to_string(w[i:i+${L - 1}], ' '))) AS gram " +
+      s"FROM (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS w FROM $src) WHERE len(w) >= $L), " +
+      s"${p}m AS (SELECT a.doc_id AS da, b.doc_id AS db, b.pos - a.pos AS delta, a.pos " +
+      s"FROM ${p}g a JOIN ${p}g b ON a.gram = b.gram AND a.doc_id < b.doc_id), " +
+      s"${p}r AS (SELECT da, db, delta, pos, " +
+      s"pos - row_number() OVER (PARTITION BY da, db, delta ORDER BY pos) AS isl FROM ${p}m), " +
+      s"${p}sp AS (SELECT DISTINCT da, db FROM (SELECT da, db FROM ${p}r " +
+      s"GROUP BY da, db, delta, isl HAVING count(*) + ${L - 1} >= ${TextOps.T27Min})), "
+  }
+
   private[graft] val e02Sql: String = {
     val capU = s"greatest(${Dedup.CapDfFloor}, CAST(ceil(${Dedup.CapDfFrac} * " +
       "(SELECT count(*) FROM u)) AS BIGINT))"
@@ -368,7 +513,21 @@ object Pipeline {
       "canon AS (SELECT doc_id FROM full0 " +
       "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
       "s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2 JOIN canon USING (doc_id)), " +
-      "u4 AS MATERIALIZED (SELECT doc_id, text FROM s3 " +
+      // stage 4: containment vs base ∪ delta survivors — only DELTA
+      // docs contained in a lower-id survivor drop
+      "u3 AS MATERIALIZED (SELECT * FROM bs UNION ALL SELECT * FROM s3), " +
+      containmentCtesSql("c", "u3") +
+      s"cdrop AS (SELECT DISTINCT cid AS doc_id FROM ccp WHERE cid >= $nbv AND rid < cid), " +
+      "s4c AS MATERIALIZED (SELECT * FROM s3 " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)), " +
+      // stage 5: long spans vs base ∪ surviving delta — the delta-side
+      // (higher-id) member of every spanning pair drops
+      "u5 AS MATERIALIZED (SELECT * FROM bs UNION ALL SELECT * FROM s4c), " +
+      spanCtesSql("z", "u5") +
+      s"sdrop AS (SELECT DISTINCT db AS doc_id FROM zsp WHERE db >= $nbv), " +
+      "s5sp AS MATERIALIZED (SELECT * FROM s4c " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)), " +
+      "u4 AS MATERIALIZED (SELECT doc_id, text FROM s5sp " +
       "UNION SELECT doc_id, text FROM documents WHERE ((doc_id % 1000) * 761) % 1000 >= 980), " +
       "dtok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
       "string_split_regex(rtrim(text), '\\s+') AS w FROM u4), " +
@@ -378,20 +537,24 @@ object Pipeline {
       "contam AS (SELECT DISTINCT tr.doc_id FROM (SELECT doc_id, s FROM dsh WHERE b < 980) tr " +
       "JOIN (SELECT doc_id, s FROM dsh WHERE b >= 980) ho USING (s) " +
       s"GROUP BY tr.doc_id, ho.doc_id HAVING count(*) >= ${Dedup.DecontamMinShared}), " +
-      "s4 AS (SELECT d2.doc_id, d2.text FROM s3 d2 " +
+      "s4 AS (SELECT d2.doc_id, d2.text FROM s5sp d2 " +
       "WHERE ((d2.doc_id % 1000) * 761) % 1000 < 980 " +
       "AND d2.doc_id NOT IN (SELECT doc_id FROM contam)), " +
       s"counts AS (SELECT (SELECT count(*) FROM documents WHERE doc_id >= $nbv) AS n0, " +
       "(SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2, " +
       "(SELECT count(*) FROM s3) AS n3, " +
+      "(SELECT count(*) FROM s4c) AS n3c, " +
+      "(SELECT count(*) FROM s5sp) AS n3s, " +
       "(SELECT count(*) FROM s4) AS n4, " +
       "(SELECT CAST((coalesce(sum(len(string_split_regex(rtrim(text), '\\s+'))), 0) " +
       s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s4) AS nseq) " +
       "SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name, n0 AS n_in, n1 AS n_out FROM counts " +
       "UNION ALL SELECT 2, 'dedup_vs_base', n1, n2 FROM counts " +
       "UNION ALL SELECT 3, 'dedup_within', n2, n3 FROM counts " +
-      "UNION ALL SELECT 4, 'decontam', n3, n4 FROM counts " +
-      "UNION ALL SELECT 5, 'pack', n4, nseq FROM counts " +
+      "UNION ALL SELECT 4, 'containment', n3, n3c FROM counts " +
+      "UNION ALL SELECT 5, 'span_dedup', n3c, n3s FROM counts " +
+      "UNION ALL SELECT 6, 'decontam', n3s, n4 FROM counts " +
+      "UNION ALL SELECT 7, 'pack', n4, nseq FROM counts " +
       "ORDER BY stage"
   }
 
@@ -438,20 +601,31 @@ object Pipeline {
       "canon AS (SELECT doc_id FROM full0 " +
       "QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) = 1), " +
       "s2d AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)), " +
-      // stage 3: d11's SemDeDup over the SURVIVOR-joined embeddings —
+      // stage 3: containment over s2d — contained side drops; in a
+      // mutual pair the lower id survives
+      containmentCtesSql("c", "s2d") +
+      "cdrop AS (SELECT DISTINCT cid AS doc_id FROM ccp x WHERE x.cid > x.rid " +
+      "OR NOT EXISTS (SELECT 1 FROM ccp y WHERE y.cid = x.rid AND y.rid = x.cid)), " +
+      "s3c AS MATERIALIZED (SELECT * FROM s2d " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)), " +
+      // stage 4: long spans over s3c — the higher-id member drops
+      spanCtesSql("z", "s3c") +
+      "s4sp AS MATERIALIZED (SELECT * FROM s3c " +
+      "WHERE doc_id NOT IN (SELECT DISTINCT db FROM zsp)), " +
+      // stage 5: d11's SemDeDup over the SURVIVOR-joined embeddings —
       // the d11 oracle's own train/assign CTE chain (quantizer K and
       // stride seeds re-derived from the survivor count), then the
       // within-cell lower-id drop rule at τ
       "e AS MATERIALIZED (SELECT em.vec_id, em.embedding::DOUBLE[] AS emb " +
-      "FROM embeddings em JOIN s2d ON s2d.doc_id = em.vec_id), " +
+      "FROM embeddings em JOIN s4sp ON s4sp.doc_id = em.vec_id), " +
       Similarity.trainCtesBody(Similarity.LloydRounds, Similarity.D11KSql) +
       Similarity.assignCteSql("semafin", s"cent${Similarity.LloydRounds}", "cf") +
       "semdrop AS (SELECT DISTINCT b.vec_id AS doc_id FROM semafin a " +
       "JOIN semafin b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
       s"AND list_cosine_similarity(a.emb, b.emb) >= ${Similarity.D11Tau}), " +
-      "s3sem AS MATERIALIZED (SELECT s2d.doc_id, s2d.text FROM s2d " +
+      "s3sem AS MATERIALIZED (SELECT s4sp.doc_id, s4sp.text FROM s4sp " +
       "WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)), " +
-      // stage 4: d10's 8-gram holdout overlap over s3sem
+      // stage 6: d10's 8-gram holdout overlap over s3sem
       "dtok AS (SELECT doc_id, ((doc_id % 1000) * 761) % 1000 AS b, " +
       "string_split_regex(rtrim(text), '\\s+') AS w FROM s3sem), " +
       s"dsh0 AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - ${k - 2}), " +
@@ -463,18 +637,22 @@ object Pipeline {
       "s4 AS (SELECT d2.doc_id, d2.text FROM s3sem d2 " +
       "WHERE ((d2.doc_id % 1000) * 761) % 1000 < 980 " +
       "AND d2.doc_id NOT IN (SELECT doc_id FROM contam)), " +
-      // stage 5 + census
+      // stage 7 + census
       "counts AS (SELECT (SELECT count(*) FROM documents) AS n0, " +
       "(SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2d) AS n2, " +
+      "(SELECT count(*) FROM s3c) AS n2c, " +
+      "(SELECT count(*) FROM s4sp) AS n2s, " +
       "(SELECT count(*) FROM s3sem) AS n3, " +
       "(SELECT count(*) FROM s4) AS n4, " +
       "(SELECT CAST((coalesce(sum(len(string_split_regex(rtrim(text), '\\s+'))), 0) " +
       s"+ ${TextOps.T16SeqLen - 1}) // ${TextOps.T16SeqLen} AS BIGINT) FROM s4) AS nseq) " +
       "SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name, n0 AS n_in, n1 AS n_out FROM counts " +
       "UNION ALL SELECT 2, 'dedup_canonical', n1, n2 FROM counts " +
-      "UNION ALL SELECT 3, 'semantic', n2, n3 FROM counts " +
-      "UNION ALL SELECT 4, 'decontam', n3, n4 FROM counts " +
-      "UNION ALL SELECT 5, 'pack', n4, nseq FROM counts " +
+      "UNION ALL SELECT 3, 'containment', n2, n2c FROM counts " +
+      "UNION ALL SELECT 4, 'span_dedup', n2c, n2s FROM counts " +
+      "UNION ALL SELECT 5, 'semantic', n2s, n3 FROM counts " +
+      "UNION ALL SELECT 6, 'decontam', n3, n4 FROM counts " +
+      "UNION ALL SELECT 7, 'pack', n4, nseq FROM counts " +
       "ORDER BY stage"
   }
 

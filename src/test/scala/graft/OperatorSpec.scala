@@ -1768,23 +1768,66 @@ class OperatorSpec extends AnyFunSuite {
   test("e01 curation chain: stages link, every count monotone, dropping a stage propagates") {
     val census = Pipeline.e01Curation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(census.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(census.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(census.map(_._2).toSeq == Seq("quality", "dedup_canonical",
+      "containment", "span_dedup", "semantic", "decontam", "pack"))
     // chain property: each stage's n_in IS the previous stage's n_out —
     // the interop guarantee this gate exists for
     for (Seq(a, b) <- census.toSeq.sliding(2))
       assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out: $census")
-    // retention is monotone (doc stages only; stage 5 converts units)
-    census.take(4).foreach { case (st, _, nIn, nOut) =>
+    // retention is monotone (doc stages only; stage 7 converts units)
+    census.take(6).foreach { case (st, _, nIn, nOut) =>
       assert(nOut <= nIn, s"stage $st grew the corpus: $census") }
     assert(census(0)._4 < census(0)._3, "quality stage must drop something")
-    assert(census(4)._4 > 0, "packing must emit sequences")
+    assert(census(6)._4 > 0, "packing must emit sequences")
     // counterfactual: DISABLE stage 1 (bar = 0) — its survivors feed
     // every later stage, so the downstream census must change too
     val noQ = Pipeline.e01CurationAt(spark, sf, 0L).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(noQ(0)._3 == noQ(0)._2, "bar 0 must pass every doc")
-    assert(noQ(1)._3 != census(1)._4 || noQ(4)._3 != census(4)._4,
+    assert(noQ(1)._3 != census(1)._4 || noQ(6)._3 != census(6)._4,
       s"disabling the quality stage must propagate downstream: $census vs ${noQ.toSeq}")
+  }
+
+  test("e01 containment+span stages: a planted excerpt and a planted long splice drop at their stages only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 38 docs, fresh vocab each. Planted:
+    //   36 = a 25-token EXCERPT of doc 5 (containment 1.0, Jaccard
+    //        23/58 ≈ 0.40 < 0.6 — provably invisible to stage 2)
+    //   37 = 30 fresh + a 50-token SPLICE of doc 9 + 30 fresh (doc 9
+    //        is 100 tokens so neither containment direction reaches
+    //        0.8 and Jaccard ≈ 0.30 — invisible to stages 2 AND 3)
+    def words(base: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"w${base + i}")
+    val texts: Long => String = {
+      case 9L  => words(9000, 100).mkString(" ")
+      case 36L => words(5000, 60).slice(10, 35).mkString(" ")
+      case 37L => (words(37000, 30) ++ words(9000, 100).take(50) ++
+        words(38000, 30)).mkString(" ")
+      case i   => words(i.toInt * 1000, 60).mkString(" ")
+    }
+    val docs = (0L until 38L).map(i => i -> texts(i)).toDF("doc_id", "text")
+    def comp(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id, i), lit(2000001L)).cast("double") / 1e6) - lit(1.0)
+    val emb = spark.range(38).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => comp(col("vec_id"), i))
+          .as("embedding"))
+    val fixture = java.nio.file.Files.createTempDirectory("e01cont").toString
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    emb.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val census = Pipeline.e01CurationAt(spark, fixture, 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(census(1) == ((2L, "dedup_canonical", 38L, 38L)),
+      s"Jaccard must pass both planted docs: ${census.toSeq}")
+    assert(census(2) == ((3L, "containment", 38L, 37L)),
+      s"containment must drop exactly the excerpt doc: ${census.toSeq}")
+    assert(census(3) == ((4L, "span_dedup", 37L, 36L)),
+      s"span stage must drop exactly the splice doc: ${census.toSeq}")
+    assert(census(4) == ((5L, "semantic", 36L, 36L)),
+      s"no embedding twins planted — semantic must pass: ${census.toSeq}")
   }
 
   test("s14 hybrid fusion: a doc leading BOTH pools fuses to rank 1 with the exact RRF sum") {
@@ -1826,34 +1869,49 @@ class OperatorSpec extends AnyFunSuite {
   test("e02 incremental curation: each delta stage bites on its planted case") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // 40 docs → nb = 36: base = 0-35, delta = 36-39, each delta doc
+    // 60 docs → nb = 54: base = 0-53, delta = 54-59, each delta doc
     // planted to trip exactly one stage:
-    //   36 = degenerate spam (uniq ratio ~0)      → stage-1 drop
-    //   37 = verbatim copy of BASE doc 1          → stage-2 drop
-    //   38 ≈ 39 verbatim twins of EACH OTHER only → stage-3 keeps 38
+    //   54 = degenerate spam (uniq ratio ~0)      → stage-1 drop
+    //   55 = verbatim copy of BASE doc 1          → stage-2 drop
+    //   56 ≈ 57 verbatim twins of EACH OTHER only → stage-3 keeps 56
+    //   58 = a 25-token EXCERPT of base doc 3     → stage-4 drop
+    //        (Jaccard 0.40 — invisible to stages 2-3)
+    //   59 = 30 fresh + a 50-token SPLICE of base doc 9 (100 tokens)
+    //        + 30 fresh                           → stage-5 drop
+    //        (Jaccard 0.30, containment ≤ 0.49 — invisible to 2-4)
     // (fresh vocab per doc otherwise — ranges never collide)
-    def words(base: Int): String = (0 until 60).map(i => s"w${base + i}").mkString(" ")
+    def wlist(base: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"w${base + i}")
+    def words(base: Int): String = wlist(base, 60).mkString(" ")
     val texts: Long => String = {
-      case 36L => Seq.fill(60)("x").mkString(" ")
-      case 37L => words(1000)
-      case 38L => words(50000)
-      case 39L => words(50000)
+      case 9L  => wlist(9000, 100).mkString(" ")
+      case 54L => Seq.fill(60)("x").mkString(" ")
+      case 55L => words(1000)
+      case 56L => words(90000)
+      case 57L => words(90000)
+      case 58L => wlist(3000, 60).slice(10, 35).mkString(" ")
+      case 59L => (wlist(70000, 30) ++ wlist(9000, 100).take(50) ++
+        wlist(71000, 30)).mkString(" ")
       case i   => words(i.toInt * 1000)
     }
-    val docs = (0L until 40L).map(i => i -> texts(i)).toDF("doc_id", "text")
+    val docs = (0L until 60L).map(i => i -> texts(i)).toDF("doc_id", "text")
     val fixture = java.nio.file.Files.createTempDirectory("e02fix").toString
     docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
     val census = Pipeline.e02IncrementalCuration(spark, fixture).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(census(0) == ((1L, "quality", 4L, 3L)),
+    assert(census(0) == ((1L, "quality", 6L, 5L)),
       s"quality must drop exactly the spam doc: ${census.toSeq}")
-    assert(census(1) == ((2L, "dedup_vs_base", 3L, 2L)),
+    assert(census(1) == ((2L, "dedup_vs_base", 5L, 4L)),
       s"vs-base must drop exactly the base copy: ${census.toSeq}")
-    assert(census(2) == ((3L, "dedup_within", 2L, 1L)),
+    assert(census(2) == ((3L, "dedup_within", 4L, 3L)),
       s"within-delta must collapse the twin pair: ${census.toSeq}")
-    assert(census(3) == ((4L, "decontam", 1L, 1L)),
+    assert(census(3) == ((4L, "containment", 3L, 2L)),
+      s"containment must drop exactly the excerpt doc: ${census.toSeq}")
+    assert(census(4) == ((5L, "span_dedup", 2L, 1L)),
+      s"span stage must drop exactly the splice doc: ${census.toSeq}")
+    assert(census(5) == ((6L, "decontam", 1L, 1L)),
       s"no cross-split overlap planted — decontam must pass: ${census.toSeq}")
-    assert(census(4) == ((5L, "pack", 1L, 1L)),
+    assert(census(6) == ((7L, "pack", 1L, 1L)),
       s"60 tokens pack into one 512-token sequence: ${census.toSeq}")
   }
 
