@@ -64,11 +64,28 @@ object IO {
     * still reference them); a service calling scratch-using operators
     * unboundedly should pass its own lifecycle-managed paths instead.
     */
-  def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    scratchRegistry.add(dir)
-    dir.toString
-  }
+  def scratchDir(prefix: String): String =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.artifactRoot"))
+      .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT")) match {
+      case Some(root) =>
+        // DURABLE artifact root (round-17 verdict item 5): when
+        // `spark.graft.artifactRoot` is set on the active session (or
+        // GRAFT_ARTIFACT_ROOT in the environment), dirs land under
+        // that root and are NOT registered for exit deletion — the
+        // seam that lets persisted stores (s29 graph, s11 codes, t18b
+        // postings, m08 media) outlive the JVM, with a NEW session
+        // serving them from the landed paths alone (spec-pinned, no
+        // catalog entry required). Lifecycle of the root is the
+        // caller's (a deployment points it at its lake path).
+        val base = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(base)
+        java.nio.file.Files.createTempDirectory(base, prefix).toString
+      case None =>
+        val dir = java.nio.file.Files.createTempDirectory(prefix)
+        scratchRegistry.add(dir)
+        dir.toString
+    }
 
   private lazy val scratchRegistry: java.util.Queue[java.nio.file.Path] = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()

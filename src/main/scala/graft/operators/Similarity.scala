@@ -1438,19 +1438,30 @@ object Similarity {
     * search reuses the identical serve path over the folded store. */
   private[graft] def s11Search(spark: SparkSession, dir: String,
       codesT: String, ccT: String, fcT: String, cbT: String,
+      k2: Int, tomb: Option[DataFrame] = None): DataFrame =
+    s11SearchFrames(spark, dir, spark.table(codesT), spark.table(ccT),
+      spark.table(fcT), spark.table(cbT), k2, tomb)
+
+  /** [[s11Search]] over explicit artifact FRAMES — the cross-session
+    * seam: a fresh process reads the landed parquet paths directly
+    * (no catalog entry anywhere) and serves the identical plan; the
+    * bucketed-table form above keeps the metastore bucket spec for
+    * in-session consumers. */
+  private[graft] def s11SearchFrames(spark: SparkSession, dir: String,
+      codes: DataFrame, cc: DataFrame, fc: DataFrame, cb: DataFrame,
       k2: Int, tomb: Option[DataFrame] = None): DataFrame = {
-    val fprobes = probeCells(spark, dir, spark.table(ccT), spark.table(fcT), k2)
+    val fprobes = probeCells(spark, dir, cc, fc, k2)
       .select(col("qid"), col("cid").as("cell"))
     val dtab = subvecs(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-      .join(spark.table(cbT), Seq("sub"))
+      .join(cb, Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast("long").as("unit"))
     // tombstone mask (s16): deleted ids prune via a broadcast anti-join
     // BEFORE ADC scoring — between purges the tombstone set is
     // delta-sized (the d13 cadence argument), so the mask rides the
     // bucketed scan without adding any exchange
-    val cand0 = spark.table(codesT).join(broadcast(fprobes), Seq("cell"))
+    val cand0 = codes.join(broadcast(fprobes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
     val cand = tomb.fold(cand0)(t =>
       cand0.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
@@ -3519,9 +3530,17 @@ object Similarity {
     * frontier join touches one bucket per src; executor loss costs a
     * re-read, not a failed job (the round-16 localCheckpoint defect,
     * closed structurally). */
-  def s29PersistedGraphSearch(spark: SparkSession, dir: String): DataFrame = {
-    val (_, path) = s22StoreAt(spark, dir,
-      D11CellTarget, S06FineProbes, S22Pool)
+  def s29PersistedGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    s29ServeFromPath(spark, dir,
+      s22StoreAt(spark, dir, D11CellTarget, S06FineProbes, S22Pool)._2)
+
+  /** The path-only serve — what a FRESH process (new SparkSession, no
+    * catalog entries, no memo) runs against an already-landed graph
+    * store: a plain parquet read of the store's files plus the
+    * deterministic seed retrain. The cross-session spec serves through
+    * this after dropping every table. */
+  private[graft] def s29ServeFromPath(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
     val graph = spark.read.parquet(path).select(col("src_id"), col("dst_id"))
     s23Serve(spark, emb(spark, dir), graph,
       s23SeedFrontier(spark, dir, S23Beam), S23Rounds, S23Beam)

@@ -798,10 +798,14 @@ object Sinks {
     * explode the small side across all buckets, so one hot key spreads
     * over N tasks instead of one straggler. Semantically identical to
     * bigDf.join(smallDf, keys) — pinned by SinksSpec. AQE's skew-join
-    * handles moderate skew automatically; explicit salting is the tool
-    * for the pathological keys AQE can't split (single-key hotspots
-    * inside one shuffle block).
-    */
+    * handles moderate skew automatically — PlanSpec's canary pins that
+    * THIS build actually splits a planted skewed partition (and stops
+    * when skewJoin is disabled) — so at 100 TB the star join usually
+    * needs no salt. Explicit salting remains the tool for what AQE
+    * cannot split (a single-KEY hotspot: partition-splitting cannot
+    * divide one key unless the other side replicates, which is exactly
+    * what the salt does) and for broadcast-ineligible or AQE-off
+    * engines. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = SaltBuckets): DataFrame = {
     val salted = big.withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))

@@ -877,4 +877,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_hll_union_agg"),
       s"cross-day union must combine map-side:\n$p")
   }
+
+  test("AQE skew-join canary: a planted hot key splits under skewJoin, and does not when disabled") {
+    // the plan property that decides whether the 100 TB star join
+    // needs p02's manual salt at all (round-17 verdict item 6): this
+    // build's AQE actually SPLITS a skewed shuffle partition. Manual
+    // salting (Sinks.saltedJoin) remains the tool for what AQE cannot
+    // split — a single-KEY hotspot is divisible on the map side only
+    // when the other side replicates, which is exactly what the salt
+    // does — and for engines/paths with AQE off.
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    // thresholds scaled to the fixture: the hot partition (~120k rows
+    // of ~64B incompressible payload) clears both the absolute bytes
+    // bar and 2x-median; the advisory size forces a multi-way split
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    val left = s.range(0, 160000).select(
+      when(col("id") < 120000, 0L).otherwise(pmod(col("id"), lit(63)) + 1)
+        .as("k"),
+      sha2(col("id").cast("string"), 256).as("pay"))
+    val right = s.range(0, 64).select(col("id").as("k"),
+      sha2(col("id").cast("string"), 224).as("dim"))
+    def finalPlan(skewOn: Boolean): String = {
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      // aggregate over the payloads so column pruning cannot strip
+      // them from the shuffle — the skew must exist in bytes, not rows
+      val df = left.join(right, "k")
+        .agg(count(col("pay")).as("n"), max(col("dim")).as("mx"))
+      assert(df.collect().head.getLong(0) == 160000L, "join lost rows")
+      df.queryExecution.executedPlan.toString
+    }
+    val withSkew = finalPlan(skewOn = true)
+    assert(withSkew.contains("skew=true"),
+      s"AQE must split the planted hot partition:\n$withSkew")
+    val without = finalPlan(skewOn = false)
+    assert(!without.contains("skew=true"),
+      s"the canary must be OFF-sensitive (else it proves nothing):\n$without")
+  }
 }
