@@ -1992,7 +1992,7 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(census(1) == ((2L, "dedup_canonical", 40L, 40L)),
       s"lexical stage must pass the vocab-disjoint corpus whole: ${census.toSeq}")
-    assert(census(2) == ((3L, "semantic", 40L, 39L)),
+    assert(census(4) == ((5L, "semantic", 40L, 39L)),
       s"semantic stage must drop exactly the planted embedding twin: ${census.toSeq}")
   }
 

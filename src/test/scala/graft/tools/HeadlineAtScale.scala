@@ -49,7 +49,14 @@ object HeadlineAtScale {
 
     val names = Seq("d13_incremental_dedup", "s11_persisted_ivf_pq",
       "e01_curation_pipeline", "e02_incremental_curation",
-      "e05_serving_pipeline")
+      "e05_serving_pipeline",
+      // round-17 verdict item 8: first decade-up datapoints for the
+      // two newest dedup tiers — d17's capped exact intersections,
+      // d18's bottom-k sampled form, t27's anchor census + extension
+      // join (e01/e02 above now also run containment+span stages
+      // in-chain, so their walls carry the composed cost too)
+      "d17_containment_dedup", "d18_sketch_containment",
+      "t27_long_dup_spans")
     var failed = 0
     for (name <- names) {
       try {
