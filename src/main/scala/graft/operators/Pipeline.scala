@@ -138,13 +138,20 @@ object Pipeline {
       .agg(max_by(col("doc_id"),
         struct(col("quality_bp"), (-col("doc_id")).as("nid"))).as("doc_id"))
       .select("doc_id").localCheckpoint()
-    val s2 = d.join(canonIds, "doc_id")
+    // the containment/span stages each reference their input frame
+    // many times (d18's postings chain, t27's gram self-joins), so the
+    // stage inputs MATERIALIZE — an unmaterialized input re-runs the
+    // whole upstream chain once per reference (measured: e02 went
+    // 5.3 s → 99 s at sf0.1 before these checkpoints; the deploy
+    // pipeline persists each stage's survivor set anyway, the e01sem
+    // precedent)
+    val s2 = d.join(canonIds, "doc_id").localCheckpoint()
     val n2 = s2.count() // routing scalar: the containment-stage df cap
     // stage 3: CONTAINMENT dedup (quote/excerpt shape) over the
     // canonical survivors — the round-17 quote-farm gap, closed with
     // the d18 sketch tier (== d17 exactly)
     val s3c = s2.join(containmentDrops(spark, s2, Dedup.capDf(n2)),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti").localCheckpoint()
     // stage 4: LONG-SPAN dedup — a ≥[[TextOps.T27Min]]-token verbatim
     // splice between survivors drops the higher id (the round-17
     // long-splice gap, closed with t27's lossless anchor tier)
@@ -307,20 +314,23 @@ object Pipeline {
     // The pair set comes from d18's sketch chain over base ∪ delta
     // survivors — at deploy the base postings are the persisted index
     // (the e02 stage-2 argument)
-    val u3 = baseS.unionByName(s3)
+    // materialized: d18's chain references its input postings frame
+    // many times (see e01's stage-input comment)
+    val u3 = baseS.unionByName(s3).localCheckpoint()
     val nu3 = u3.count() // routing scalar: the containment df cap
     val cpairs = Dedup.d18Over(spark, Dedup.shingledOf(u3),
       Some(Dedup.capDf(nu3)))._2
     val cdrop = cpairs.filter(col("contained_id") >= nb &&
         col("container_id") < col("contained_id"))
-      .select(col("contained_id").as("doc_id")).distinct()
+      .select(col("contained_id").as("doc_id")).distinct().localCheckpoint()
     val s4c = s3.join(cdrop, Seq("doc_id"), "left_anti")
     // stage 5: LONG-SPAN vs the index — a delta doc sharing a
     // ≥T27Min-token verbatim span with a base survivor or a lower-id
     // delta survivor drops (t27 emits doc_a < doc_b, so doc_b ≥ nb IS
     // the delta side of every cross pair and the higher id within
-    // delta)
-    val sdrop = TextOps.t27SpansOver(spark, baseS.unionByName(s4c))
+    // delta); the union input materializes for t27's gram self-joins
+    val u5 = baseS.unionByName(s4c).localCheckpoint()
+    val sdrop = TextOps.t27SpansOver(spark, u5)
       .filter(col("doc_b") >= nb)
       .select(col("doc_b").as("doc_id")).distinct()
     val s5sp = s4c.join(sdrop, Seq("doc_id"), "left_anti").localCheckpoint()
