@@ -290,7 +290,7 @@ object StreamingOps {
     * exceptAll over the landed files is a shuffled anti-join. */
   def st02StreamingCounts(spark: SparkSession, dir: String): DataFrame = {
     val streamed = runToSnapshotFiles(spark,
-      windowedCounts(readEvents(spark, dir)), "graft-st02")
+      windowedCounts(readEvents(spark, dir)), "graft-st02", evBytes(dir))
       .select(col("win_start"), col("event_type"), col("n"))
     val batch = graft.core.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -314,7 +314,7 @@ object StreamingOps {
   def st03StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val doubled = readEvents(spark, dir).unionAll(readEvents(spark, dir))
     val streamed = runToFiles(spark,
-      dedupped(doubled).select(col("event_id")), "graft-st03")
+      dedupped(doubled).select(col("event_id")), "graft-st03", 2 * evBytes(dir))
     val batch = graft.core.Tables.events(spark, dir).select(col("event_id")).distinct()
     val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
     batch.agg(count(lit(1)).as("n_distinct"))
@@ -327,7 +327,7 @@ object StreamingOps {
     * against the identical batch join. */
   def st04StreamingJoin(spark: SparkSession, dir: String): DataFrame = {
     val streamed = runToFiles(spark,
-      purchaseSignupJoin(readEvents(spark, dir)), "graft-st04")
+      purchaseSignupJoin(readEvents(spark, dir)), "graft-st04", evBytes(dir))
     val ev = graft.core.Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -407,7 +407,7 @@ object StreamingOps {
       .schema(StructType.fromDDL("user_id BIGINT, ts TIMESTAMP, value DOUBLE"))
       .parquet(tailRoot)
     val sessions = sessionizeStreaming(real.unionAll(sentinel).as[Ev])
-    runToFiles(spark, sessions.toDF(), "graft-st06")
+    runToFiles(spark, sessions.toDF(), "graft-st06", evBytes(dir))
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         date_format(col("start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
@@ -533,7 +533,8 @@ object StreamingOps {
       .schema(StructType.fromDDL("media_id BIGINT, payload BINARY"))
       .parquet(deltaRoot)
     val streamed = runToFiles(spark,
-      Multimodal.m08DeltaVsIndexStream(spark, deltaStream, bandT, contT), "graft-st11")
+      Multimodal.m08DeltaVsIndexStream(spark, deltaStream, bandT, contT),
+      "graft-st11")
     val batch = Multimodal.m08DeltaVsIndex(spark, delta, bandT, contT)
     val mismatches = streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
     batch.agg(count(lit(1)).as("n_pairs"))
@@ -652,7 +653,8 @@ object StreamingOps {
     landSingleFile(late, root, "b3", t0 + 120000L)
     landSingleFile(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
       .toDF("event_id", "ts"), root, "b4", t0 + 180000L)
-    val streamed = runToFiles(spark, lateFeedCounts(spark, root), "graft-st08")
+    val streamed = runToFiles(spark, lateFeedCounts(spark, root), "graft-st08",
+      evBytes(dir))
     lateDropCensus(spark, early, late, streamed)
   }
 
@@ -753,15 +755,20 @@ object StreamingOps {
       .option("checkpointLocation", s"$outRoot/chk")
       .format("parquet").option("path", s"$outRoot/out").start()
     landSingleFile(early, feedRoot, "b1", t0)
-    val run1 = startQuery()
-    run1.processAllAvailable()
-    run1.stop() // the "crash": checkpoint holds offsets + watermark
-    landSingleFile(late, feedRoot, "b2", t0 + 60000L)
-    landSingleFile(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
-      .toDF("event_id", "ts"), feedRoot, "b3", t0 + 120000L)
-    val run2 = startQuery()
-    run2.processAllAvailable()
-    run2.stop()
+    // both incarnations run under the scale-adaptive state-shard count
+    // (run 2 re-reads the pinned value from run 1's checkpoint anyway —
+    // state partitioning is fixed at batch 0 for the query's lifetime)
+    withStreamShards(spark, evBytes(dir)) {
+      val run1 = startQuery()
+      run1.processAllAvailable()
+      run1.stop() // the "crash": checkpoint holds offsets + watermark
+      landSingleFile(late, feedRoot, "b2", t0 + 60000L)
+      landSingleFile(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+        .toDF("event_id", "ts"), feedRoot, "b3", t0 + 120000L)
+      val run2 = startQuery()
+      run2.processAllAvailable()
+      run2.stop()
+    }
     lateDropCensus(spark, early, late, spark.read.parquet(s"$outRoot/out"))
   }
 
@@ -823,7 +830,7 @@ object StreamingOps {
           col("s_ts") <= col("p_ts") &&
           col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
       .select(col("purchase_id"), col("signup_id"), col("user_id"))
-    val streamed = runToFiles(spark, joined, "graft-st13")
+    val streamed = runToFiles(spark, joined, "graft-st13", evBytes(dir))
       .filter(col("user_id") >= 0)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -892,7 +899,8 @@ object StreamingOps {
       .parquet(root)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("k")
-    runToFiles(spark, deduped, "graft-st14").filter(col("k") =!= "W")
+    runToFiles(spark, deduped, "graft-st14", graft.core.IO.pathSize(root))
+      .filter(col("k") =!= "W")
   }
 
   def st14StreamingTtlDedup(spark: SparkSession, dir: String): DataFrame =
@@ -1782,12 +1790,72 @@ object StreamingOps {
     * memory at one retained result per name. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShards(spark, -1L) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
   }
+
+  /** Scale-adaptive STATE-SHARD count for the streaming gates (guide
+    * §2.2/§2.5 applied to streaming state): a stateful operator's state
+    * partition count is `spark.sql.shuffle.partitions` at the query's
+    * first batch — and every shard pays a fixed per-batch cost that is
+    * INDEPENDENT of its data: a state-store provider acquisition
+    * (serialized process-wide on `StateStore.loadedProviders` — a
+    * stream-stream join opens FOUR stores per shard), a delta-file
+    * commit + fsync, and a coordinator RPC. Measured at the gate SF
+    * (sf0.1, 32 cores): st04's join micro-batch spent ~3.4 s PER TASK
+    * parked on that provider lock — 9.8 s → 3.2 s wall for the whole
+    * gate by sizing shards to state volume instead of core count.
+    * Production sizes state shards to state VOLUME per shard (the
+    * 100 MB-1 GB/partition guidance), never to the ingest cluster's
+    * core count — a 100 TB/day feed with GBs of live keyed state wants
+    * hundreds of shards and sets `spark.graft.streaming.statePartitions`
+    * (or passes real source bytes); the derived default here scales
+    * with the bounded gate feed and is core-count-independent, so the
+    * driver's low-core bench rerun measures the same plan. */
+  private[graft] def streamShards(spark: SparkSession, sourceBytes: Long): Int =
+    spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse {
+        val perShard = 32L << 20 // ~32 MB of feed per state shard
+        val bySize = (math.max(sourceBytes, 0L) + perShard - 1) / perShard
+        math.max(4L, math.min(bySize,
+          spark.sparkContext.defaultParallelism * 4L)).toInt
+      }
+
+  /** Run `body` (which starts AND stops its streaming query) with
+    * `spark.sql.shuffle.partitions` narrowed to [[streamShards]] —
+    * the value a STATEFUL query pins into its checkpoint at batch 0.
+    * The previous value is restored after the query has stopped, so
+    * every downstream batch plan (equivalence twins, census joins) is
+    * untouched. State sharding is semantically invisible: state is
+    * keyed, watermarks are global minima across shards.
+    *
+    * `sourceBytes < 0` is the STATELESS sentinel: the gate's streaming
+    * plan has no keyed state (stream-static joins, foreachBatch sinks),
+    * so there is no per-shard state-store cost to amortize and
+    * narrowing would only cut real per-batch parallelism (measured:
+    * st07's delta-shingle verify slowed 4.4 → 5.6 s under 4
+    * partitions) — the session conf is left untouched. */
+  private[graft] def withStreamShards[A](spark: SparkSession,
+      sourceBytes: Long)(body: => A): A =
+    if (sourceBytes < 0) body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, streamShards(spark, sourceBytes).toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
+  /** The gate feeds' size scalar — events.parquet bytes (a metadata
+    * read), the shard-derivation input for gates streaming the events
+    * corpus. */
+  private def evBytes(dir: String): Long =
+    try graft.core.IO.pathSize(s"$dir/events.parquet")
+    catch { case _: Throwable => -1L }
 
   /** Run an append-mode streaming plan to completion into a PARQUET
     * file sink and hand back a batch frame over the landed files — the
@@ -1800,13 +1868,16 @@ object StreamingOps {
     * through [[runToSnapshotFiles]] instead. Scratch dir (sink +
     * checkpoint) is per call, reaped by the IO.scratchDir shutdown
     * hook. */
-  def runToFiles(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+  def runToFiles(spark: SparkSession, df: DataFrame, prefix: String,
+      sourceBytes: Long = -1L): DataFrame = {
     val root = graft.core.IO.scratchDir(prefix)
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"$root/chk")
-      .format("parquet").option("path", s"$root/out").start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShards(spark, sourceBytes) {
+      val q = df.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk")
+        .format("parquet").option("path", s"$root/out").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.read.parquet(s"$root/out")
   }
 
@@ -1827,7 +1898,8 @@ object StreamingOps {
     * and atomically swaps a pointer (or lands in a table format with
     * transactional commit); the gate runs to completion and reads
     * after stop(), so in-place is exact here. */
-  def runToSnapshotFiles(spark: SparkSession, agg: DataFrame, prefix: String): DataFrame = {
+  def runToSnapshotFiles(spark: SparkSession, agg: DataFrame, prefix: String,
+      sourceBytes: Long = -1L): DataFrame = {
     val root = graft.core.IO.scratchDir(prefix)
     val out = s"$root/out"
     // Pre-seed the snapshot with an empty frame in the aggregate's
@@ -1838,14 +1910,16 @@ object StreamingOps {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
       .write.mode("overwrite").parquet(out)
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .option("checkpointLocation", s"$root/chk")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShards(spark, sourceBytes) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.read.parquet(out)
   }
 }
