@@ -227,13 +227,22 @@ object Dedup {
       cap: Option[Long]): (DataFrame, DataFrame) = {
     val invAll = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val inv = cap match {
+    // the capped postings table is walked FIVE times downstream (doc
+    // census, bottom-k sample window, estimate probe side, candidate
+    // semi-join, exact verify self-join) — materialize it once: an
+    // unmaterialized postings plan re-runs the tokenize + shingle +
+    // explode + hash chain per reference (measured ~6 corpus passes at
+    // sf0.1; the e01 stage-input precedent). The deploy pipeline lands
+    // postings as a stage artifact anyway — on a multi-node cluster
+    // swap localCheckpoint for the persisted postings store (d13's
+    // shape), same plan either way.
+    val inv = (cap match {
       case Some(c) =>
         val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > c).select(col("s"))
         invAll.join(hot, Seq("s"), "left_anti")
       case None => invAll
-    }
+    }).localCheckpoint()
     val cnt = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // bottom-k sample postings: k smallest hashes per doc — a uniform
     // sample of the doc's (capped) shingle set, k-bounding the sketch
@@ -1491,19 +1500,24 @@ object Dedup {
           least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl")))
       // … then label CHAINS compress to their fixpoint (merge targets
       // may themselves have merged this round; chains are short, so
-      // this inner loop is 1-2 passes)
+      // this inner loop is 1-2 passes). The changed-flag rides the
+      // SAME join that computes the next labels and is checkpointed
+      // with them, so the loop test is a cheap scan of the already-
+      // materialized frame — the historical form re-joined next
+      // against previous just to detect change, one extra shuffle
+      // join per pass for a boolean (guide §2.4).
       var jumping = true
       while (jumping) {
         val nxt = cp(jumped.as("x")
           .join(jumped.select(col("node").as("n2"), col("lbl").as("l2")).as("y"),
             col("x.lbl") === col("n2"), "left_outer")
           .select(col("x.node").as("node"),
-            least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl")))
-        jumping = nxt.as("n").join(jumped.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count() > 0
+            least(col("x.lbl"), coalesce(col("l2"), col("x.lbl"))).as("lbl"),
+            (coalesce(col("l2"), col("x.lbl")) < col("x.lbl")).as("chg")))
+        jumping = nxt.filter(col("chg")).limit(1).count() > 0
         if (jumping) {
           unpersistLocalCheckpoint(jumped)
-          jumped = nxt
+          jumped = nxt.select(col("node"), col("lbl"))
         } else {
           unpersistLocalCheckpoint(nxt)
         }

@@ -119,9 +119,12 @@ object Pipeline {
       qualityBar: Long): DataFrame = {
     val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val qual = TextOps.t02Quality(spark, dir).select(col("doc_id"), col("quality_bp"))
-    // stage 1: quality keep-set
+    // stage 1: quality keep-set — checkpointed like every other stage
+    // input: s1 is walked four times (routing count, the d08 pair
+    // graph, the s2 join, the census), and an unmaterialized s1
+    // re-runs the t02 scoring chain per reference
     val s1 = d.join(qual.filter(col("quality_bp") >= qualityBar)
-      .select("doc_id"), "doc_id")
+      .select("doc_id"), "doc_id").localCheckpoint()
     val n1 = s1.count() // routing scalar: the corpus-relative df cap
     // stage 2: capped pair graph over survivors → CC → canonical member
     val pairs = Dedup.ngramJaccardPairs(Dedup.shingledOf(s1), Some(Dedup.capDf(n1)))

@@ -1473,27 +1473,46 @@ object TextOps {
   private[graft] def t27SpansOver(spark: SparkSession, d: DataFrame): DataFrame = {
     val L = T21L
     val toks = d.select(col("doc_id"), tokens(col("text")).as("w"))
+    // the positional gram table is walked FIVE times downstream (df
+    // census, winnowing join, anchor re-join, both extension sides) —
+    // materialize it once: an unmaterialized plan re-runs the tokenize
+    // + explode + slice + concat chain per reference, and that string-
+    // building map pass is the single most expensive stage here
+    // (measured ~2/3 of t27's wall at sf0.1 before this landing). The
+    // deploy pipeline lands the gram table as a stage artifact (the
+    // e01sem precedent); on a multi-node cluster swap localCheckpoint
+    // for a persisted scratch table — same consumers either way.
+    //
+    // Grams travel as their 64-bit xxhash64 from here on (the
+    // d08/d13 hashed-postings discipline applied to the positional
+    // tier): the gram STRING (~60 B) was the payload of every census
+    // shuffle, winnowing-window comparison and extension join key,
+    // for ~8 B of identity — hashing at build time cuts those stages'
+    // bytes and compare cost ~5× (guide §2.3 "shuffle keys instead of
+    // payloads"). A 64-bit collision could alias two distinct grams
+    // (lossless-tier risk ~n²/2⁶⁴ per corpus); the BRUTE-FORCE oracle
+    // re-proves no span was lost or invented at every gate SF.
     val grams = toks.filter(size(col("w")) >= L)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")) - lit(L - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ", slice(col("w"), col("pos"), lit(L))).as("gram"))
-    val census = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val gdf = grams.join(census.hint("shuffle_hash"), Seq("gram"))
-      .withColumn("h", xxhash64(col("gram")))
+        xxhash64(concat_ws(" ", slice(col("w"), col("pos"), lit(L)))).as("h"))
+      .localCheckpoint()
+    val census = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    val gdf = grams.join(census.hint("shuffle_hash"), Seq("h"))
     // winnowing: the rarest gram per window, leftmost on ties — a
     // content-defined rule, identical for both copies of a span
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, T27W - 1)
     val anchors = gdf
       .withColumn("win",
-        min(struct(col("df"), col("h"), col("gram"), col("pos"))).over(wWin))
+        min(struct(col("df"), col("h"), col("pos"))).over(wWin))
       .select(col("doc_id"), col("win.pos").as("pos"))
       .distinct()
     val agrams = anchors.join(grams, Seq("doc_id", "pos"))
     val cand = agrams.as("a").join(agrams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         (col("b.pos") - col("a.pos")).as("delta"))
       .distinct()
@@ -1503,12 +1522,12 @@ object TextOps {
     // (duplication-sized, not corpus-sized), but at 100 TB a heavy-dup
     // corpus could exceed the driver's broadcast budget — AQE picks
     // broadcast whenever the set actually is small
-    val gA = grams.select(col("doc_id").as("da"), col("pos"), col("gram"))
+    val gA = grams.select(col("doc_id").as("da"), col("pos"), col("h"))
     val gB = grams.select(col("doc_id").as("db"), col("pos").as("pb"),
-      col("gram"))
+      col("h"))
     val matched = cand.join(gA, Seq("da"))
       .withColumn("pb", col("pos") + col("delta"))
-      .join(gB, Seq("db", "pb", "gram"))
+      .join(gB, Seq("db", "pb", "h"))
       .select(col("da"), col("db"), col("delta"), col("pos"))
     val wRun = Window.partitionBy(col("da"), col("db"), col("delta"))
       .orderBy(col("pos"))

@@ -24,7 +24,16 @@ object GraftShims {
     */
   def unpersistLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
-      c.queryExecution.analyzed match {
+      // see through projections: callers may hand back a thin select
+      // over the checkpointed frame (e.g. connectedComponents' inner
+      // loop dropping its change flag) — the storage to release is
+      // still the LogicalRDD underneath
+      def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project => strip(pr.child)
+        case o => o
+      }
+      strip(c.queryExecution.analyzed) match {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
         case _ => ()
       }
